@@ -1,0 +1,90 @@
+"""Point-in-polygon ray casting — numpy port of the reference crossing rule.
+
+Reference: /root/reference/ogr/ogrlinearring.cpp:462-531 (isPointInRing).
+The exact rule, reproduced so boundary behavior matches bit-for-bit:
+
+  for each ring edge (p[i-1] -> p[i]), in point-relative coords
+  (x1,y1) = p[i] - test, (x2,y2) = p[i-1] - test:
+      straddle test:  (y1 > 0 and y2 <= 0) or (y2 > 0 and y1 <= 0)
+      intersection:   (x1*y2 - x2*y1) / (y2 - y1)
+      count crossing iff 0.0 < intersection   (STRICT >)
+  inside  <=>  odd crossing count.
+
+The envelope pretest (ogrlinearring.cpp:488-497) is inclusive:
+MinX <= x <= MaxX and MinY <= y <= MaxY.
+
+Also implements the layer spatial-filter staging of
+/root/reference/ogr/ogrsf_frmts/generic/ogrlayer.cpp:2253-2325
+(FilterGeometry): bbox reject -> bbox-containment accept -> exact test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def point_in_ring(xs, ys, ring_xy: np.ndarray, test_envelope: bool = True) -> np.ndarray:
+    """Vectorized isPointInRing for many points against ONE ring.
+
+    xs, ys : (n,) float64 point coords.
+    ring_xy: (m, 2) float64 closed ring (first == last vertex, as
+             OGRLinearRing::closeRings guarantees; if not closed we close it).
+    Returns (n,) bool.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    ring = np.asarray(ring_xy, dtype=np.float64)
+    if ring.shape[0] < 3:
+        return np.zeros(xs.shape[0], dtype=bool)
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        ring = np.vstack([ring, ring[:1]])
+    # reference: rings with < 4 points (incl. closing) are rejected
+    if ring.shape[0] < 4:
+        return np.zeros(xs.shape[0], dtype=bool)
+
+    inside = np.zeros(xs.shape[0], dtype=bool)
+    mask = np.ones(xs.shape[0], dtype=bool)
+    if test_envelope:
+        minx, miny = ring.min(axis=0)
+        maxx, maxy = ring.max(axis=0)
+        mask = (xs >= minx) & (xs <= maxx) & (ys >= miny) & (ys <= maxy)
+        if not mask.any():
+            return inside
+    px = xs[mask]
+    py = ys[mask]
+
+    # edge endpoints relative to each test point: shape (m-1, k)
+    x1 = ring[1:, 0][:, None] - px[None, :]
+    y1 = ring[1:, 1][:, None] - py[None, :]
+    x2 = ring[:-1, 0][:, None] - px[None, :]
+    y2 = ring[:-1, 1][:, None] - py[None, :]
+
+    straddle = ((y1 > 0) & (y2 <= 0)) | ((y2 > 0) & (y1 <= 0))
+    denom = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inter = (x1 * y2 - x2 * y1) / denom
+    crossings = (straddle & (inter > 0.0)).sum(axis=0)
+    inside[mask] = (crossings % 2).astype(bool)
+    return inside
+
+
+def point_in_polygon(xs, ys, rings: list[np.ndarray]) -> np.ndarray:
+    """Points vs polygon = outer ring minus holes (even-odd over rings,
+    matching OGRPolygon semantics for valid polygons: inside outer ring and
+    in an even number (0) of interior rings)."""
+    if not rings:
+        return np.zeros(np.asarray(xs).shape[0], dtype=bool)
+    inside = point_in_ring(xs, ys, rings[0])
+    for hole in rings[1:]:
+        inside &= ~point_in_ring(xs, ys, hole)
+    return inside
+
+
+def filter_points_staged(xs, ys, ring_xy: np.ndarray) -> np.ndarray:
+    """FilterGeometry staging for point features vs a polygon filter
+    (ogrlayer.cpp:2253-2325): bbox reject, then for points the exact
+    containment test (points whose bbox == the point itself: the
+    'envelope contained -> accept' stage collapses into the bbox pass).
+    Semantically equal to point_in_ring with envelope pretest; kept as a
+    named stage so tests can pin the short-circuit order."""
+    return point_in_ring(xs, ys, ring_xy, test_envelope=True)

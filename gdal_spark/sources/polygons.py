@@ -1,0 +1,72 @@
+"""Polygon-side sources: the countries64 deterministic layer (FIXTURES F3).
+
+A polygon DataFrame carries vertex arrays (not WKB) so the PIP stage can
+go straight to numpy without a decode step:
+  (poly_id bigint, xs array<double>, ys array<double>,
+   minx,miny,maxx,maxy double)                -- envelope columns
+Envelope columns make the exact-stage prefilter a JVM-side column
+comparison (the analog of the reference's envelope pretest,
+ogrlinearring.cpp:488-497), keeping Python out of the reject path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..kernels import cells
+from . import derive
+
+POLY_SCHEMA = (
+    "poly_id bigint, xs array<double>, ys array<double>, "
+    "minx double, miny double, maxx double, maxy double"
+)
+
+
+def countries64_pdf(skew_poly0: bool = False) -> pd.DataFrame:
+    """Driver-side pandas build of the 64-polygon layer (64 rows — the
+    canonical broadcast-side dimension). skew_poly0 inflates polygon 0
+    to ~30% of the world to exercise hot-cell salting (FIXTURES F3)."""
+    rows = []
+    for p in range(derive.NPOLY):
+        ring = derive.polygon_ring_np(p)
+        if skew_poly0 and p == 0:
+            c = ring.mean(axis=0)
+            ring = np.column_stack([
+                np.clip(c[0] + (ring[:, 0] - c[0]) * 8.0, -179.9, 179.9),
+                np.clip(c[1] + (ring[:, 1] - c[1]) * 8.0, -84.0, 84.0),
+            ])
+        rows.append({
+            "poly_id": p,
+            "xs": ring[:, 0].tolist(),
+            "ys": ring[:, 1].tolist(),
+            "minx": float(ring[:, 0].min()),
+            "miny": float(ring[:, 1].min()),
+            "maxx": float(ring[:, 0].max()),
+            "maxy": float(ring[:, 1].max()),
+        })
+    return pd.DataFrame(rows)
+
+
+def countries64(spark: SparkSession, skew_poly0: bool = False) -> DataFrame:
+    return spark.createDataFrame(countries64_pdf(skew_poly0), schema=POLY_SCHEMA)
+
+
+def polygon_cover_pdf(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Explode each polygon to its covering cell set at resolution res
+    (bbox cover — candidates refined by the exact PIP stage)."""
+    out = []
+    for _, r in pdf.iterrows():
+        ring = np.column_stack([np.asarray(r["xs"]), np.asarray(r["ys"])])
+        for c in cells.polygon_cover(ring, res):
+            out.append({"poly_id": r["poly_id"], "cell": int(c)})
+    return pd.DataFrame(out)
+
+
+def countries64_cover(spark: SparkSession, res: int, skew_poly0: bool = False) -> DataFrame:
+    """(cell, poly_id) covering table + the polygon attribute columns."""
+    pdf = countries64_pdf(skew_poly0)
+    cov = polygon_cover_pdf(pdf, res)
+    cov_df = spark.createDataFrame(cov, schema="poly_id bigint, cell bigint")
+    return cov_df.join(spark.createDataFrame(pdf, schema=POLY_SCHEMA), "poly_id")
