@@ -1,0 +1,108 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline: the north-star workload (spatial join + tile assignment over
+the interleaved-document table) measured as docs/sec on synthesized
+docs, plus per-operator timings over the $SPARK_GRAFT_SF_DIR parquet.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32 (local[N] — the sandbox proxy for N
+                       executors; run at 8 and 32 for the scaling
+                       criterion, see BENCH/BASELINE.md)
+  SPARK_GRAFT_BENCH_DOCS  default 2_000_000 synthetic docs
+
+Each query is forced end-to-end with a hash-reduce sink (sum of
+xxhash64 over all output columns) so Catalyst cannot prune the work the
+way a bare count() would.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def force(df: DataFrame) -> int:
+    """Evaluate every output column (anti-pruning sink)."""
+    row = df.select(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(row["n"] or 0)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    from gdal_spark import queries as Q
+    from gdal_spark.operators import tiling
+    from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+    from gdal_spark.session import get_spark
+    from gdal_spark.sources import docs, polygons
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    # -- warmup: JVM + Arrow paths
+    force(Q.q_tile_assign(spark, sf_dir).limit(1000))
+
+    # -- headline: spatial join + tile assignment over synthetic docs
+    t0 = time.time()
+    d = docs.synth_docs(spark, n_docs, partitions=cpus * 4)
+    cov = polygons.countries64_cover(spark, res=6)
+    joined = spatial_join_points_in_polygons(
+        d, cov, res=6, strategy="broadcast",
+        keep_point_cols=["doc_id", "doc_index", "spans", "lon", "lat"],
+    )
+    tiled = tiling.assign_tiles(joined, zoom=12)
+    n_out = force(tiled.select("doc_id", "poly_id", "tx", "ty_xyz", "quadkey"))
+    headline = time.time() - t0
+    timings["headline_join_tile"] = round(headline, 3)
+
+    # -- per-operator timings over the sf tables
+    per_query = {
+        "tile_assign": Q.q_tile_assign,
+        "pyramid_counts": Q.q_pyramid_counts,
+        "spatial_join": Q.q_spatial_join,
+        "spatial_join_skew": Q.q_spatial_join_skew,
+        "knn": Q.q_knn,
+        "rasterize_add": Q.q_rasterize_add,
+        "overview_avg": Q.q_overview_avg,
+        "polygonize": Q.q_polygonize,
+        "minhash_lsh": Q.q_minhash_lsh,
+        "dedup_jaccard": Q.q_dedup_jaccard,
+        "text_quality": Q.q_text_quality,
+        "similarity_topk": Q.q_similarity_topk,
+        "ogr_summary": Q.q_ogr_summary,
+    }
+    for name, fn in per_query.items():
+        t = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "spatial-join+tile-assignment suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "bench_docs": n_docs,
+        "joined_rows": n_out,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

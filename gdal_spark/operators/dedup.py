@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Not present in the reference engine (GDAL has no doc dedup) — these are
+the training-data-pipeline extensions mandated by the build brief,
+designed Spark-first:
+
+- exact_dedup: hash-groupBy; one shuffle on a short hash key.
+- ngram_jaccard_pairs: near-dup pairs via token-n-gram inverted-index
+  join (join on shared gram — never a cross join), integer-arithmetic
+  Jaccard so results are engine-exact.
+- minhash_signatures / minhash_lsh_pairs: MinHash + banded LSH. Word
+  hashes are an explicit polynomial rolling hash (31x + c mod 2^31)
+  evaluated JVM-side with `aggregate` — deterministic, portable,
+  reproducible in plain SQL (no engine-private hash function), so the
+  DuckDB oracle can replay it bit-for-bit.
+- simhash64: 64-bit SimHash over word hashes with +/-1 bit votes.
+
+All integer math: no float anywhere, so every result is exact.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M31 = 2147483648  # 2^31
+LSH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def word_hash_expr(word: str = "w") -> str:
+    """Polynomial rolling hash of a word: fold(chars, h*31 + code) mod 2^31.
+    Text fixtures are ASCII; `ascii(char)` = codepoint in both Spark and
+    DuckDB."""
+    return (
+        f"aggregate(split({word}, ''), 0L, "
+        f"(h, ch) -> (h * 31 + ascii(ch)) % {M31})"
+    )
+
+
+def tokens(df: DataFrame, text: str = "text", out: str = "toks") -> DataFrame:
+    """Whitespace tokenization (the BPE-ish regex split is in
+    operators.text); empty tokens dropped."""
+    return df.withColumn(out, F.expr(f"filter(split({text}, ' '), t -> t != '')"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text) -> keeper = min id, n_dups.
+    Returns only groups with >1 member. At scale, group on a hash of
+    the text (shuffle key stays short) and verify text equality inside
+    the group; here text is the key directly for oracle clarity."""
+    return (
+        df.groupBy(text)
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .select("keeper", "n_members")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 2,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard over the SET of word n-grams.
+
+    Inverted-index plan: explode distinct grams -> self-join on gram
+    (counts shared grams per pair) -> integer Jaccard test
+    100*shared >= threshold_pct*(na+nb-shared). Only pairs sharing at
+    least one gram are ever materialized — the candidate set is the
+    inverted index's natural output, same shape at 10^12 docs (the
+    gram join is the shuffle; hot grams can be dropped as stop-grams).
+    Returns (id_a, id_b, shared, na, nb) with id_a < id_b.
+    """
+    grams = (
+        tokens(df, text)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array_distinct(
+                    # NB: sequence(1, 0) is DESCENDING [1,0] in Spark,
+                    # so short docs need the explicit empty-array guard
+                    F.expr(
+                        f"if(size(toks) < {n}, array(), "
+                        f"transform(sequence(1, size(toks) - {n - 1}), "
+                        f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("ng"))
+    a = grams.select(F.col("_id").alias("id_a"), "gram")
+    b = grams.select(F.col("_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("ng").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("ng").alias("nb")), "id_b")
+        .filter(
+            F.lit(100) * F.col("shared")
+            >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "na", "nb")
+    )
+    return out
+
+
+def _minhash_perm(h: Column, j: int) -> Column:
+    """j-th MinHash permutation of a word hash: (a_j*h + b_j) mod P.
+    a_j, b_j derived from j by fixed LCG constants (odd a)."""
+    a = (2 * j + 1) * 40503 % LSH_PRIME
+    b = (j * 1103515245 + 12345) % LSH_PRIME
+    return (h * F.lit(a) + F.lit(b)) % F.lit(LSH_PRIME)
+
+
+def minhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signature over distinct word
+    hashes. Whole computation is one JVM-side projection (aggregate +
+    transform higher-order functions) — no Python, no shuffle."""
+    t = tokens(df, text)
+    whashes = t.withColumn(
+        "whs",
+        F.expr(
+            f"array_distinct(transform(toks, w -> {word_hash_expr('w')}))"
+        ),
+    )
+    sig_cols = []
+    for j in range(n_hashes):
+        a = (2 * j + 1) * 40503 % LSH_PRIME
+        b = (j * 1103515245 + 12345) % LSH_PRIME
+        sig_cols.append(
+            F.expr(
+                f"array_min(transform(whs, h -> (h * {a} + {b}) % {LSH_PRIME}))"
+            ).alias(f"mh{j}")
+        )
+    return whashes.select(
+        F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
+    n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Banded LSH candidate pairs: signatures split into `bands` rows of
+    n_hashes/bands; docs agreeing on any whole band pair up. Returns
+    (id_a, id_b, n_bands_matched). The band-bucket join is an equi-join
+    on (band_idx, band_values) — the scalable LSH shape."""
+    r = n_hashes // bands
+    sigs = minhash_signatures(df, id_col=id_col, text=text, n_hashes=n_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, slice(sig, b*{r}+1, {r}) as key))"
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"),
+             F.col("bk.key").cast("array<bigint>").alias("key"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash64(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
+              bits: int = 32) -> DataFrame:
+    """SimHash: per bit b, vote +1 if bit b of word hash set else -1,
+    summed over distinct words; fingerprint bit = vote > 0. 32 bits of
+    the 31-bit word hash keep everything in exact int64 math."""
+    t = tokens(df, text)
+    whashes = t.withColumn(
+        "whs", F.expr(f"array_distinct(transform(toks, w -> {word_hash_expr('w')}))")
+    )
+    fp = F.expr(
+        "aggregate(sequence(0, %d), 0L, (acc, b) -> acc + (CASE WHEN "
+        "aggregate(whs, 0L, (v, h) -> v + CASE WHEN (h div shiftleft(1L, b)) %% 2 = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, b) ELSE 0L END))" % (bits - 1)
+    )
+    return whashes.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                       text: str = "text", max_hamming: int = 3,
+                       bits: int = 32, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, found
+    with the pigeonhole block trick (split fingerprint into blocks+?;
+    any pair within distance max_hamming agrees on >= 1 block when
+    blocks > max_hamming) — equi-join on (block_idx, block_bits)."""
+    w = bits // blocks
+    s = simhash64(df, id_col=id_col, text=text, bits=bits)
+    blocked = s.select(
+        "id", "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {blocks - 1}), "
+                f"b -> struct(b as blk, (simhash div shiftleft(1L, b*{w})) % {1 << w} as key))"
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(sequence(0, %d), 0L, (acc, b) -> acc + "
+        "abs((sh_a div shiftleft(1L, b)) %% 2 - (sh_b div shiftleft(1L, b)) %% 2))"
+        % (bits - 1)
+    )
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

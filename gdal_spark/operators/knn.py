@@ -1,0 +1,144 @@
+"""kNN via iterative cell-ring expansion — the grow-the-search-radius
+loop of the reference's quadtree neighbor search
+(/root/reference/alg/gdalgrid.cpp:896-909) re-derived as Spark joins.
+
+Metric: squared euclidean in WebMercator meters (the cell grid is an
+exact square grid in that space, so the ring-expansion stopping rule is
+a clean geometric bound). Ties broken by smaller point id — total order,
+deterministic across engines.
+
+Stopping rule: after exploring every cell within Chebyshev cell-distance
+`s` of the query's cell, any unexplored point is at distance
+>= s * cell_width (the query may sit on its cell's edge; an unexplored
+cell at Chebyshev >= s+1 is >= s full cell widths away). So a query is
+DONE once its current kth-best distance <= s * cell_width.
+
+Plan shape per round (driver loop, one round per `s`):
+  pending queries --explode ring(s) cells--> (query, cell)   [tiny side]
+  points(cell)    --broadcast-join cell--> candidates
+                  --window row_number per query (d2, id)--> top-k
+Queries are few relative to points (the gdalgrid model: one output grid
+node per cell vs millions of scattered points), so the query side is
+always the broadcast side and the big point table is NEVER shuffled —
+only scanned, once per round, with cell-prefilter pushdown.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import tiles as TF
+
+ORIGIN_SHIFT = TF.ORIGIN_SHIFT
+
+
+def _cell_xy(lon, lat, res: int):
+    """(cx, cy) integer cell coords (XYZ orientation) at `res`."""
+    lim = 2**res - 1
+    tx, ty_tms = TF.tms_tile(lon, lat, res)
+    return TF.clamp(tx, 0, lim), TF.clamp(TF.xyz_ty(ty_tms, res), 0, lim)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    res: int = 5,
+    point_id: str = "point_id",
+    query_id: str = "query_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Exact kNN of each query against `points`.
+
+    Returns (query_id, point_id, rank) with rank 1..k ordered by squared
+    mercator-meter distance, ties by point_id. Both inputs need lon/lat
+    columns named per the kw args.
+    """
+    spark = points.sparkSession
+    w = 2.0 * ORIGIN_SHIFT / float(2**res)
+    lim = 2**res - 1
+
+    pcx, pcy = _cell_xy(F.col(lon), F.col(lat), res)
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        TF.merc_mx(F.col(lon)).alias("_pmx"),
+        TF.merc_my(F.col(lat)).alias("_pmy"),
+        pcx.alias("_pcx"),
+        pcy.alias("_pcy"),
+    )
+    qcx, qcy = _cell_xy(F.col(lon), F.col(lat), res)
+    pending = queries.select(
+        F.col(query_id).alias("_qid"),
+        TF.merc_mx(F.col(lon)).alias("_qmx"),
+        TF.merc_my(F.col(lat)).alias("_qmy"),
+        qcx.alias("_qcx"),
+        qcy.alias("_qcy"),
+    )
+
+    if max_rounds is None:
+        max_rounds = lim + 2
+
+    results = None  # accumulated top-k per finished query
+    s = 1
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # all cells within Chebyshev distance s of the query cell
+        offs = spark.range(-s, s + 1).select(F.col("id").alias("_dx")).crossJoin(
+            spark.range(-s, s + 1).select(F.col("id").alias("_dy"))
+        )
+        qcells = (
+            pending.crossJoin(F.broadcast(offs))
+            .select(
+                "_qid", "_qmx", "_qmy",
+                (F.col("_qcx") + F.col("_dx")).alias("_cx"),
+                (F.col("_qcy") + F.col("_dy")).alias("_cy"),
+            )
+            .filter(
+                (F.col("_cx") >= 0) & (F.col("_cx") <= lim)
+                & (F.col("_cy") >= 0) & (F.col("_cy") <= lim)
+            )
+        )
+        cand = pts.join(
+            F.broadcast(qcells),
+            (pts["_pcx"] == qcells["_cx"]) & (pts["_pcy"] == qcells["_cy"]),
+        ).select(
+            "_qid", "_pid",
+            ((F.col("_pmx") - F.col("_qmx")) * (F.col("_pmx") - F.col("_qmx"))
+             + (F.col("_pmy") - F.col("_qmy")) * (F.col("_pmy") - F.col("_qmy"))
+             ).alias("_d2"),
+        )
+        win = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
+        topk = (
+            cand.withColumn("_rank", F.row_number().over(win))
+            .filter(F.col("_rank") <= k)
+        )
+        # done <=> k candidates found AND kth distance <= (s*w)^2,
+        # or the whole grid has been explored
+        stats = topk.groupBy("_qid").agg(
+            F.count("*").alias("_n"), F.max("_d2").alias("_dk")
+        )
+        bound = float(s) * w
+        whole_grid = s >= lim + 1
+        done_ids = stats.filter(
+            F.lit(whole_grid)
+            | ((F.col("_n") >= k) & (F.col("_dk") <= F.lit(bound * bound)))
+        ).select("_qid")
+        finished = topk.join(F.broadcast(done_ids), "_qid")
+        results = finished if results is None else results.unionByName(finished)
+        pending = pending.join(F.broadcast(done_ids), "_qid", "left_anti")
+        # checkpoint the loop state through an action to keep lineage flat
+        n_pending = pending.count()
+        if n_pending == 0:
+            break
+        s *= 2  # geometric growth: few rounds even for isolated queries
+
+    out = results.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        F.col("_rank").alias("rank"),
+    )
+    return out

@@ -1,0 +1,341 @@
+"""Raster <-> vector operators over the tile-table representation.
+
+A raster is a DataFrame of pixels or fixed-size tiles keyed by
+(zoom, tx, ty) — the unit gdal2tiles produces and GDALRasterBlock
+caches (SURVEY.md §1.2). Operators:
+
+- synth_raster: deterministic world-coverage pixel table (int64 band —
+  integer values keep every aggregation exact across engines).
+- rasterize_points / rasterize_polygons: vector→raster burn. Polygon
+  burn = PIP of pixel centers (the scanline parity fill of
+  alg/llrasterize.cpp:58 evaluated per pixel center; same crossing-rule
+  family as ogrlinearring.cpp:503-531), MERGE_ALG=ADD ≙ groupBy.sum
+  (alg/gdalrasterize.cpp:800-817).
+- overview_reduce: one-zoom downsample, parent pixel from its 2x2
+  children (gcore/overview.cpp semantics; average/nearest/min/max/sum).
+- polygonize_ccl: raster→vector connected-component labeling
+  (alg/polygonize.cpp:73-87, 4-connected), distributed: per-tile CCL in
+  an Arrow-batched UDF + cross-tile label-equivalence union — the
+  partition-border stitch the single-node reference never needs.
+
+Scale notes: pixel tables partition by (ty band) naturally via
+range-partition on (ty, tx); per-tile UDFs see one tile per group
+(applyInPandas), halo joins are equi-joins on neighbor tile ids.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import derive
+
+SALT_BAND = 201
+
+
+def synth_raster(spark: SparkSession, width: int, height: int,
+                 block: int = 24, n_values: int = 2) -> DataFrame:
+    """Deterministic world pixel table (px, py, pid, value).
+
+    value = checkerboard plateau id over `block`-sized squares:
+    (bx + by) % n_values — axis-aligned plateaus whose connected
+    components are exactly the blocks (diagonal same-value blocks are
+    NOT 4-connected), giving polygonize an analytically known oracle
+    while still exercising cross-tile stitching whenever `block` does
+    not divide the tile size.
+    """
+    return (
+        spark.range(0, width * height)
+        .select(
+            (F.col("id") % width).alias("px"),
+            (F.col("id") / width).cast("bigint").alias("py"),
+            F.col("id").alias("pid"),
+        )
+        .withColumn(
+            "value",
+            ((F.col("px") / block).cast("bigint")
+             + (F.col("py") / block).cast("bigint")) % n_values,
+        )
+    )
+
+
+def synth_band(spark: SparkSession, zoom: int, tile_px: int = 16) -> DataFrame:
+    """World-coverage int64 band at `zoom`: one row per pixel
+    (tx, ty, ppx, ppy, value) with value = LCG hash of the global pixel
+    id — integer-valued so overview averages (sum/4) stay exact."""
+    n = 2**zoom
+    w = n * tile_px
+    df = (
+        spark.range(0, w * w)
+        .select(
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") / w).cast("bigint").alias("gy"),
+            F.col("id").alias("pid"),
+        )
+        .select(
+            (F.col("gx") / tile_px).cast("bigint").alias("tx"),
+            (F.col("gy") / tile_px).cast("bigint").alias("ty"),
+            (F.col("gx") % tile_px).alias("ppx"),
+            (F.col("gy") % tile_px).alias("ppy"),
+            F.col("gx"), F.col("gy"), F.col("pid"),
+        )
+        .withColumn("value", _hash_col(F.col("pid"), SALT_BAND))
+    )
+    return df
+
+
+def _hash_col(i, salt: int):
+    h0 = i % derive.M31
+    h1 = (h0 * derive.A + F.lit(salt)) % derive.M31
+    return (h1 * derive.A + F.lit(salt * 7 + 13)) % derive.M31
+
+
+def overview_reduce(band: DataFrame, alg: str = "average") -> DataFrame:
+    """One-zoom downsample: parent pixel (gx//2, gy//2) from its 2x2
+    children (gcore/overview.cpp block reduction). Exact for int bands:
+    average = sum/4.0 with an exact integer sum, so engine-independent.
+    """
+    parent = band.select(
+        (F.col("gx") / 2).cast("bigint").alias("gx"),
+        (F.col("gy") / 2).cast("bigint").alias("gy"),
+        F.col("value"),
+    ).groupBy("gx", "gy")
+    if alg == "average":
+        out = parent.agg((F.sum("value") / F.count("*")).alias("value"))
+    elif alg == "sum":
+        out = parent.agg(F.sum("value").cast("double").alias("value"))
+    elif alg == "min":
+        out = parent.agg(F.min("value").cast("double").alias("value"))
+    elif alg == "max":
+        out = parent.agg(F.max("value").cast("double").alias("value"))
+    elif alg == "nearest":
+        # reference 'nearest' picks the top-left child of the 2x2 block
+        out = (
+            band.filter((F.col("gx") % 2 == 0) & (F.col("gy") % 2 == 0))
+            .select(
+                (F.col("gx") / 2).cast("bigint").alias("gx"),
+                (F.col("gy") / 2).cast("bigint").alias("gy"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        return out
+    else:
+        raise ValueError(f"unknown resampling alg: {alg}")
+    return out
+
+
+# --------------------------------------------------------------- rasterize
+
+def pixel_grid(spark: SparkSession, zoom: int, tile_px: int = 16) -> DataFrame:
+    """World pixel-center grid in lon/lat at `zoom` (mercator-square
+    pixels): (gx, gy, pid, lon, lat). Pixel centers computed by exact
+    linear math in mercator meters, then inverse-projected."""
+    from ..functions import tiles as TF
+
+    n = 2**zoom
+    w = n * tile_px
+    os_ = TF.ORIGIN_SHIFT
+    pix = 2.0 * os_ / float(w)
+    df = (
+        spark.range(0, w * w)
+        .select(
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") / w).cast("bigint").alias("gy"),
+            F.col("id").alias("pid"),
+        )
+        .withColumn("mx", (F.col("gx") + F.lit(0.5)) * F.lit(pix) - F.lit(os_))
+        # gy is a NORTH-down row index (XYZ orientation): my decreases with gy
+        .withColumn("my", F.lit(os_) - (F.col("gy") + F.lit(0.5)) * F.lit(pix))
+        .withColumn("lon", F.col("mx") / F.lit(os_) * F.lit(180.0))
+        .withColumn(
+            "lat",
+            F.lit(180.0 / np.pi)
+            * (F.lit(2.0) * F.atan(F.exp(F.col("my") / F.lit(os_) * F.lit(np.pi)))
+               - F.lit(np.pi / 2.0)),
+        )
+        .drop("mx", "my")
+    )
+    return df
+
+
+def rasterize_polygons(
+    grid: DataFrame,
+    cover: DataFrame,
+    *,
+    res: int,
+    merge_alg: str = "add",
+    burn_col: str = "poly_id",
+) -> DataFrame:
+    """Burn polygons into a pixel grid: pixel-center PIP (the per-center
+    evaluation of the scanline parity rule, alg/llrasterize.cpp:58) then
+    MERGE_ALG combine (alg/gdalrasterize.cpp:800-817):
+      add     -> sum of (burn+1) over covering polygons
+      replace -> max burn (deterministic stand-in for last-wins)
+    Returns (gx, gy, burn).
+    """
+    from .spatial_join import spatial_join_points_in_polygons
+
+    hits = spatial_join_points_in_polygons(
+        grid, cover, res=res,
+        keep_point_cols=["gx", "gy"],
+    )
+    g = hits.groupBy("gx", "gy")
+    if merge_alg == "add":
+        return g.agg(F.sum(F.col(burn_col) + 1).alias("burn"))
+    if merge_alg == "replace":
+        return g.agg(F.max(F.col(burn_col)).alias("burn"))
+    raise ValueError(f"unknown merge_alg: {merge_alg}")
+
+
+# --------------------------------------------------------------- polygonize
+
+_CCL_SCHEMA = "tile_x bigint, tile_y bigint, px bigint, py bigint, value bigint, label bigint"
+
+
+def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
+    """4-connected two-pass CCL within one tile (alg/polygonize.cpp:174
+    first pass builds equivalences, :234 second pass resolves).
+    Labels are provisional global pixel ids (min pid in the tile-local
+    component) so the cross-tile merge can take global minima."""
+    xs = pdf["px"].to_numpy()
+    ys = pdf["py"].to_numpy()
+    vals = pdf["value"].to_numpy()
+    x0 = xs.min() // tile * tile
+    y0 = ys.min() // tile * tile
+    h = w = tile
+    img = np.full((h, w), -1, dtype=np.int64)
+    lx = xs - x0
+    ly = ys - y0
+    img[ly, lx] = vals
+    # union-find over local pixels
+    parent = np.arange(h * w, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    present = np.zeros(h * w, dtype=bool)
+    present[ly * w + lx] = True
+    # horizontal and vertical 4-adjacency within the tile
+    for (dy, dx) in ((0, 1), (1, 0)):
+        ay, ax = np.nonzero(img >= 0)
+        by, bx = ay + dy, ax + dx
+        ok = (by < h) & (bx < w)
+        ay, ax, by, bx = ay[ok], ax[ok], by[ok], bx[ok]
+        same = (img[by, bx] >= 0) & (img[ay, ax] == img[by, bx])
+        for a, b in zip(ay[same] * w + ax[same], by[same] * w + bx[same]):
+            union(a, b)
+    # resolve: label = min global pid in local component
+    loc = ly * w + lx
+    roots = np.array([find(a) for a in loc])
+    gpid = ys * width + xs
+    lab = {}
+    order = np.argsort(gpid)
+    for idx in order:
+        r = roots[idx]
+        if r not in lab:
+            lab[r] = gpid[idx]
+    out = pdf.copy()
+    out["label"] = [lab[r] for r in roots]
+    return out
+
+
+def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
+    """Distributed 4-connected CCL: per-tile CCL (applyInPandas) then
+    iterative cross-tile label union via border-edge equivalences.
+
+    Returns (label, value, n_pixels) with label = min global pixel id of
+    the component (canonical, engine-independent).
+
+    The stitch loop is the distributed replacement for the reference's
+    global equivalence table (alg/polygonize.cpp:174): border pairs form
+    a tiny graph of provisional labels; we iterate label -> min(neighbor
+    label) to a fixed point (label propagation; O(log diameter) rounds
+    on the label graph, each a small self-join — pixel-table scans
+    happen exactly twice: once for local CCL, once for the final remap).
+    """
+    px = pixels.withColumn("tile_x", (F.col("px") / tile).cast("bigint")) \
+               .withColumn("tile_y", (F.col("py") / tile).cast("bigint"))
+
+    labeled = px.select("tile_x", "tile_y", "px", "py", "value").groupBy(
+        "tile_x", "tile_y"
+    ).applyInPandas(
+        lambda pdf: _tile_ccl(pdf, tile, width), _CCL_SCHEMA
+    ).withColumn("pid", F.col("py") * width + F.col("px"))
+
+    # border equivalence pairs: right and down edges crossing tile lines
+    a = labeled.select(
+        F.col("px").alias("ax"), F.col("py").alias("ay"),
+        F.col("value").alias("av"), F.col("label").alias("al"),
+    )
+    eqs = []
+    for dx, dy in ((1, 0), (0, 1)):
+        border = (F.col("ax") + dx) % tile == 0 if dx else (F.col("ay") + dy) % tile == 0
+        b = labeled.select(
+            F.col("px").alias("bx"), F.col("py").alias("by"),
+            F.col("value").alias("bv"), F.col("label").alias("bl"),
+        )
+        e = (
+            a.filter(border)
+            .join(b, (F.col("bx") == F.col("ax") + dx) & (F.col("by") == F.col("ay") + dy))
+            .filter(F.col("av") == F.col("bv"))
+            .select(F.col("al").alias("l1"), F.col("bl").alias("l2"))
+        )
+        eqs.append(e)
+    edges = eqs[0].unionByName(eqs[1]).distinct()
+    # undirected
+    edges = edges.unionByName(
+        edges.select(F.col("l2").alias("l1"), F.col("l1").alias("l2"))
+    ).distinct().cache()
+
+    # label propagation to fixed point on the (small) label graph:
+    # each round relaxes every edge (root(l) <- min over neighbors'
+    # roots) — the classic distributed connected-components iteration;
+    # converges in O(graph diameter) small-join rounds.
+    mapping = edges.select("l1").distinct().select(
+        "l1", F.col("l1").alias("root")
+    ).cache()
+    for _ in range(64):
+        nbr = (
+            edges.join(mapping.withColumnRenamed("l1", "l2"), "l2")
+            .select("l1", "root")
+        )
+        nxt = (
+            mapping.unionByName(nbr)
+            .groupBy("l1")
+            .agg(F.min("root").alias("root"))
+            .cache()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(mapping.alias("m"), "l1")
+            .filter(F.col("n.root") != F.col("m.root"))
+            .count()
+        )
+        mapping = nxt
+        if changed == 0:
+            break
+
+    final = (
+        labeled.join(F.broadcast(mapping), labeled["label"] == mapping["l1"], "left")
+        .select(
+            "value", "pid",
+            F.coalesce(F.col("root"), F.col("label")).alias("comp"),
+        )
+    )
+    return (
+        final.groupBy("comp", "value")
+        .agg(F.count("*").alias("n_pixels"), F.min("pid").alias("label"))
+        .select("label", "value", "n_pixels")
+    )

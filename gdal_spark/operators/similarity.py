@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (no analog in the reference engine).
+Design for exactness + scale:
+
+- Embeddings are quantized to int64 (round(x * SCALE)) so dot products
+  and norms are EXACT integer sums — order-independent, reproducible in
+  any engine (the ranking key (dot*|dot|)^2/(|a||b|) is a ratio of
+  exactly-representable int64s, so even the final double division is
+  bit-identical everywhere).
+- brute_force_topk: query-side broadcast, candidate generation is a
+  crossJoin only of (queries x corpus) — the baseline oracle path.
+- ivf_topk: IVF-style bucketing — corpus assigned to nearest of K
+  derived centroids (one pass), queries probe the P nearest centroid
+  cells; the join is an equi-join on centroid id. The scale path: the
+  corpus shuffles ONCE at index build, each query touches P buckets.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import derive
+
+SCALE = 1000  # quantization: round(x*1000) keeps |dot|^2 and naa*nbb < 2^53
+
+
+def quantize(df: DataFrame, *, id_col: str, vec: str = "embedding",
+             out: str = "qvec") -> DataFrame:
+    """array<float> -> array<bigint> via round(x*SCALE) (half away from
+    zero, same rule as DuckDB/standard SQL round)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec}, x -> cast(round(cast(x as double) * {SCALE}) as bigint))"
+        ).alias(out),
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (s, v) -> s + v)")
+
+
+def _norm2(a: str) -> Column:
+    return F.expr(f"aggregate({a}, 0L, (s, v) -> s + v * v)")
+
+
+def _rank_key() -> Column:
+    """Signed squared-cosine ranking key from exact ints:
+    sign(dot) * dot^2 / (naa*nbb). All operands < 2^53 -> the double
+    division is the only rounding step and is identical everywhere."""
+    return (
+        F.signum(F.col("_dot").cast("double"))
+        * (F.col("_dot") * F.col("_dot")).cast("double")
+        / (F.col("_naa") * F.col("_nbb")).cast("double")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, *, k: int = 5,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query over the corpus.
+    Returns (query_id, neighbor_id, rank); self-matches excluded.
+    Plan: broadcast the (small) query side; one corpus scan; per-query
+    top-k via window on the (query-partitioned) candidate set."""
+    c = quantize(corpus, id_col=id_col, vec=vec).select(
+        F.col("id").alias("_cid"), F.col("qvec").alias("_cv")
+    ).withColumn("_nbb", _norm2("_cv"))
+    q = quantize(queries, id_col=id_col, vec=vec).select(
+        F.col("id").alias("_qid"), F.col("qvec").alias("_qv")
+    ).withColumn("_naa", _norm2("_qv"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_cid") != F.col("_qid"))
+        .withColumn("_dot", _dot("_qv", "_cv"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        _rank_key().desc(), F.col("_cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_cid").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def derived_centroids(spark, n_centroids: int, dim: int) -> DataFrame:
+    """K deterministic centroids derived from (centroid, dim) hashes in
+    [-SCALE, SCALE] int space — data-independent 'training' so both
+    engines regenerate identical centroids."""
+    return spark.range(n_centroids).select(
+        F.col("id").alias("cent_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"cast(round((((((id * {dim} + d) % {derive.M31}) * {derive.A} + 7) % {derive.M31})"
+            f" * {derive.A} + 62) % {derive.M31} / cast({derive.M31} as double) "
+            f"* {2 * SCALE} - {SCALE}) as bigint))"
+        ).alias("cvec"),
+    )
+
+
+def ivf_assign(corpus_q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid by the exact
+    int ranking key (ties -> lower cent_id). One broadcast join +
+    window; this is the single corpus shuffle of the IVF build."""
+    cand = corpus_q.crossJoin(F.broadcast(cents)).select(
+        "id", "qvec", "cent_id",
+        _dot("qvec", "cvec").alias("_dot"),
+        _norm2("qvec").alias("_naa"),
+        _norm2("cvec").alias("_nbb"),
+    )
+    w = Window.partitionBy("id").orderBy(_rank_key().desc(), F.col("cent_id").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "qvec", "cent_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, *, k: int = 5, n_centroids: int = 8,
+    n_probe: int = 2, id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid;
+    each query searches its `n_probe` nearest buckets. Same output
+    shape as brute_force_topk; approximate by construction (documented
+    recall tradeoff), deterministic given the derived centroids."""
+    spark = corpus.sparkSession
+    first = corpus.select(F.expr(f"size({vec})").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"])
+    cents = derived_centroids(spark, n_centroids, dim)
+
+    cq = quantize(corpus, id_col=id_col, vec=vec)
+    assigned = ivf_assign(cq, cents).withColumnRenamed("id", "_cid") \
+                                    .withColumnRenamed("qvec", "_cv")
+
+    qq = quantize(queries, id_col=id_col, vec=vec)
+    qprobe = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("id").alias("_qid"), F.col("qvec").alias("_qv"), "cent_id",
+            _dot("qvec", "cvec").alias("_dot"),
+            _norm2("qvec").alias("_naa"),
+            _norm2("cvec").alias("_nbb"),
+        )
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_qid").orderBy(_rank_key().desc(), F.col("cent_id").asc())))
+        .filter(F.col("_rn") <= n_probe)
+        .select("_qid", "_qv", "cent_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(qprobe), "cent_id")
+        .filter(F.col("_cid") != F.col("_qid"))
+        .select(
+            "_qid", "_cid",
+            _dot("_qv", "_cv").alias("_dot"),
+            _norm2("_qv").alias("_naa"),
+            _norm2("_cv").alias("_nbb"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(_rank_key().desc(), F.col("_cid").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_cid").alias("neighbor_id"), "rank")
+    )

@@ -1,0 +1,800 @@
+"""Query registry: every implemented operator as a (spark, oracle-SQL)
+pair over the driver's parquet tables.
+
+Each Spark query is the engine's real operator pipeline; each oracle is
+ANSI SQL that DuckDB evaluates to the bit-identical result (integer
+math everywhere results must be exact; double math only where both
+engines perform the identical IEEE op sequence — see sources.derive).
+
+Geometry anchors: points are derived from integer table keys via the
+cross-engine LCG (derive.hash01), polygons are the closed-form
+countries64 layer — so the oracle needs no geometry extension, just
+arithmetic (the reference's own test strategy: deterministic fixtures
++ literal expected values, autotest/ogr/ogr_sql_test.py).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import tiles as TF
+from .operators import dedup, knn, multimodal, raster, relational, similarity, text, tiling
+from .operators.spatial_join import spatial_join_points_in_polygons
+from .sources import derive, docs, polygons
+
+M31 = derive.M31
+A = derive.A
+OS = "20037508.342789244"
+
+# ---------------------------------------------------------------- helpers
+
+SALT_QLON, SALT_QLAT = 5, 6
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point layer anchored on orders keys (scales with sf)."""
+    o = _read(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    return o.select(
+        i.alias("id"),
+        docs.lon_col(i).alias("lon"),
+        docs.lat_col(i).alias("lat"),
+    )
+
+
+def _qpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN query layer anchored on supplier keys (distinct salts)."""
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    return s.select(
+        i.alias("qid"),
+        (F.lit(-180.0) + F.lit(360.0) * docs.hash01_col(i, SALT_QLON)).alias("lon"),
+        (F.lit(-85.05) + F.lit(170.1) * docs.hash01_col(i, SALT_QLAT)).alias("lat"),
+    )
+
+
+def _pts_cte() -> str:
+    return (
+        f"SELECT o_orderkey AS id, {derive.lon_sql('o_orderkey')} AS x, "
+        f"{derive.lat_sql('o_orderkey')} AS y FROM orders"
+    )
+
+
+def _qpts_cte() -> str:
+    lon = f"CAST(-180 AS DOUBLE)+CAST(360 AS DOUBLE)*({derive.hash01_sql('s_suppkey', SALT_QLON)})"
+    lat = f"CAST(-85.05 AS DOUBLE)+CAST(170.1 AS DOUBLE)*({derive.hash01_sql('s_suppkey', SALT_QLAT)})"
+    return f"SELECT s_suppkey AS qid, {lon} AS x, {lat} AS y FROM supplier"
+
+
+def _tile_cte(zoom: int) -> str:
+    """pts -> clamped TMS tiles at `zoom` (from the pts CTE cols x,y)."""
+    lim = 2**zoom - 1
+    tx = derive.clamp_sql(derive.tile_sql(derive.mercator_mx_sql("x"), zoom), 0, lim)
+    ty = derive.clamp_sql(derive.tile_sql(derive.mercator_my_sql("y"), zoom), 0, lim)
+    return f"SELECT id, {tx} AS tx, {ty} AS ty_tms FROM pts"
+
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+_WHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(h, c) -> (h * 31 + c) % {M31})"
+)
+
+
+def _count_token_sql(token: str) -> str:
+    padded = "concat(' ', text, ' ')"
+    pat = f" {token} "
+    return (
+        f"(length({padded}) - length(replace({padded}, '{pat}', ''))) // {len(pat)}"
+    )
+
+
+# ================================================================ queries
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment at z=12: the gdal2tiles base-tile math as one
+    codegen projection (SURVEY §2.11)."""
+    pts = _points(spark, sf_dir)
+    t = tiling.assign_tiles(pts, zoom=12)
+    return t.select("id", "tx", "ty_xyz", "quadkey")
+
+
+def sql_tile_assign() -> str:
+    qk = derive.quadkey_sql("tx", "ty_tms", 12)
+    return f"""
+WITH pts AS ({_pts_cte()}), t AS ({_tile_cte(12)})
+SELECT id, tx, {derive.xyz_ty_sql('ty_tms', 12)} AS ty_xyz, {qk} AS quadkey FROM t
+"""
+
+
+def q_pyramid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count pyramid z5..z0 — the overview reduction loop
+    (gdal2tiles.py:1471 analog) with count as merge fn."""
+    return tiling.pyramid_counts(_points(spark, sf_dir), max_zoom=5, min_zoom=0)
+
+
+def sql_pyramid_counts() -> str:
+    qk = derive.quadkey_sql("tx", "ty_tms", 5)
+    parts = [f"SELECT 5 AS zoom, quadkey, cnt FROM base"]
+    for z in range(4, -1, -1):
+        parts.append(
+            f"SELECT {z} AS zoom, substring(quadkey, 1, {z}) AS quadkey, "
+            f"CAST(sum(cnt) AS BIGINT) AS cnt FROM base GROUP BY 2"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH pts AS ({_pts_cte()}), t AS ({_tile_cte(5)}),
+base AS (SELECT {qk} AS quadkey, count(*) AS cnt FROM t GROUP BY 1)
+{union}
+"""
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join, broadcast cell-join plan
+    (SURVEY §2.3; FilterGeometry staging §2.2)."""
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6)
+    return spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="broadcast", keep_point_cols=["id"]
+    )
+
+
+def sql_spatial_join() -> str:
+    return derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+
+
+def q_spatial_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join with the hot-polygon fixture + salted shuffle strategy
+    (north_rule skew handling)."""
+    from .kernels import cells
+
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6, skew_poly0=True)
+    pdf = polygons.countries64_pdf(skew_poly0=True)
+    ring = np.column_stack([np.asarray(pdf.iloc[0]["xs"]), np.asarray(pdf.iloc[0]["ys"])])
+    hot = [int(c) for c in cells.polygon_cover(ring, 6)]
+    return spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="salted", hot_cells=hot, n_salt=8,
+        keep_point_cols=["id"],
+    )
+
+
+def sql_spatial_join_skew() -> str:
+    return derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y", skew=True)
+
+
+def q_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetSpatialFilter path: docs whose point intersects ONE filter
+    polygon (the SURVEY §7.2 minimal slice)."""
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6).filter(F.col("poly_id") == 27)
+    out = spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="broadcast", keep_point_cols=["id"]
+    )
+    return out.select("id")
+
+
+def sql_spatial_filter() -> str:
+    inner = derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+    return f"SELECT id FROM ({inner}) WHERE poly_id = 27"
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN(k=5) of supplier-derived queries vs orders-derived points by
+    iterative cell-ring expansion (gdalgrid.cpp:896-909 semantics)."""
+    pts = _points(spark, sf_dir).withColumnRenamed("id", "point_id")
+    qs = _qpoints(spark, sf_dir).withColumnRenamed("qid", "query_id")
+    out = knn.knn_join(pts, qs, k=5, res=5, point_id="point_id", query_id="query_id")
+    return out.select("query_id", "point_id", F.col("rank").alias("rnk"))
+
+
+def sql_knn() -> str:
+    return f"""
+WITH pts0 AS ({_pts_cte()}), qs0 AS ({_qpts_cte()}),
+pts AS (SELECT id, {derive.mercator_mx_sql('x')} AS mx, {derive.mercator_my_sql('y')} AS my FROM pts0),
+qs AS (SELECT qid, {derive.mercator_mx_sql('x')} AS mx, {derive.mercator_my_sql('y')} AS my FROM qs0),
+d AS (
+  SELECT qs.qid, pts.id,
+         (pts.mx - qs.mx) * (pts.mx - qs.mx)
+         + (pts.my - qs.my) * (pts.my - qs.my) AS d2
+  FROM qs CROSS JOIN pts
+),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, id ASC) AS rnk FROM d)
+SELECT qid AS query_id, id AS point_id, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def q_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 -> 3857 -> 4326 round trip; counts of sub-1e-9-degree error
+    (warp round-trip pattern, test_gdalwarp_lib.py:31-113)."""
+    from .operators import reproject
+
+    rt = reproject.roundtrip_error(_points(spark, sf_dir))
+    return rt.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("err") < 1e-9, 1).otherwise(0)).cast("bigint").alias("n_ok"),
+    )
+
+
+def sql_reproject_roundtrip() -> str:
+    mx = derive.mercator_mx_sql("x")
+    my = derive.mercator_my_sql("y")
+    return f"""
+WITH pts AS ({_pts_cte()}),
+m AS (SELECT id, x, y, {mx} AS mx, {my} AS my FROM pts),
+b AS (SELECT id, x, y, (mx)/{OS}*CAST(180 AS DOUBLE) AS lon2,
+       CAST(180 AS DOUBLE)/pi()*(CAST(2 AS DOUBLE)*atan(exp((my)/{OS}*pi())) - pi()/CAST(2 AS DOUBLE)) AS lat2
+      FROM m),
+e AS (SELECT greatest(abs(lon2 - x), abs(lat2 - y)) AS err FROM b)
+SELECT count(*) AS n, CAST(sum(CASE WHEN err < 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok FROM e
+"""
+
+
+def q_overview_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster overview build: z3 int band -> z2 by 2x2 average
+    (gcore/overview.cpp semantics; exact integer sum / 4)."""
+    band = raster.synth_band(spark, zoom=3, tile_px=16)
+    return raster.overview_reduce(band, alg="average")
+
+
+def sql_overview_avg() -> str:
+    salt = raster.SALT_BAND
+    val = (
+        f"((((r.range % {M31}) * {A} + {salt}) % {M31}) * {A} + {salt * 7 + 13}) % {M31}"
+    )
+    return f"""
+WITH px AS (SELECT r.range % 128 AS gx, r.range // 128 AS gy, {val} AS value FROM range(16384) r)
+SELECT gx // 2 AS gx, gy // 2 AS gy,
+       CAST(sum(value) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+FROM px GROUP BY 1, 2
+"""
+
+
+def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster burn with MERGE_ALG=ADD (gdalrasterize.cpp:800-817):
+    pixel-center PIP then per-pixel sum of (poly_id+1)."""
+    grid = raster.pixel_grid(spark, zoom=2, tile_px=16)
+    cov = polygons.countries64_cover(spark, res=4)
+    out = raster.rasterize_polygons(grid, cov, res=4, merge_alg="add")
+    return out.select("gx", "gy", F.col("burn").cast("bigint").alias("burn"))
+
+
+def sql_rasterize_add() -> str:
+    w = 64
+    pix = 2.0 * float(OS) / w
+    grid_cte = f"""
+SELECT r.range AS id,
+  ((CAST(r.range % {w} AS DOUBLE) + 0.5) * {pix!r} - {OS}) / {OS} * CAST(180 AS DOUBLE) AS x,
+  CAST(180 AS DOUBLE)/pi() * (CAST(2 AS DOUBLE)*atan(exp(({OS} - (CAST(r.range // {w} AS DOUBLE) + 0.5) * {pix!r}) / {OS} * pi())) - pi()/CAST(2 AS DOUBLE)) AS y
+FROM range({w * w}) r
+"""
+    inner = derive.pip_join_sql(grid_cte, id_col="id", x_col="x", y_col="y")
+    return f"""
+SELECT id % {w} AS gx, id // {w} AS gy, CAST(sum(poly_id + 1) AS BIGINT) AS burn
+FROM ({inner}) GROUP BY 1, 2
+"""
+
+
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector: distributed 4-connected CCL with cross-tile
+    stitch (alg/polygonize.cpp:73-87); checkerboard fixture has an
+    analytic component oracle."""
+    px = raster.synth_raster(spark, width=96, height=96, block=20, n_values=2)
+    return raster.polygonize_ccl(px, width=96, tile=32)
+
+
+def sql_polygonize() -> str:
+    return """
+WITH px AS (SELECT r.range % 96 AS gx, r.range // 96 AS gy FROM range(9216) r)
+SELECT min(gy * 96 + gx) AS label,
+       ((gx // 20) + (gy // 20)) % 2 AS value,
+       count(*) AS n_pixels
+FROM px GROUP BY gx // 20, gy // 20, ((gx // 20) + (gy // 20)) % 2
+"""
+
+
+# ------------------------------------------------------------ relational
+
+def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARY_RECORD aggregates (ogr_gensql.cpp:849): exact for
+    integer-valued columns; price summed as exact integer cents."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("l_quantity").alias("cnt_dist_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_price_cents"),
+    )
+
+
+def sql_ogr_summary() -> str:
+    return """
+SELECT count(*) AS cnt,
+       count(DISTINCT l_quantity) AS cnt_dist_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       sum(l_quantity) AS sum_qty,
+       avg(l_quantity) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem
+"""
+
+
+def q_ogr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST, swq.cpp:388-418)."""
+    o = _read(spark, sf_dir, "orders")
+    return relational.distinct_list(o, "o_orderpriority") \
+        .select(F.col("o_orderpriority").alias("val"))
+
+
+def sql_ogr_distinct() -> str:
+    return "SELECT DISTINCT o_orderpriority AS val FROM orders ORDER BY val NULLS FIRST"
+
+
+def q_ogr_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT/OFFSET (ogr_gensql.cpp:2201, :1862-1878)."""
+    o = _read(spark, sf_dir, "orders")
+    out = relational.order_limit_offset(
+        o, [("o_totalprice", False), ("o_orderkey", True)], limit=10, offset=5
+    )
+    return out.select("o_orderkey", "o_totalprice")
+
+
+def sql_ogr_orderby_limit() -> str:
+    return """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey ASC NULLS FIRST
+LIMIT 10 OFFSET 5
+"""
+
+
+def q_ogr_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR one-to-one LEFT JOIN: first matching secondary row
+    (ogr_gensql.cpp:1497-1527)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    j = relational.first_match_left_join(
+        c, o.select("c_custkey", "o_orderkey", "o_totalprice"),
+        on="c_custkey", secondary_order="o_orderkey",
+    )
+    return j.select(
+        "c_custkey",
+        F.col("sec_o_orderkey").alias("first_orderkey"),
+        F.col("sec_o_totalprice").alias("first_total"),
+    )
+
+
+def sql_ogr_first_match_join() -> str:
+    return """
+SELECT c.c_custkey, o.o_orderkey AS first_orderkey, o.o_totalprice AS first_total
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+) o ON o.o_custkey = c.c_custkey AND o.rn = 1
+"""
+
+
+def q_ogr_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE with LIKE / ILIKE / BETWEEN / IN (swq_op_general.cpp
+    comparison + pattern ops)."""
+    p = _read(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%a%")
+            & F.col("p_brand").ilike("brand%")
+            & F.col("p_size").between(10, 30)
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+def sql_ogr_like_between() -> str:
+    return """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_name LIKE '%a%' AND p_brand ILIKE 'brand%'
+  AND p_size BETWEEN 10 AND 30 AND p_retailprice IS NOT NULL
+"""
+
+
+def q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two selects (swq_parser.y:840)."""
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = _read(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return relational.union_all(c, s)
+
+
+def sql_ogr_union_all() -> str:
+    return """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+"""
+
+
+def q_ogr_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression profile: CONCAT, SUBSTR (1-based), CAST,
+    arithmetic with int/float promotion (swq_op_registrar.cpp:28-62).
+    floor-before-cast keeps double->int identical across engines."""
+    c = _read(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string")).alias("seg_nat"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("bal_floor"),
+        ((F.col("c_custkey") * 3 + 7) % 97).alias("keymod"),
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+    )
+
+
+def sql_ogr_expressions() -> str:
+    return """
+SELECT c_custkey,
+       substring(c_name, 1, 8) AS name8,
+       concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+       CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+       (c_custkey * 3 + 7) % 97 AS keymod,
+       upper(substring(c_mktsegment, 1, 3)) AS seg3
+FROM customer
+"""
+
+
+def q_geom_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR_GEOM_AREA special field (ogr_p.h:167-174): shoelace area of
+    each countries64 polygon, rounded to 6 dp."""
+    polys = polygons.countries64(spark)
+    area = F.expr(
+        "round(abs(aggregate(sequence(0, size(xs) - 2), 0D, (a, j) -> "
+        "a + (element_at(xs, j + 1) * element_at(ys, j + 2) "
+        "- element_at(xs, j + 2) * element_at(ys, j + 1)))) / 2, 6)"
+    )
+    return polys.select("poly_id", area.alias("area"))
+
+
+def sql_geom_area() -> str:
+    vx = (lambda idx: f"cx + rx*cos(phase + 2*pi()*CAST({idx} AS DOUBLE)/CAST(nv AS DOUBLE))")
+    vy = (lambda idx: f"cy + ry*sin(phase + 2*pi()*CAST({idx} AS DOUBLE)/CAST(nv AS DOUBLE))")
+    return f"""
+WITH polys AS ({derive.polygons_sql_cte()}),
+edges AS (
+  SELECT p, ({vx('e.range')}) * ({vy('(e.range+1)%nv')})
+           - ({vx('(e.range+1)%nv')}) * ({vy('e.range')}) AS cross_term
+  FROM polys CROSS JOIN range(12) e WHERE e.range < polys.nv
+)
+SELECT p AS poly_id, round(abs(sum(cross_term)) / 2, 6) AS area FROM edges GROUP BY p
+"""
+
+
+# ----------------------------------------------------- text / dedup / sim
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups on a 20-char text prefix key."""
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "k", F.substring("text", 1, 20)
+    )
+    return dedup.exact_dedup(d, id_col="doc_id", text="k")
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS keeper, count(*) AS n_members
+FROM (SELECT doc_id, substring(text, 1, 20) AS k FROM documents)
+GROUP BY k HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: word-bigram Jaccard >= 30% via inverted-index
+    join (integer arithmetic only)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, id_col="doc_id", n=2, threshold_pct=30)
+
+
+def sql_dedup_jaccard() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+g0 AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram FROM u),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, sa.ng AS na, sb.ng AS nb
+FROM sh JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE 100 * shared >= 30 * (sa.ng + sb.ng - shared)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidate pairs — fully deterministic
+    portable hashing (polynomial word hash, LCG permutations)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, id_col="doc_id", n_hashes=16, bands=4)
+
+
+def sql_minhash_lsh() -> str:
+    P = dedup.LSH_PRIME
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wh AS (SELECT DISTINCT doc_id, {_WHASH} AS h FROM w0),
+j AS (
+  SELECT doc_id, h, r.range AS jj,
+         ((2 * r.range + 1) * 40503) % {P} AS a,
+         (r.range * 1103515245 + 12345) % {P} AS b
+  FROM wh CROSS JOIN range(16) r
+),
+sig AS (SELECT doc_id, jj, min((h * a + b) % {P}) AS mh FROM j GROUP BY 1, 2),
+band AS (
+  SELECT doc_id, jj // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY jj) AS key
+  FROM sig GROUP BY 1, 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
+FROM band a JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (exact int bit votes)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup.simhash64(d, id_col="doc_id", bits=32)
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w0 AS (SELECT doc_id, unnest(toks) AS w FROM t),
+wh AS (SELECT DISTINCT doc_id, {_WHASH} AS h FROM w0),
+votes AS (
+  SELECT doc_id, r.range AS b,
+         sum(CASE WHEN (h // (CAST(1 AS BIGINT) << r.range)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN range(32) r GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token stats + quality features + accept flag (integer measures)."""
+    d = _read(spark, sf_dir, "documents")
+    ts = text.token_stats(d, id_col="doc_id")
+    qs = text.quality_score(d, id_col="doc_id").select(
+        "id", "stop_hits", "uniq_ratio_pct", "accepted"
+    )
+    return ts.join(qs, "id")
+
+
+def sql_text_quality() -> str:
+    sumlen = f"CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS BIGINT)"
+    ntok = f"len({_TOKS})"
+    nuniq = f"len(list_distinct({_TOKS}))"
+    stop = " + ".join(_count_token_sql(t) for t in text.LANG_MARKERS["en"])
+    return f"""
+SELECT doc_id AS id,
+       length(text) AS n_chars,
+       {ntok} AS n_tokens,
+       {nuniq} AS n_uniq_tokens,
+       (100 * coalesce({sumlen}, 0)) // greatest({ntok}, 1) AS avg_token_len_x100,
+       CAST({stop} AS BIGINT) AS stop_hits,
+       (100 * CAST({nuniq} AS BIGINT)) // greatest({ntok}, 1) AS uniq_ratio_pct,
+       (length(text) BETWEEN 50 AND 5000) AND ({stop}) >= 1
+         AND ((100 * CAST({nuniq} AS BIGINT)) // greatest({ntok}, 1)) >= 20 AS accepted
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID."""
+    d = _read(spark, sf_dir, "documents")
+    return text.lang_id(d, id_col="doc_id")
+
+
+def sql_lang_id() -> str:
+    hits = {
+        lang: "(" + " + ".join(_count_token_sql(t) for t in toks) + ")"
+        for lang, toks in text.LANG_MARKERS.items()
+    }
+    m = f"greatest({hits['en']}, {hits['de']}, {hits['fr']}, {hits['es']})"
+    return f"""
+SELECT doc_id AS id,
+       CAST({hits['en']} AS BIGINT) AS hits_en,
+       CAST({hits['de']} AS BIGINT) AS hits_de,
+       CAST({hits['fr']} AS BIGINT) AS hits_fr,
+       CAST({hits['es']} AS BIGINT) AS hits_es,
+       CASE WHEN {m} = 0 THEN 'und'
+            WHEN {hits['en']} = {m} THEN 'en'
+            WHEN {hits['de']} = {m} THEN 'de'
+            WHEN {hits['fr']} = {m} THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-text rolling polynomial fingerprint."""
+    d = _read(spark, sf_dir, "documents")
+    return text.doc_fingerprint(d, id_col="doc_id")
+
+
+def sql_doc_fingerprint() -> str:
+    return f"""
+SELECT doc_id AS id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % {M31}) AS fp
+FROM documents
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 over quantized embeddings (exact int
+    dot/norms; the ANN baseline)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = similarity.brute_force_topk(e, q, k=5, id_col="vec_id")
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def sql_similarity_topk() -> str:
+    sc = similarity.SCALE
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {sc}) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+q AS (SELECT * FROM n WHERE vec_id < 20),
+d0 AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.n2 AS naa, c.n2 AS nbb,
+         q.v AS v_q, c.v AS v_c
+  FROM q CROSS JOIN n c WHERE c.vec_id != q.vec_id
+),
+e AS (SELECT qid, cid, naa, nbb, unnest(v_q) AS xa, unnest(v_c) AS xb FROM d0),
+dp AS (SELECT qid, cid, naa, nbb, CAST(sum(xa * xb) AS BIGINT) AS dot FROM e GROUP BY 1, 2, 3, 4),
+r AS (
+  SELECT qid, cid, row_number() OVER (
+    PARTITION BY qid
+    ORDER BY (CASE WHEN dot > 0 THEN CAST(1 AS DOUBLE) WHEN dot < 0 THEN CAST(-1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+             * (CAST(dot * dot AS DOUBLE) / CAST(naa * nbb AS DOUBLE)) DESC,
+             cid ASC) AS rnk
+  FROM dp
+)
+SELECT qid AS query_id, cid AS neighbor_id, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate; rows-only check — documented)."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=2, id_col="vec_id")
+    return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synth payloads + Arrow-batched metadata
+    extraction (decode stub)."""
+    d = _read(spark, sf_dir, "documents")
+    m = multimodal.attach_media(d, id_col="doc_id")
+    return multimodal.extract_media_meta(m)
+
+
+def sql_multimodal_meta() -> str:
+    kind = "CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END"
+    nb = "4 + length(text)"
+    return f"""
+SELECT doc_id,
+       'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST({nb} AS BIGINT) AS n_bytes,
+       {kind} AS magic,
+       {kind} AS kind,
+       CAST(16 + ({nb}) % 64 AS INTEGER) AS width,
+       CAST(16 + (({nb}) * 7) % 64 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(string_split({kind} || text, ''),
+            c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+# ================================================================ registry
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "pyramid_counts": q_pyramid_counts,
+    "spatial_join": q_spatial_join,
+    "spatial_join_skew": q_spatial_join_skew,
+    "spatial_filter": q_spatial_filter,
+    "knn": q_knn,
+    "reproject_roundtrip": q_reproject_roundtrip,
+    "overview_avg": q_overview_avg,
+    "rasterize_add": q_rasterize_add,
+    "polygonize": q_polygonize,
+    "ogr_summary": q_ogr_summary,
+    "ogr_distinct": q_ogr_distinct,
+    "ogr_orderby_limit": q_ogr_orderby_limit,
+    "ogr_first_match_join": q_ogr_first_match_join,
+    "ogr_like_between": q_ogr_like_between,
+    "ogr_union_all": q_ogr_union_all,
+    "ogr_expressions": q_ogr_expressions,
+    "geom_area": q_geom_area,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "similarity_topk": q_similarity_topk,
+    "similarity_ivf": q_similarity_ivf,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "tile_assign": sql_tile_assign,
+    "pyramid_counts": sql_pyramid_counts,
+    "spatial_join": sql_spatial_join,
+    "spatial_join_skew": sql_spatial_join_skew,
+    "spatial_filter": sql_spatial_filter,
+    "knn": sql_knn,
+    "reproject_roundtrip": sql_reproject_roundtrip,
+    "overview_avg": sql_overview_avg,
+    "rasterize_add": sql_rasterize_add,
+    "polygonize": sql_polygonize,
+    "ogr_summary": sql_ogr_summary,
+    "ogr_distinct": sql_ogr_distinct,
+    "ogr_orderby_limit": sql_ogr_orderby_limit,
+    "ogr_first_match_join": sql_ogr_first_match_join,
+    "ogr_like_between": sql_ogr_like_between,
+    "ogr_union_all": sql_ogr_union_all,
+    "ogr_expressions": sql_ogr_expressions,
+    "geom_area": sql_geom_area,
+    "dedup_exact": sql_dedup_exact,
+    "dedup_jaccard": sql_dedup_jaccard,
+    "minhash_lsh": sql_minhash_lsh,
+    "simhash": sql_simhash,
+    "text_quality": sql_text_quality,
+    "lang_id": sql_lang_id,
+    "doc_fingerprint": sql_doc_fingerprint,
+    "similarity_topk": sql_similarity_topk,
+    # similarity_ivf: approximate — rows-only check by design
+    "multimodal_meta": sql_multimodal_meta,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Spatial join + tile assignment in one pipeline — the north-star
+    workload shape (cell join -> PIP -> tile columns)."""
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6)
+    joined = spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="broadcast", keep_point_cols=["id", "lon", "lat"]
+    )
+    t = tiling.assign_tiles(joined, zoom=8)
+    return t.select("id", "poly_id", "tx", "ty_xyz", "quadkey")

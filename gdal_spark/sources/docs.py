@@ -26,10 +26,12 @@ from . import derive
 
 
 def hash01_col(i: Column, salt: int) -> Column:
-    h0 = i % derive.M31
-    h1 = (h0 * derive.A + F.lit(salt)) % derive.M31
-    h2 = (h1 * derive.A + F.lit(salt * 7 + 13)) % derive.M31
-    return h2.cast("double") / F.lit(float(derive.M31))
+    """Column twin of derive.hash01_np (quadratic-mixed int64 hash)."""
+    h1 = (i * derive.A + F.lit(salt * 16807 + 12345)) % derive.M31
+    h2 = (h1 * h1 + h1) % derive.M31
+    h3 = (h2 * derive.A + i + F.lit(salt)) % derive.M31
+    h4 = (h3 * h3 + h2) % derive.M31
+    return h4.cast("double") / F.lit(float(derive.M31))
 
 
 def lon_col(i: Column) -> Column:

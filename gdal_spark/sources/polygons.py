@@ -32,10 +32,16 @@ def countries64_pdf(skew_poly0: bool = False) -> pd.DataFrame:
     for p in range(derive.NPOLY):
         ring = derive.polygon_ring_np(p)
         if skew_poly0 and p == 0:
-            c = ring.mean(axis=0)
+            # scale about the ANALYTIC cell center (cx, cy) — a pure
+            # function of p, so the DuckDB oracle reproduces the skewed
+            # ring in closed form (derive.polygons_sql_cte + SKEW_*).
+            prm = derive.polygon_params_np([0])
+            cx, cy = float(prm["cx"][0]), float(prm["cy"][0])
             ring = np.column_stack([
-                np.clip(c[0] + (ring[:, 0] - c[0]) * 8.0, -179.9, 179.9),
-                np.clip(c[1] + (ring[:, 1] - c[1]) * 8.0, -84.0, 84.0),
+                np.clip(cx + (ring[:, 0] - cx) * derive.SKEW_FACTOR,
+                        -derive.SKEW_CLIP_X, derive.SKEW_CLIP_X),
+                np.clip(cy + (ring[:, 1] - cy) * derive.SKEW_FACTOR,
+                        -derive.SKEW_CLIP_Y, derive.SKEW_CLIP_Y),
             ])
         rows.append({
             "poly_id": p,
