@@ -112,9 +112,14 @@ def knn_join(
              ).alias("_d2"),
         )
         win = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
+        # persist: topk feeds the done-test, the finished rows AND the
+        # final union — without it each round's big candidate join
+        # would be recomputed three times (and re-recomputed by the
+        # caller's action).
         topk = (
             cand.withColumn("_rank", F.row_number().over(win))
             .filter(F.col("_rank") <= k)
+            .persist()
         )
         # done <=> k candidates found AND kth distance <= (s*w)^2,
         # or the whole grid has been explored
@@ -129,8 +134,8 @@ def knn_join(
         ).select("_qid")
         finished = topk.join(F.broadcast(done_ids), "_qid")
         results = finished if results is None else results.unionByName(finished)
-        pending = pending.join(F.broadcast(done_ids), "_qid", "left_anti")
-        # checkpoint the loop state through an action to keep lineage flat
+        pending = pending.join(F.broadcast(done_ids), "_qid", "left_anti").persist()
+        # materialize the loop state so each round's work runs once
         n_pending = pending.count()
         if n_pending == 0:
             break

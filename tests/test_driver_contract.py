@@ -1,0 +1,61 @@
+"""Driver-contract smoke + a DuckDB oracle spot check at sf0.001.
+
+The full 28-query oracle gate runs via tools/check_correctness.py (and
+the driver itself at sf0.01); here we pin the contract shape and a fast
+representative subset so `pytest -x -q` catches registry breakage.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SUBSET = ["tile_assign", "spatial_join", "ogr_summary", "text_quality", "similarity_topk"]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def test_contract_shape():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 25
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracles without queries: {missing}"
+    # only approximate-by-design ops may omit an oracle
+    assert set(qs) - set(oracles) == {"similarity_ivf"}
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"id", "poly_id", "tx", "ty_xyz", "quadkey"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    got = E.queries()[name](spark, sf_dir).toPandas()
+    exp = con.execute(E.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert (av.astype(float).values == bv.astype(float).values).all(), c
+        else:
+            assert av.astype(str).tolist() == bv.astype(str).tolist(), c

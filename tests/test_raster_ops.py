@@ -1,0 +1,72 @@
+"""Raster operator tests: overview reduction, rasterize burn, CCL
+polygonize (incl. the cross-tile stitch)."""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import raster
+
+
+def test_overview_average_exact(spark):
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32 px
+    out = raster.overview_reduce(band, alg="average").orderBy("gy", "gx").toPandas()
+    src = band.select("gx", "gy", "value").orderBy("gy", "gx").toPandas()
+    img = src["value"].to_numpy().reshape(32, 32)
+    expect = (img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]) / 4.0
+    got = out["value"].to_numpy().reshape(16, 16)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_overview_min_max_sum_nearest(spark):
+    band = raster.synth_band(spark, zoom=1, tile_px=8)  # 16x16
+    src = band.select("gx", "gy", "value").orderBy("gy", "gx").toPandas()
+    img = src["value"].to_numpy().reshape(16, 16)
+    blocks = img.reshape(8, 2, 8, 2).transpose(0, 2, 1, 3).reshape(8, 8, 4)
+    for alg, expect in [
+        ("min", blocks.min(axis=2)),
+        ("max", blocks.max(axis=2)),
+        ("sum", blocks.sum(axis=2)),
+        ("nearest", img[0::2, 0::2]),
+    ]:
+        out = raster.overview_reduce(band, alg=alg).orderBy("gy", "gx").toPandas()
+        np.testing.assert_array_equal(
+            out["value"].to_numpy().reshape(8, 8), expect.astype(float), err_msg=alg
+        )
+
+
+def test_polygonize_checkerboard_components(spark):
+    # 64x64, 24-px blocks => blocks cross the 32-px tile borders
+    px = raster.synth_raster(spark, 64, 64, block=24, n_values=2)
+    out = raster.polygonize_ccl(px, width=64, tile=32).toPandas()
+    # analytic oracle: one component per block
+    widths = [24, 24, 16]
+    expect = {}
+    for by, h in enumerate(widths):
+        for bx, w in enumerate(widths):
+            label = (by * 24) * 64 + bx * 24
+            expect[label] = ((bx + by) % 2, w * h)
+    got = {int(r.label): (int(r.value), int(r.n_pixels)) for r in out.itertuples()}
+    assert got == expect
+
+
+def test_polygonize_single_value_is_one_component(spark):
+    px = raster.synth_raster(spark, 48, 48, block=100, n_values=1)
+    out = raster.polygonize_ccl(px, width=48, tile=16).toPandas()
+    assert len(out) == 1
+    assert int(out.iloc[0]["n_pixels"]) == 48 * 48
+    assert int(out.iloc[0]["label"]) == 0
+
+
+def test_rasterize_replace_vs_add(spark):
+    from gdal_spark.sources import polygons
+
+    grid = raster.pixel_grid(spark, zoom=1, tile_px=16)  # 32x32 world px
+    cov = polygons.countries64_cover(spark, res=3)
+    add = raster.rasterize_polygons(grid, cov, res=3, merge_alg="add").toPandas()
+    rep = raster.rasterize_polygons(grid, cov, res=3, merge_alg="replace").toPandas()
+    assert len(add) == len(rep) > 0
+    # countries64 polygons are disjoint -> add == replace + 1 everywhere
+    a = add.sort_values(["gy", "gx"]).reset_index(drop=True)
+    r = rep.sort_values(["gy", "gx"]).reset_index(drop=True)
+    assert ((a["burn"] - 1) == r["burn"]).all()
