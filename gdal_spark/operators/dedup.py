@@ -19,7 +19,7 @@ All integer math: no float anywhere, so every result is exact.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 M31 = 2147483648  # 2^31
@@ -65,12 +65,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by Jaccard over the SET of word n-grams.
 
-    Inverted-index plan: explode distinct grams -> self-join on gram
-    (counts shared grams per pair) -> integer Jaccard test
-    100*shared >= threshold_pct*(na+nb-shared). Only pairs sharing at
-    least one gram are ever materialized — the candidate set is the
-    inverted index's natural output, same shape at 10^12 docs (the
-    gram join is the shuffle; hot grams can be dropped as stop-grams).
+    Exact AllPairs-style plan (prefix filtering, Bayardo et al. 2007):
+
+    1. distinct word n-grams per doc, globally ordered rarest-first
+       (df asc, gram asc);
+    2. each doc indexes only its PREFIX of length ng - ceil(t*ng) + 1 —
+       any pair with Jaccard >= t must collide inside both prefixes
+       (for a qualifying pair, overlap >= t*max(na, nb));
+    3. candidate pairs = equi-join of the prefix inverted index;
+    4. verification = array_intersect on the per-doc sorted gram sets
+       (JVM-side, per candidate pair — never a second gram shuffle).
+
+    The gram-prefix join is the only shuffle that scales with corpus
+    size; hot grams are naturally deprioritized because frequent grams
+    sort LAST and rarely make a prefix.
     Returns (id_a, id_b, shared, na, nb) with id_a < id_b.
     """
     grams = (
@@ -90,18 +98,43 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
-    sizes = grams.groupBy("_id").agg(F.count("*").alias("ng"))
-    a = grams.select(F.col("_id").alias("id_a"), "gram")
-    b = grams.select(F.col("_id").alias("id_b"), "gram")
-    shared = (
+    docsets = grams.groupBy("_id").agg(
+        F.sort_array(F.collect_set("gram")).alias("gs"),
+        F.count("*").alias("ng"),
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    ranked = grams.join(df_counts, "gram").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+        ),
+    )
+    # prefix length: ng - ceil(t*ng) + 1
+    t = threshold_pct
+    prefix = ranked.join(docsets.select("_id", "ng"), "_id").filter(
+        F.col("_rk") <= F.col("ng") - F.ceil(F.col("ng") * t / 100.0) + 1
+    ).select("_id", "gram")
+
+    a = prefix.select(F.col("_id").alias("id_a"), "gram")
+    b = prefix.select(F.col("_id").alias("id_b"), "gram")
+    cand = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     out = (
-        shared.join(sizes.select(F.col("_id").alias("id_a"), F.col("ng").alias("na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("ng").alias("nb")), "id_b")
+        cand.join(
+            docsets.select(F.col("_id").alias("id_a"), F.col("gs").alias("gs_a"),
+                           F.col("ng").alias("na")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col("_id").alias("id_b"), F.col("gs").alias("gs_b"),
+                           F.col("ng").alias("nb")),
+            "id_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("gs_a", "gs_b")).cast("bigint"))
         .filter(
             F.lit(100) * F.col("shared")
             >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("shared"))
