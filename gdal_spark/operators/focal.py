@@ -1,0 +1,202 @@
+"""Focal / neighborhood raster operators — slope, hillshade, bilinear
+sampling, IDW gridding.
+
+The reference computes these as windowed scans over one in-memory
+raster (apps/gdalalg_raster_slope.cpp, alg/gdal_interpolateatpoint.cpp,
+alg/gdalgrid.cpp). Distributed, a 2-D stencil needs a **halo
+exchange**: each pixel joins its neighbors by (gx+dx, gy+dy) — an
+equi-join on shifted pixel keys, NOT Window.partitionBy (1-D only,
+SURVEY §2.5). At tile granularity the same join runs on neighbor tile
+ids with per-tile UDFs; at pixel granularity (used here) the whole
+stencil stays in JVM column math, which is both simpler and exact.
+
+Slope/aspect use the Horn 3x3 kernel (alg/gdalsdttransformer family —
+apps/gdalalg_raster_slope.cpp); hillshade combines slope/aspect with a
+sun vector (apps/gdalalg_raster_hillshade.cpp); bilinear sampling
+follows gcore/gdal_interpolateatpoint.cpp; IDW follows the
+GGA_InverseDistanceToAPower semantics of alg/gdalgrid.cpp:91-199 with
+the cell-bucketed neighbor gather replacing the quadtree.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OFFSETS_3X3 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _halo_join(band: DataFrame, offsets=OFFSETS_3X3) -> DataFrame:
+    """Gather each pixel's neighborhood as columns v_<dx>_<dy> via
+    shifted equi-joins (edge pixels: missing neighbors = center value,
+    the reference's edge replication)."""
+    out = band.select("gx", "gy", F.col("value").alias("v_0_0"))
+    base = band.select(
+        F.col("gx").alias("_nx"), F.col("gy").alias("_ny"),
+        F.col("value").alias("_nv"),
+    )
+    for dx, dy in offsets:
+        if dx == 0 and dy == 0:
+            continue
+        name = f"v_{dx}_{dy}".replace("-", "m")
+        out = (
+            out.join(
+                base.select(
+                    (F.col("_nx") - dx).alias("gx"),
+                    (F.col("_ny") - dy).alias("gy"),
+                    F.col("_nv").alias(name),
+                ),
+                ["gx", "gy"],
+                "left",
+            )
+            .withColumn(name, F.coalesce(F.col(name), F.col("v_0_0")))
+        )
+    return out
+
+
+def slope_horn(band: DataFrame, *, cellsize: float = 1.0, z_factor: float = 1.0) -> DataFrame:
+    """Horn slope in degrees: the 3x3 kernel of gdaldem slope
+    (apps/gdalalg_raster_slope.cpp). Returns (gx, gy, slope_deg)."""
+    n = _halo_join(band)
+    # Horn gradients (neighbors named v_<dx>_<dy>, m = minus)
+    dzdx = (
+        (F.col("v_1_m1") + 2 * F.col("v_1_0") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_m1_0") + F.col("v_m1_1"))
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (F.col("v_m1_1") + 2 * F.col("v_0_1") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_0_m1") + F.col("v_1_m1"))
+    ) / (8.0 * cellsize)
+    slope = F.atan(F.lit(z_factor) * F.sqrt(dzdx * dzdx + dzdy * dzdy)) * F.lit(180.0 / 3.141592653589793)
+    return n.select("gx", "gy", slope.alias("slope_deg"))
+
+
+def hillshade(band: DataFrame, *, cellsize: float = 1.0, z_factor: float = 1.0,
+              azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> DataFrame:
+    """Classic hillshade (apps/gdalalg_raster_hillshade.cpp): shade =
+    sin(alt)*cos(slope) + cos(alt)*sin(slope)*cos(az - 90 - aspect),
+    scaled to 0..255. Returns (gx, gy, shade)."""
+    import math
+
+    n = _halo_join(band)
+    dzdx = (
+        (F.col("v_1_m1") + 2 * F.col("v_1_0") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_m1_0") + F.col("v_m1_1"))
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (F.col("v_m1_1") + 2 * F.col("v_0_1") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_0_m1") + F.col("v_1_m1"))
+    ) / (8.0 * cellsize)
+    slope = F.atan(F.lit(z_factor) * F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    shade = (
+        F.lit(math.sin(alt)) * F.cos(slope)
+        + F.lit(math.cos(alt)) * F.sin(slope) * F.cos(F.lit(az - math.pi / 2.0) - aspect)
+    )
+    out = F.greatest(F.lit(0.0), F.lit(255.0) * shade)
+    return n.select("gx", "gy", out.alias("shade"))
+
+
+def sample_bilinear(band: DataFrame, points: DataFrame, *, width: int, height: int,
+                    x_col: str = "px", y_col: str = "py",
+                    id_col: str = "sid") -> DataFrame:
+    """Sample the band at fractional pixel coords by bilinear
+    interpolation (gcore/gdal_interpolateatpoint.cpp semantics: corner
+    weights from the fractional offsets of the 4 surrounding pixel
+    centers; coords clamped inside the grid). Point -> 4 corner joins —
+    the Raptor-style raster-x-vector join. Returns (sid, value)."""
+    # clamp sample coords into [0.5, dim-0.5]; cap the low corner at
+    # dim-2 so the 2x2 stencil stays inside and the topmost/rightmost
+    # center samples with weight exactly 1 (no epsilon bleed from the
+    # 2^31-scale neighbor values)
+    xs = F.least(F.greatest(F.col(x_col), F.lit(0.5)), F.lit(width - 0.5))
+    ys = F.least(F.greatest(F.col(y_col), F.lit(0.5)), F.lit(height - 0.5))
+    p = points.select(
+        F.col(id_col),
+        (xs - 0.5).alias("_fx"),
+        (ys - 0.5).alias("_fy"),
+    ).select(
+        id_col, "_fx", "_fy",
+        F.least(F.floor("_fx"), F.lit(width - 2)).cast("bigint").alias("_x0"),
+        F.least(F.floor("_fy"), F.lit(height - 2)).cast("bigint").alias("_y0"),
+    ).select(
+        id_col, "_x0", "_y0",
+        (F.col("_fx") - F.col("_x0")).alias("_wx"),
+        (F.col("_fy") - F.col("_y0")).alias("_wy"),
+    )
+    b = band.select("gx", "gy", "value")
+    out = p
+    for cx, cy, name in ((0, 0, "_v00"), (1, 0, "_v10"), (0, 1, "_v01"), (1, 1, "_v11")):
+        out = out.join(
+            b.select(
+                (F.col("gx") - cx).alias("_x0"), (F.col("gy") - cy).alias("_y0"),
+                F.col("value").alias(name),
+            ),
+            ["_x0", "_y0"],
+        )
+    val = (
+        F.col("_v00") * (1 - F.col("_wx")) * (1 - F.col("_wy"))
+        + F.col("_v10") * F.col("_wx") * (1 - F.col("_wy"))
+        + F.col("_v01") * (1 - F.col("_wx")) * F.col("_wy")
+        + F.col("_v11") * F.col("_wx") * F.col("_wy")
+    )
+    return out.select(id_col, val.alias("value"))
+
+
+def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
+             radius: float, x_col: str = "x", y_col: str = "y",
+             v_col: str = "v") -> DataFrame:
+    """Inverse-distance-weighted gridding (alg/gdalgrid.cpp:91-199
+    GGA_InverseDistanceToAPower, circular search ellipse):
+
+      grid node (i,j) at (i*cell, j*cell); value =
+      sum(v_k / d_k^power) / sum(1 / d_k^power) over points with
+      0 < d <= radius; a point exactly on the node (d == 0) wins
+      outright (reference short-circuit); nodes with no points in
+      radius are absent (nodata).
+
+    Scale shape: points explode to the grid nodes within `radius`
+    (bounded fan-out = (2r/cell+1)^2), then groupBy(node) — the
+    cell-bucketed replacement for the reference's quadtree search. The
+    per-node fold is an ORDERED list fold (by point id) so the float
+    sum is deterministic and cross-engine exact.
+    """
+    reach = int(radius / cell) + 1
+    spark = points.sparkSession
+    offs = (
+        spark.range(-reach, reach + 1).select(F.col("id").alias("_di"))
+        .crossJoin(spark.range(-reach, reach + 1).select(F.col("id").alias("_dj")))
+    )
+    pts = points.select(
+        F.col("pid"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col(v_col).alias("_v"),
+        F.floor(F.col(x_col) / cell).cast("bigint").alias("_ci"),
+        F.floor(F.col(y_col) / cell).cast("bigint").alias("_cj"),
+    )
+    cand = (
+        pts.crossJoin(F.broadcast(offs))
+        .select(
+            "pid", "_x", "_y", "_v",
+            (F.col("_ci") + F.col("_di")).alias("i"),
+            (F.col("_cj") + F.col("_dj")).alias("j"),
+        )
+        .withColumn("_dx", F.col("i") * cell - F.col("_x"))
+        .withColumn("_dy", F.col("j") * cell - F.col("_y"))
+        .withColumn("_d2", F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy"))
+        .filter(F.col("_d2") <= F.lit(radius * radius))
+    )
+    # ordered fold: collect (pid, d2, v) sorted by pid, then aggregate
+    agg = cand.groupBy("i", "j").agg(
+        F.sort_array(F.collect_list(F.struct("pid", "_d2", "_v"))).alias("pts")
+    )
+    if power % 2 != 0:
+        raise ValueError("idw_grid supports even powers (d^p = d2^(p/2))")
+    pw = power // 2  # d^power == d2^(power/2) for even powers
+    d2p = "s._d2" if pw == 1 else f"power(s._d2, {pw})"
+    num = F.expr(f"aggregate(pts, 0D, (a, s) -> a + s._v / {d2p})")
+    den = F.expr(f"aggregate(pts, 0D, (a, s) -> a + 1.0 / {d2p})")
+    exact = F.expr("filter(pts, s -> s._d2 = 0D)")
+    val = F.when(F.size(exact) > 0, F.element_at(exact, 1)["_v"].cast("double")) \
+        .otherwise(num / den)
+    return agg.select("i", "j", val.alias("value"))

@@ -66,6 +66,40 @@ def pyramid_counts(points: DataFrame, max_zoom: int, min_zoom: int = 0,
     return out
 
 
+def spatial_partition(df: DataFrame, *, res: int = 10, lon: str = "lon",
+                      lat: str = "lat", num_partitions: int | None = None) -> DataFrame:
+    """Range-partition rows by Z-order (Morton) code so spatially
+    adjacent rows land in the same executor partition — the analog of
+    the reference's quadtree index (port/cpl_quad_tree.cpp) as a
+    physical layout. Downstream cell-joins and pyramid reductions then
+    shuffle mostly locally, and min/max zorder per parquet file gives
+    coarse spatial file pruning (the Iceberg sort-order strategy).
+
+    The Z-order column expression interleaves 16 bits of tx/ty via the
+    shift-or ladder (kernels.cells.zorder_code twin) — still plain
+    codegen column math."""
+    from ..functions import tiles as TF
+
+    lim = 2**res - 1
+    tx, ty_tms = TF.tms_tile(F.col(lon), F.col(lat), res)
+    txc = TF.clamp(tx, 0, lim)
+    tyc = TF.clamp(TF.xyz_ty(ty_tms, res), 0, lim)
+
+    def spread(c):
+        c = c.bitwiseAND(F.lit(0xFFFF))
+        c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+        c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    z = spread(txc).bitwiseOR(F.shiftleft(spread(tyc), 1))
+    out = df.withColumn("zorder", z)
+    if num_partitions:
+        return out.repartitionByRange(num_partitions, F.col("zorder"))
+    return out.repartitionByRange(F.col("zorder"))
+
+
 def quadkey_to_xyz(df: DataFrame, quadkey_col: str = "quadkey") -> DataFrame:
     """Recover (zoom, tx, ty_xyz) from a quadkey string — digit d at
     position i contributes bit (d&1) to tx and bit (d>>1) to ty

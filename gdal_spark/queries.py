@@ -301,6 +301,181 @@ FROM px GROUP BY gx // 20, gy // 20, ((gx // 20) + (gy // 20)) % 2
 """
 
 
+def _band_val_sql(pid_expr: str) -> str:
+    """Closed-form int band value (raster.synth_band LCG twin)."""
+    salt = raster.SALT_BAND
+    return (
+        f"(((({pid_expr}) % {M31}) * {A} + {salt}) % {M31} * {A} + {salt * 7 + 13}) % {M31}"
+    )
+
+
+def q_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn 3x3 slope via halo-exchange joins (gdaldem slope semantics,
+    apps/gdalalg_raster_slope.cpp); rounded to 6dp (atan is the one
+    non-IEEE-pinned op in the chain)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
+    out = focal.slope_horn(band, cellsize=1.0, z_factor=1.0)
+    return out.select("gx", "gy", F.round("slope_deg", 6).alias("slope_deg"))
+
+
+def sql_focal_slope() -> str:
+    W = 32
+
+    def v(dx: int, dy: int) -> str:
+        if dx == 0 and dy == 0:
+            return _band_val_sql(f"gy * {W} + gx")
+        inside = (
+            f"gx + ({dx}) >= 0 AND gx + ({dx}) <= {W - 1} "
+            f"AND gy + ({dy}) >= 0 AND gy + ({dy}) <= {W - 1}"
+        )
+        return (
+            f"CASE WHEN {inside} THEN {_band_val_sql(f'(gy + ({dy})) * {W} + gx + ({dx})')} "
+            f"ELSE {_band_val_sql(f'gy * {W} + gx')} END"
+        )
+
+    dzdx = (
+        f"((({v(1,-1)}) + 2 * ({v(1,0)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(-1,0)}) + ({v(-1,1)}))) / 8.0"
+    )
+    dzdy = (
+        f"((({v(-1,1)}) + 2 * ({v(0,1)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(0,-1)}) + ({v(1,-1)}))) / 8.0"
+    )
+    return f"""
+WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r)
+SELECT gx, gy,
+       round(atan(1.0 * sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy}))) * (180.0 / pi()), 6) AS slope_deg
+FROM px
+"""
+
+
+def q_sample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample the raster at fractional points by bilinear interpolation
+    (gcore/gdal_interpolateatpoint.cpp) — Raptor-style point-x-raster
+    join; exact (no trig in the chain)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    pts = s.select(
+        i.alias("sid"),
+        (docs.hash01_col(i, 7) * 32.0).alias("px"),
+        (docs.hash01_col(i, 8) * 32.0).alias("py"),
+    )
+    return focal.sample_bilinear(band, pts, width=32, height=32, id_col="sid")
+
+
+def sql_sample_bilinear() -> str:
+    W = 32
+    px = f"({derive.hash01_sql('s_suppkey', 7)}) * 32.0"
+    py = f"({derive.hash01_sql('s_suppkey', 8)}) * 32.0"
+    corner = lambda cx, cy: _band_val_sql(f"(_y0 + {cy}) * {W} + _x0 + {cx}")
+    return f"""
+WITH p0 AS (
+  SELECT s_suppkey AS sid,
+         least(greatest({px}, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest({py}, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM supplier
+),
+p1 AS (
+  SELECT sid, _fx, _fy,
+         least(CAST(floor(_fx) AS BIGINT), {W - 2}) AS _x0,
+         least(CAST(floor(_fy) AS BIGINT), {W - 2}) AS _y0
+  FROM p0
+),
+p AS (
+  SELECT sid, _x0, _y0, _fx - _x0 AS _wx, _fy - _y0 AS _wy FROM p1
+)
+SELECT sid,
+       ({corner(0,0)}) * (1 - _wx) * (1 - _wy)
+     + ({corner(1,0)}) * _wx * (1 - _wy)
+     + ({corner(0,1)}) * (1 - _wx) * _wy
+     + ({corner(1,1)}) * _wx * _wy AS value
+FROM p
+"""
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid IDW (alg/gdalgrid.cpp:91-199): scattered part-derived
+    points -> grid nodes, circular radius, deterministic ordered fold."""
+    from .operators import focal
+
+    p = _read(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    pts = p.select(
+        i.alias("pid"),
+        (docs.hash01_col(i, 11) * 100.0).alias("x"),
+        (docs.hash01_col(i, 12) * 100.0).alias("y"),
+        ((i * 37 + 11) % 1000).alias("v"),
+    )
+    return focal.idw_grid(pts, cell=10.0, power=2, radius=15.0)
+
+
+def sql_idw_grid() -> str:
+    x = f"({derive.hash01_sql('p_partkey', 11)}) * 100.0"
+    y = f"({derive.hash01_sql('p_partkey', 12)}) * 100.0"
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS pid, {x} AS _x, {y} AS _y,
+         (p_partkey * 37 + 11) % 1000 AS _v
+  FROM part
+),
+offs AS (SELECT a.range - 2 AS di, b.range - 2 AS dj FROM range(5) a CROSS JOIN range(5) b),
+cand0 AS (
+  SELECT pid, _x, _y, _v,
+         CAST(floor(_x / 10.0) AS BIGINT) + di AS i,
+         CAST(floor(_y / 10.0) AS BIGINT) + dj AS j
+  FROM pts CROSS JOIN offs
+),
+cand AS (
+  SELECT pid, _v, i, j,
+         (i * 10.0 - _x) * (i * 10.0 - _x) + (j * 10.0 - _y) * (j * 10.0 - _y) AS _d2
+  FROM cand0
+),
+filt AS (SELECT * FROM cand WHERE _d2 <= 225.0),
+agg AS (
+  SELECT i, j,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(_v / _d2 ORDER BY pid)), (a, b) -> a + b) AS num,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(1.0 / _d2 ORDER BY pid)), (a, b) -> a + b) AS den,
+         max(CASE WHEN _d2 = 0 THEN _v END) AS exactv
+  FROM filt GROUP BY 1, 2
+)
+SELECT i, j, CASE WHEN exactv IS NOT NULL THEN CAST(exactv AS DOUBLE) ELSE num / den END AS value
+FROM agg
+"""
+
+
+def q_events_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal binning of the events stream table (the time analog of
+    the grid/binning aggregations, SURVEY §2.4): hourly buckets per
+    event type with exact integer-cents sums."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+def sql_events_buckets() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ relational
 
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +911,10 @@ QUERIES = {
     "overview_avg": q_overview_avg,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
+    "focal_slope": q_focal_slope,
+    "sample_bilinear": q_sample_bilinear,
+    "idw_grid": q_idw_grid,
+    "events_buckets": q_events_buckets,
     "ogr_summary": q_ogr_summary,
     "ogr_distinct": q_ogr_distinct,
     "ogr_orderby_limit": q_ogr_orderby_limit,
@@ -767,6 +946,10 @@ ORACLES = {
     "overview_avg": sql_overview_avg,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
+    "focal_slope": sql_focal_slope,
+    "sample_bilinear": sql_sample_bilinear,
+    "idw_grid": sql_idw_grid,
+    "events_buckets": sql_events_buckets,
     "ogr_summary": sql_ogr_summary,
     "ogr_distinct": sql_ogr_distinct,
     "ogr_orderby_limit": sql_ogr_orderby_limit,
