@@ -1,0 +1,255 @@
+"""ogr2ogr-style vector pipeline: fixed-order geometry stage chain.
+
+The reference applies a per-feature chain in a FIXED, observable order
+(apps/ogr2ogr_lib.cpp:6902-7243): segmentize -> simplify -> clip-src ->
+reproject -> clip-dst -> make-valid -> geometry-type coercion. The
+`gdal vector pipeline` CLI exposes the same steps as a dataflow string
+(apps/gdalalg_vector_pipeline.cpp:104-165). Here the pipeline is a
+builder over DataFrames; geometry is (xs array<double>, ys
+array<double>) vertex rows.
+
+Stage implementations:
+- segmentize: JVM higher-order functions (exact linear interpolation —
+  oracle-able in SQL);
+- simplify: Douglas-Peucker in an Arrow-batched pandas UDF (recursive —
+  the genuinely non-relational kernel, like the reference's
+  OGRGeometry::Simplify GEOS call);
+- clip_rect: Sutherland-Hodgman against an axis-aligned box in a
+  pandas UDF (the -clipsrc rectangle fast path,
+  ogr2ogr_lib.cpp:6918);
+- reproject: closed-form 4326<->3857 column math (operators.reproject);
+- swap_xy / filter / select: trivial column ops.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GEOM_SCHEMA = T.StructType([
+    T.StructField("xs", T.ArrayType(T.DoubleType())),
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+])
+
+
+def segmentize(df: DataFrame, max_length: float, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """Insert vertices so no segment exceeds max_length (planar), the
+    OGRGeometry::segmentize contract (reference keeps original
+    vertices and splits each segment into equal parts). Pure JVM HOFs.
+    """
+    ml = float(max_length)
+    npieces = (
+        f"transform(sequence(0, size({xs}) - 2), i -> "
+        f"greatest(CAST(ceil(sqrt((element_at({xs}, i + 2) - element_at({xs}, i + 1)) * (element_at({xs}, i + 2) - element_at({xs}, i + 1))"
+        f" + (element_at({ys}, i + 2) - element_at({ys}, i + 1)) * (element_at({ys}, i + 2) - element_at({ys}, i + 1))) / {ml}) AS INT), 1))"
+    )
+
+    def interp(c: str) -> str:
+        # for each segment i with n_i pieces, emit vertices j=0..n_i-1:
+        # v + (v2-v1)*j/n_i ; append the final vertex afterwards
+        return (
+            f"array_append(flatten(transform(sequence(0, size({c}) - 2), i -> "
+            f"transform(sequence(0, element_at(np, i + 1) - 1), j -> "
+            f"element_at({c}, i + 1) + (element_at({c}, i + 2) - element_at({c}, i + 1))"
+            f" * CAST(j AS DOUBLE) / CAST(element_at(np, i + 1) AS DOUBLE)))), "
+            f"element_at({c}, size({c})))"
+        )
+
+    return (
+        df.withColumn("np", F.expr(npieces))
+        .withColumn("_new_xs", F.expr(interp(xs)))
+        .withColumn("_new_ys", F.expr(interp(ys)))
+        .drop("np", xs, ys)
+        .withColumnRenamed("_new_xs", xs)
+        .withColumnRenamed("_new_ys", ys)
+    )
+
+
+def _dp_simplify(xs: np.ndarray, ys: np.ndarray, tol: float) -> tuple[np.ndarray, np.ndarray]:
+    """Douglas-Peucker (OGRGeometry::Simplify semantics: preserve
+    topology not guaranteed, plain DP like GEOS simplify)."""
+    n = len(xs)
+    if n < 3:
+        return xs, ys
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        seg = np.hypot(bx - ax, by - ay)
+        idx = np.arange(a + 1, b)
+        if seg == 0:
+            d = np.hypot(xs[idx] - ax, ys[idx] - ay)
+        else:
+            d = np.abs((bx - ax) * (ys[idx] - ay) - (xs[idx] - ax) * (by - ay)) / seg
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            m = a + 1 + imax
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return xs[keep], ys[keep]
+
+
+def simplify(df: DataFrame, tolerance: float, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """Douglas-Peucker simplification, Arrow-batched via mapInPandas.
+
+    mapInPandas (not a scalar pandas UDF): the geometry columns often
+    arrive as higher-order-function expressions from a previous stage,
+    and Spark cannot extract a scalar Python UDF whose input embeds
+    lambda expressions — mapInPandas is its own plan node and sidesteps
+    that entirely while keeping every other column intact."""
+
+    def run(batches):
+        for pdf in batches:
+            oxs, oys = [], []
+            for xv, yv in zip(pdf[xs], pdf[ys]):
+                sx, sy = _dp_simplify(
+                    np.asarray(xv, dtype=np.float64),
+                    np.asarray(yv, dtype=np.float64), tolerance,
+                )
+                oxs.append(sx.tolist())
+                oys.append(sy.tolist())
+            pdf = pdf.copy()
+            pdf[xs] = oxs
+            pdf[ys] = oys
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _sh_clip(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
+    """Sutherland-Hodgman polygon clip against an axis-aligned rect."""
+    pts = list(zip(xs, ys))
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, prev = poly[i], poly[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    def ix_v(x0):
+        def f(p, q):
+            t = (x0 - p[0]) / (q[0] - p[0])
+            return (x0, p[1] + t * (q[1] - p[1]))
+        return f
+
+    def ix_h(y0):
+        def f(p, q):
+            t = (y0 - p[1]) / (q[1] - p[1])
+            return (p[0] + t * (q[0] - p[0]), y0)
+        return f
+
+    for inside, ix in [
+        (lambda p: p[0] >= minx, ix_v(minx)),
+        (lambda p: p[0] <= maxx, ix_v(maxx)),
+        (lambda p: p[1] >= miny, ix_h(miny)),
+        (lambda p: p[1] <= maxy, ix_h(maxy)),
+    ]:
+        pts = clip_edge(pts, inside, ix)
+        if not pts:
+            return np.array([]), np.array([])
+    pts.append(pts[0])
+    arr = np.asarray(pts, dtype=np.float64)
+    return arr[:, 0], arr[:, 1]
+
+
+def clip_rect(df: DataFrame, minx: float, miny: float, maxx: float, maxy: float,
+              xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """-clipsrc/-clipdst rectangle clip (Sutherland-Hodgman); rows whose
+    geometry is fully outside are dropped (reference emits no feature).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            oxs, oys = [], []
+            for xv, yv in zip(pdf[xs], pdf[ys]):
+                cx, cy = _sh_clip(
+                    np.asarray(xv, dtype=np.float64),
+                    np.asarray(yv, dtype=np.float64),
+                    minx, miny, maxx, maxy,
+                )
+                oxs.append(cx.tolist())
+                oys.append(cy.tolist())
+            pdf = pdf.copy()
+            pdf[xs] = oxs
+            pdf[ys] = oys
+            yield pdf
+
+    return df.mapInPandas(run, df.schema).filter(F.size(F.col(xs)) > 0)
+
+
+def swap_xy(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    return (
+        df.withColumn("_t", F.col(xs)).withColumn(xs, F.col(ys))
+        .withColumn(ys, F.col("_t")).drop("_t")
+    )
+
+
+class VectorPipeline:
+    """`gdal vector pipeline read ! ... ! write` as a builder
+    (step registry parity: apps/gdalalg_vector_pipeline.cpp:104-165).
+    Stages execute in the ogr2ogr order regardless of call order:
+    filter/select push first (Catalyst does this anyway); geometry
+    stages apply segmentize -> simplify -> clip_src -> reproject ->
+    clip_dst (ogr2ogr_lib.cpp:6902-7243)."""
+
+    _GEOM_ORDER = ["segmentize", "simplify", "clip_src", "reproject", "clip_dst"]
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._stages: dict = {}
+
+    def filter(self, cond):
+        self.df = self.df.filter(cond)
+        return self
+
+    def select(self, *cols):
+        self.df = self.df.select(*cols)
+        return self
+
+    def segmentize(self, max_length: float):
+        self._stages["segmentize"] = lambda d: segmentize(d, max_length)
+        return self
+
+    def simplify(self, tolerance: float):
+        self._stages["simplify"] = lambda d: simplify(d, tolerance)
+        return self
+
+    def clip_src(self, *rect):
+        self._stages["clip_src"] = lambda d: clip_rect(d, *rect)
+        return self
+
+    def clip_dst(self, *rect):
+        self._stages["clip_dst"] = lambda d: clip_rect(d, *rect)
+        return self
+
+    def reproject(self, fn):
+        self._stages["reproject"] = fn
+        return self
+
+    def swap_xy(self):
+        self.df = swap_xy(self.df)
+        return self
+
+    def build(self) -> DataFrame:
+        d = self.df
+        for name in self._GEOM_ORDER:
+            if name in self._stages:
+                d = self._stages[name](d)
+        return d

@@ -187,6 +187,100 @@ def sql_spatial_filter() -> str:
     return f"SELECT id FROM ({inner}) WHERE poly_id = 27"
 
 
+def q_spatial_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-algebra Erase for point layers (ogrlayer.cpp:5806 — the
+    spatial ANTI-join): docs whose point is inside NO polygon."""
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6)
+    hits = spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="broadcast", keep_point_cols=["id"]
+    ).select("id")
+    return pts.select("id").join(hits, "id", "left_anti")
+
+
+def sql_spatial_erase() -> str:
+    inner = derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+    return f"""
+WITH pts AS ({_pts_cte()})
+SELECT pts.id FROM pts
+LEFT JOIN (SELECT DISTINCT id FROM ({inner}) t) h ON h.id = pts.id
+WHERE h.id IS NULL
+"""
+
+
+def q_spatial_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-algebra Identity for point layers (ogrlayer.cpp:4730):
+    every input point, with poly_id where covered, NULL elsewhere."""
+    pts = _points(spark, sf_dir)
+    cov = polygons.countries64_cover(spark, res=6)
+    hits = spatial_join_points_in_polygons(
+        pts, cov, res=6, strategy="broadcast", keep_point_cols=["id"]
+    )
+    return pts.select("id").join(hits, "id", "left").select("id", "poly_id")
+
+
+def sql_spatial_identity() -> str:
+    inner = derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+    return f"""
+WITH pts AS ({_pts_cte()})
+SELECT pts.id, h.poly_id FROM pts
+LEFT JOIN ({inner}) h ON h.id = pts.id
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cos(a,b) >= 0.4 over the
+    quantized vectors — the exact comparison 100*dot^2 >= 16*naa*nbb
+    AND dot > 0 (squares stay < 2^53, so the double products are
+    exact). 0.4 is calibrated to the synthetic corpus (max pairwise
+    cosine ~0.51); real near-dup corpora would use ~0.9."""
+    e = _read(spark, sf_dir, "embeddings")
+    q = similarity.quantize(e, id_col="vec_id")
+    n = q.select(
+        "id", "qvec",
+        F.expr("aggregate(qvec, 0L, (s, v) -> s + v * v)").alias("n2"),
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("qvec").alias("va"), F.col("n2").alias("naa"))
+    b = n.select(F.col("id").alias("id_b"), F.col("qvec").alias("vb"), F.col("n2").alias("nbb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(100.0) * (F.col("dot") * F.col("dot")).cast("double")
+                >= F.lit(16.0) * (F.col("naa") * F.col("nbb")).cast("double")
+            )
+        )
+    )
+    return pairs.select("id_a", "id_b", "dot")
+
+
+def sql_dedup_embedding() -> str:
+    sc = similarity.SCALE
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {sc}) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS naa, b.n2 AS nbb,
+         a.v AS va, b.v AS vb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+e AS (SELECT id_a, id_b, naa, nbb, unnest(va) AS xa, unnest(vb) AS xb FROM p),
+d AS (SELECT id_a, id_b, naa, nbb, CAST(sum(xa * xb) AS BIGINT) AS dot FROM e GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, dot FROM d
+WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS DOUBLE)
+"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN(k=5) of supplier-derived queries vs orders-derived points by
     iterative cell-ring expansion (gdalgrid.cpp:896-909 semantics)."""
@@ -906,6 +1000,9 @@ QUERIES = {
     "spatial_join": q_spatial_join,
     "spatial_join_skew": q_spatial_join_skew,
     "spatial_filter": q_spatial_filter,
+    "spatial_erase": q_spatial_erase,
+    "spatial_identity": q_spatial_identity,
+    "dedup_embedding": q_dedup_embedding,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
     "overview_avg": q_overview_avg,
@@ -941,6 +1038,9 @@ ORACLES = {
     "spatial_join": sql_spatial_join,
     "spatial_join_skew": sql_spatial_join_skew,
     "spatial_filter": sql_spatial_filter,
+    "spatial_erase": sql_spatial_erase,
+    "spatial_identity": sql_spatial_identity,
+    "dedup_embedding": sql_dedup_embedding,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
     "overview_avg": sql_overview_avg,
