@@ -98,6 +98,60 @@ def hillshade(band: DataFrame, *, cellsize: float = 1.0, z_factor: float = 1.0,
     return n.select("gx", "gy", out.alias("shade"))
 
 
+def terrain_metrics(band: DataFrame) -> DataFrame:
+    """TPI / TRI / roughness in one halo pass (apps/gdalalg_raster_tpi
+    .cpp, _tri.cpp, _roughness.cpp semantics, gdaldem family):
+
+      tpi       = center - mean(8 neighbors)
+      tri       = mean(|center - neighbor|) over the 8 neighbors
+                  (Wilson variant, gdaldem's default)
+      roughness = max(9-cell window) - min(9-cell window)
+
+    Integer bands stay exact: sums of 8 int64s divided by 8.0 are
+    single correctly-rounded doubles. Edge pixels replicate the center
+    for missing neighbors (same convention as slope_horn)."""
+    n = _halo_join(band)
+    nbrs = [f"v_{dx}_{dy}".replace("-", "m") for dx, dy in OFFSETS_3X3 if (dx, dy) != (0, 0)]
+    s = None
+    for c in nbrs:
+        s = F.col(c) if s is None else s + F.col(c)
+    tpi = F.col("v_0_0") - s / F.lit(8.0)
+    absdev = None
+    for c in nbrs:
+        term = F.abs(F.col("v_0_0") - F.col(c))
+        absdev = term if absdev is None else absdev + term
+    tri = absdev / F.lit(8.0)
+    allc = ["v_0_0", *nbrs]
+    rough = F.greatest(*[F.col(c) for c in allc]) - F.least(*[F.col(c) for c in allc])
+    return n.select(
+        "gx", "gy",
+        tpi.alias("tpi"), tri.alias("tri"), rough.cast("bigint").alias("roughness"),
+    )
+
+
+def aspect(band: DataFrame, *, cellsize: float = 1.0) -> DataFrame:
+    """Horn aspect in degrees from north, clockwise (gdaldem aspect,
+    apps/gdalalg_raster_aspect.cpp): atan2(dz/dy, -dz/dx) converted to
+    compass bearing; flat cells (both gradients 0) -> -9999."""
+    n = _halo_join(band)
+    dzdx = (
+        (F.col("v_1_m1") + 2 * F.col("v_1_0") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_m1_0") + F.col("v_m1_1"))
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (F.col("v_m1_1") + 2 * F.col("v_0_1") + F.col("v_1_1"))
+        - (F.col("v_m1_m1") + 2 * F.col("v_0_m1") + F.col("v_1_m1"))
+    ) / (8.0 * cellsize)
+    deg = F.atan2(dzdy, -dzdx) * F.lit(180.0 / 3.141592653589793)
+    # convert math angle to compass: 90 - deg, wrapped to [0, 360)
+    compass = (F.lit(90.0) - deg + F.lit(360.0)) % F.lit(360.0)
+    flat = (dzdx == 0.0) & (dzdy == 0.0)
+    return n.select(
+        "gx", "gy",
+        F.when(flat, F.lit(-9999.0)).otherwise(compass).alias("aspect_deg"),
+    )
+
+
 def sample_bilinear(band: DataFrame, points: DataFrame, *, width: int, height: int,
                     x_col: str = "px", y_col: str = "py",
                     id_col: str = "sid") -> DataFrame:

@@ -570,6 +570,130 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_terrain_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPI / TRI / roughness (gdaldem family) in one halo pass —
+    integer-exact (sums of 8 int64 / 8.0)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
+    return focal.terrain_metrics(band)
+
+
+def sql_terrain_metrics() -> str:
+    W = 32
+
+    def v(dx: int, dy: int) -> str:
+        if dx == 0 and dy == 0:
+            return _band_val_sql(f"gy * {W} + gx")
+        inside = (
+            f"gx + ({dx}) >= 0 AND gx + ({dx}) <= {W - 1} "
+            f"AND gy + ({dy}) >= 0 AND gy + ({dy}) <= {W - 1}"
+        )
+        return (
+            f"(CASE WHEN {inside} THEN {_band_val_sql(f'(gy + ({dy})) * {W} + gx + ({dx})')} "
+            f"ELSE {_band_val_sql(f'gy * {W} + gx')} END)"
+        )
+
+    from .operators.focal import OFFSETS_3X3
+
+    nbrs = [(dx, dy) for dx, dy in OFFSETS_3X3 if (dx, dy) != (0, 0)]
+    # match the Spark fold order exactly: sequential left-to-right adds
+    s = " + ".join(v(dx, dy) for dx, dy in nbrs)
+    absdev = " + ".join(f"abs(({v(0,0)}) - ({v(dx,dy)}))" for dx, dy in nbrs)
+    allv = [v(0, 0), *[v(dx, dy) for dx, dy in nbrs]]
+    return f"""
+WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r)
+SELECT gx, gy,
+       ({v(0,0)}) - ({s}) / 8.0 AS tpi,
+       ({absdev}) / 8.0 AS tri,
+       CAST(greatest({', '.join(allv)}) - least({', '.join(allv)}) AS BIGINT) AS roughness
+FROM px
+"""
+
+
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour segments at the band's midpoint level
+    (alg/contour.cpp; per-cell classification as column math, segments
+    via filtered union — zero Python)."""
+    from .operators import contour
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
+    return contour.contour_segments(band, level=2**30, width=32)
+
+
+def sql_contour() -> str:
+    from .operators import contour
+
+    return contour.contour_oracle_sql(2**30, 32, _band_val_sql)
+
+
+def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster warp: resample the 32x32 world-mercator band onto a
+    24x24 PLATE-CARREE (EPSG:4326) grid — per destination pixel,
+    forward-project its lat/lon center into mercator pixel space and
+    bilinear-sample the source (alg/gdalwarpoperation.cpp chunk
+    semantics; dest-center inverse mapping + kernel sample). Rounded
+    to 3dp: ln/tan is the one non-pinned op, and its 1-ulp wobble
+    lands on ~2^31-scale values (abs error ~1e-6)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32 mercator px
+    W, D = 32, 24
+    d = spark.range(D * D).select(
+        F.col("id").alias("did"),
+        (F.col("id") % D).alias("dx"),
+        (F.col("id") / D).cast("bigint").alias("dy"),
+    )
+    lon = (F.col("dx") + F.lit(0.5)) * F.lit(360.0 / D) - F.lit(180.0)
+    lat = F.lit(85.0) - (F.col("dy") + F.lit(0.5)) * F.lit(170.0 / D)
+    # forward mercator -> global pixel coords at the source grid size
+    mx = TF.merc_mx(lon)
+    my = TF.merc_my(lat)
+    os_f = TF.ORIGIN_SHIFT
+    px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
+    py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
+    pts = d.select("did", px.alias("px"), py.alias("py"))
+    out = focal.sample_bilinear(band, pts, width=W, height=W, id_col="did")
+    return out.select(
+        (F.col("did") % D).alias("dx"),
+        (F.col("did") / D).cast("bigint").alias("dy"),
+        F.round("value", 3).alias("value"),
+    )
+
+
+def sql_warp_resample() -> str:
+    W, D = 32, 24
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    mx = derive.mercator_mx_sql(lon)
+    my = derive.mercator_my_sql(lat)
+    px = f"(({mx}) + {OS}) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+    py = f"({OS} - ({my})) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+    corner = lambda cx, cy: _band_val_sql(f"(_y0 + {cy}) * {W} + _x0 + {cx}")
+    return f"""
+WITH d AS (SELECT r.range AS did, r.range % {D} AS dx, r.range // {D} AS dy FROM range({D * D}) r),
+p0 AS (
+  SELECT did, dx, dy,
+         least(greatest({px}, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest({py}, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM d
+),
+p1 AS (
+  SELECT did, dx, dy, _fx, _fy,
+         least(CAST(floor(_fx) AS BIGINT), {W - 2}) AS _x0,
+         least(CAST(floor(_fy) AS BIGINT), {W - 2}) AS _y0
+  FROM p0
+),
+p AS (SELECT did, dx, dy, _x0, _y0, _fx - _x0 AS _wx, _fy - _y0 AS _wy FROM p1)
+SELECT dx, dy,
+       round(({corner(0,0)}) * (1 - _wx) * (1 - _wy)
+           + ({corner(1,0)}) * _wx * (1 - _wy)
+           + ({corner(0,1)}) * (1 - _wx) * _wy
+           + ({corner(1,1)}) * _wx * _wy, 3) AS value
+FROM p
+"""
+
+
 # ------------------------------------------------------------ relational
 
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1133,9 @@ QUERIES = {
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
     "focal_slope": q_focal_slope,
+    "terrain_metrics": q_terrain_metrics,
+    "contour": q_contour,
+    "warp_resample": q_warp_resample,
     "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
     "events_buckets": q_events_buckets,
@@ -1047,6 +1174,9 @@ ORACLES = {
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
     "focal_slope": sql_focal_slope,
+    "terrain_metrics": sql_terrain_metrics,
+    "contour": sql_contour,
+    "warp_resample": sql_warp_resample,
     "sample_bilinear": sql_sample_bilinear,
     "idw_grid": sql_idw_grid,
     "events_buckets": sql_events_buckets,
