@@ -188,6 +188,89 @@ def rasterize_polygons(
     raise ValueError(f"unknown merge_alg: {merge_alg}")
 
 
+def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
+                 tile: int = 64) -> DataFrame:
+    """Sieve: merge raster polygons smaller than `threshold` pixels into
+    their largest neighboring polygon (alg/gdalsievefilter.cpp, 4-conn).
+
+    One merge round (sufficient when small components are isolated
+    islands; the reference iterates for cascades — chain calls to
+    cascade). Plan: per-pixel FINAL component labels (label_pixels,
+    shared with polygonize) -> component sizes -> cross-component
+    border adjacency -> each small component adopts the VALUE of its
+    largest neighbor (ties -> smallest component label). Returns the
+    sieved raster (px, py, value).
+    """
+    lab = label_pixels(pixels, width=width, tile=tile)
+    sizes = lab.groupBy("comp").agg(F.count("*").alias("n"))
+    small = sizes.filter(F.col("n") < threshold).select("comp")
+    # adjacency: 4-neighbors with different component labels
+    a = lab.select(F.col("px").alias("ax"), F.col("py").alias("ay"),
+                   F.col("comp").alias("al"))
+    edges = []
+    for dx, dy in ((1, 0), (0, 1)):
+        b = lab.select((F.col("px") - dx).alias("ax"), (F.col("py") - dy).alias("ay"),
+                       F.col("comp").alias("bl"))
+        e = a.join(b, ["ax", "ay"]).filter(F.col("al") != F.col("bl"))
+        edges.append(e.select("al", "bl"))
+        edges.append(e.select(F.col("bl").alias("al"), F.col("al").alias("bl")))
+    adj = edges[0]
+    for e in edges[1:]:
+        adj = adj.unionByName(e)
+    adj = adj.distinct()
+    # largest neighbor per small component (ties -> smallest label)
+    nbr = (
+        adj.join(small, adj["al"] == small["comp"]).drop("comp")
+        .join(sizes.select(F.col("comp").alias("bl"), F.col("n").alias("bn")), "bl")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("al").orderBy(F.col("bn").desc(), F.col("bl").asc())
+    target = (
+        nbr.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("al").alias("comp"), F.col("bl").alias("into"))
+    )
+    comp_vals = lab.groupBy("comp").agg(F.first("value").alias("cvalue"))
+    target_v = target.join(
+        comp_vals.select(F.col("comp").alias("into"), F.col("cvalue").alias("new_value")),
+        "into",
+    ).select("comp", "new_value")
+    return (
+        lab.join(F.broadcast(target_v), "comp", "left")
+        .select(
+            "px", "py",
+            F.coalesce(F.col("new_value"), F.col("value")).alias("value"),
+        )
+    )
+
+
+def raster_calc(pixels: DataFrame, expr: str, *, value_cols: dict[str, str] | None = None,
+                out_col: str = "value") -> DataFrame:
+    """gdal_calc analog (osgeo_utils/gdal_calc.py, VRT pixel functions):
+    evaluate a numpy expression over Arrow pixel batches; names in
+    `value_cols` (default {'A': 'value'}) bind to columns."""
+    value_cols = value_cols or {"A": "value"}
+    keep = [c for c in pixels.columns if c not in set(value_cols.values())]
+    schema = ", ".join(
+        [f"{c} {pixels.schema[c].dataType.simpleString()}" for c in keep]
+        + [f"{out_col} double"]
+    )
+
+    def run(batches):
+        ns_base = {"np": np}
+        for pdf in batches:
+            ns = dict(ns_base)
+            for name, col in value_cols.items():
+                ns[name] = pdf[col].to_numpy()
+            res = eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — user calc expr, gdal_calc contract
+            out = pdf[keep].copy()
+            out[out_col] = np.asarray(res, dtype=np.float64)
+            yield out
+
+    return pixels.mapInPandas(run, schema)
+
+
 # --------------------------------------------------------------- polygonize
 
 _CCL_SCHEMA = "tile_x bigint, tile_y bigint, px bigint, py bigint, value bigint, label bigint"
@@ -251,12 +334,12 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
     return out
 
 
-def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
+def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
     """Distributed 4-connected CCL: per-tile CCL (applyInPandas) then
     iterative cross-tile label union via border-edge equivalences.
 
-    Returns (label, value, n_pixels) with label = min global pixel id of
-    the component (canonical, engine-independent).
+    Returns per-pixel rows (px, py, value, pid, comp) with comp = min
+    global pixel id of the component (canonical, engine-independent).
 
     The stitch loop is the distributed replacement for the reference's
     global equivalence table (alg/polygonize.cpp:174): border pairs form
@@ -327,13 +410,20 @@ def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFram
         if changed == 0:
             break
 
-    final = (
+    return (
         labeled.join(F.broadcast(mapping), labeled["label"] == mapping["l1"], "left")
         .select(
-            "value", "pid",
+            "px", "py", "value", "pid",
             F.coalesce(F.col("root"), F.col("label")).alias("comp"),
         )
     )
+
+
+def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
+    """Raster->vector polygonize (alg/polygonize.cpp:73): one row per
+    connected component — (label, value, n_pixels), label = min global
+    pixel id (canonical)."""
+    final = label_pixels(pixels, width=width, tile=tile)
     return (
         final.groupBy("comp", "value")
         .agg(F.count("*").alias("n_pixels"), F.min("pid").alias("label"))

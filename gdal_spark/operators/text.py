@@ -99,6 +99,28 @@ def lang_id(df: DataFrame, *, id_col: str = "doc_id", text: str = "text") -> Dat
     )
 
 
+# no backslash classes: Spark SQL and DuckDB string literals disagree
+# on backslash handling; space/tab spelled literally keeps the pattern
+# byte-identical in both engines
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t]"
+
+
+def token_count_bpe(df: DataFrame, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """BPE-ish token counting: alphabetic runs, single digits, and
+    punctuation marks each count as one token (the GPT-style
+    pre-tokenizer shape: letter runs merge, digits split, punctuation
+    separates). ASCII-only regex so Java regex and RE2 agree. Returns
+    (id, n_tokens_ws, n_tokens_bpe, bpe_to_ws_x100)."""
+    ws = F.size(F.expr(f"filter(split({text}, ' '), t -> t != '')"))
+    bpe = F.size(F.expr(f"regexp_extract_all({text}, '{BPE_ISH_PATTERN}', 0)"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        (F.lit(100) * bpe / F.greatest(ws, F.lit(1))).cast("bigint").alias("bpe_to_ws_x100"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, *, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Rolling polynomial fingerprint of the whole text (31x + c mod
     2^31) — the content-hash used for exact dedup keys and shard-stable

@@ -1029,6 +1029,84 @@ FROM documents
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = _read(spark, sf_dir, "documents")
+    return text.token_count_bpe(d, id_col="doc_id")
+
+
+def sql_token_count_bpe() -> str:
+    pat = text.BPE_ISH_PATTERN
+    return f"""
+SELECT doc_id AS id,
+       len({_TOKS}) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{pat}')) AS n_tokens_bpe,
+       (100 * len(regexp_extract_all(text, '{pat}'))) // greatest(len({_TOKS}), 1) AS bpe_to_ws_x100
+FROM documents
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-subtype field extraction (OGR JSON subtype,
+    ogr_core.h:825-828 -> from_json/get_json_object): pull props.k,
+    filter and aggregate on it."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+    )
+
+
+def sql_events_json() -> str:
+    return """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+"""
+
+
+def q_raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve filter: checkerboard raster with a small island burned in;
+    the island (9 px < threshold 16) is absorbed by its surrounding
+    component (alg/gdalsievefilter.cpp semantics)."""
+    base = raster.synth_raster(spark, width=48, height=48, block=16, n_values=2)
+    # burn a 3x3 island of value 7 at (20..22, 20..22)
+    island = (
+        F.col("px").between(20, 22) & F.col("py").between(20, 22)
+    )
+    px = base.withColumn("value", F.when(island, F.lit(7)).otherwise(F.col("value")))
+    out = raster.sieve_filter(px, width=48, threshold=16, tile=32)
+    return out.select("px", "py", F.col("value").cast("bigint").alias("value"))
+
+
+def sql_raster_sieve() -> str:
+    # the sieved raster equals the PLAIN checkerboard: the island is
+    # absorbed back into the surrounding block (closed-form oracle)
+    return """
+SELECT r.range % 48 AS px, r.range // 48 AS py,
+       (((r.range % 48) // 16) + ((r.range // 48) // 16)) % 2 AS value
+FROM range(2304) r
+"""
+
+
+def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc-style numpy expression over pixel batches
+    (osgeo_utils/gdal_calc.py): A*2 + (A % 7)."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    out = raster.raster_calc(
+        band.select("gx", "gy", "value"), "A * 2.0 + (A % 7)", value_cols={"A": "value"}
+    )
+    return out.select("gx", "gy", "value")
+
+
+def sql_raster_calc() -> str:
+    v = _band_val_sql("gy * 32 + gx")
+    return f"""
+WITH px AS (SELECT r.range % 32 AS gx, r.range // 32 AS gy FROM range(1024) r)
+SELECT gx, gy, CAST(({v}) AS DOUBLE) * 2.0 + CAST(({v}) % 7 AS DOUBLE) AS value FROM px
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-text rolling polynomial fingerprint."""
     d = _read(spark, sf_dir, "documents")
@@ -1132,6 +1210,10 @@ QUERIES = {
     "overview_avg": q_overview_avg,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
+    "raster_sieve": q_raster_sieve,
+    "raster_calc": q_raster_calc,
+    "token_count_bpe": q_token_count_bpe,
+    "events_json": q_events_json,
     "focal_slope": q_focal_slope,
     "terrain_metrics": q_terrain_metrics,
     "contour": q_contour,
@@ -1173,6 +1255,10 @@ ORACLES = {
     "overview_avg": sql_overview_avg,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
+    "raster_sieve": sql_raster_sieve,
+    "raster_calc": sql_raster_calc,
+    "token_count_bpe": sql_token_count_bpe,
+    "events_json": sql_events_json,
     "focal_slope": sql_focal_slope,
     "terrain_metrics": sql_terrain_metrics,
     "contour": sql_contour,
