@@ -81,6 +81,12 @@ def ngram_jaccard_pairs(
     sort LAST and rarely make a prefix.
     Returns (id_a, id_b, shared, na, nb) with id_a < id_b.
     """
+    # grams are carried as int64 polynomial hashes, not strings: the
+    # shared-gram join shuffles 8-byte keys and the verification
+    # intersects int arrays (~10x cheaper than string arrays). The
+    # oracle applies the identical hash, so even a hash collision (p ~
+    # |grams|^2 / 2^32 globally) yields identical results both sides.
+    gram_hash = word_hash_expr("g")
     grams = (
         tokens(df, text)
         .select(
@@ -91,8 +97,8 @@ def ngram_jaccard_pairs(
                     # so short docs need the explicit empty-array guard
                     F.expr(
                         f"if(size(toks) < {n}, array(), "
-                        f"transform(sequence(1, size(toks) - {n - 1}), "
-                        f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+                        f"transform(transform(sequence(1, size(toks) - {n - 1}), "
+                        f"i -> concat_ws(' ', slice(toks, i, {n}))), g -> {gram_hash}))"
                     )
                 )
             ).alias("gram"),
@@ -115,11 +121,19 @@ def ngram_jaccard_pairs(
         F.col("_rk") <= F.col("ng") - F.ceil(F.col("ng") * t / 100.0) + 1
     ).select("_id", "gram")
 
-    a = prefix.select(F.col("_id").alias("id_a"), "gram")
-    b = prefix.select(F.col("_id").alias("id_b"), "gram")
+    # carry sizes into the index so the LENGTH filter (J >= t forces
+    # t*na <= nb <= na/t, Bayardo et al.) prunes candidate pairs
+    # BEFORE the distinct + verification join
+    pre = prefix.join(docsets.select("_id", "ng"), "_id")
+    a = pre.select(F.col("_id").alias("id_a"), "gram", F.col("ng").alias("na_"))
+    b = pre.select(F.col("_id").alias("id_b"), "gram", F.col("ng").alias("nb_"))
     cand = (
         a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(100) * F.col("nb_") >= F.lit(threshold_pct) * F.col("na_"))
+            & (F.lit(100) * F.col("na_") >= F.lit(threshold_pct) * F.col("nb_"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -198,6 +198,65 @@ def sample_bilinear(band: DataFrame, points: DataFrame, *, width: int, height: i
     return out.select(id_col, val.alias("value"))
 
 
+def proximity(band: DataFrame, *, target, max_dist: int) -> DataFrame:
+    """Proximity map (alg/gdalproximity.cpp): for every pixel, squared
+    euclidean distance to the nearest TARGET pixel (value == target)
+    within `max_dist` pixels; pixels with no target in range are
+    absent (the reference writes nodata).
+
+    The reference's two-pass forward/backward chamfer scan is inherently
+    sequential; the distributed form is a bounded-fanout join: each
+    target pixel explodes to the (2*max_dist+1)^2 neighborhood it can
+    serve, then a min-reduce per pixel. Exact euclidean (not chamfer
+    approximation), integer arithmetic only. Cost: O(targets *
+    max_dist^2) — the right trade at scale when targets are sparse;
+    for dense targets invert the roles (explode non-targets).
+    Returns (gx, gy, d2) with d2 = min squared distance (0 on targets).
+    """
+    spark = band.sparkSession
+    r = max_dist
+    offs = (
+        spark.range(-r, r + 1).select(F.col("id").alias("_dx"))
+        .crossJoin(spark.range(-r, r + 1).select(F.col("id").alias("_dy")))
+        .filter(F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy") <= r * r)
+    )
+    targets = band.filter(F.col("value") == target).select(
+        F.col("gx").alias("_tx"), F.col("gy").alias("_ty")
+    )
+    served = (
+        targets.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("_tx") + F.col("_dx")).alias("gx"),
+            (F.col("_ty") + F.col("_dy")).alias("gy"),
+            (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")).alias("_d2"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.min("_d2").alias("d2"))
+    )
+    return band.select("gx", "gy").join(served, ["gx", "gy"]).select("gx", "gy", "d2")
+
+
+def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFrame:
+    """Footprint (apps/gdal_footprint_lib.cpp): polygonize the
+    valid-data mask and report each valid component's bounding box +
+    pixel count — the mask->polygon-outline specialization of
+    polygonize (SURVEY §2.10). Returns (label, minx, miny, maxx, maxy,
+    n_pixels)."""
+    from .raster import label_pixels
+
+    mask = pixels.withColumn(
+        "value", F.when(F.col("value") == valid, F.lit(1)).otherwise(F.lit(0))
+    )
+    lab = label_pixels(mask, width=width, tile=tile).filter(F.col("value") == 1)
+    return lab.groupBy("comp").agg(
+        F.min("px").alias("minx"), F.min("py").alias("miny"),
+        F.max("px").alias("maxx"), F.max("py").alias("maxy"),
+        F.count("*").alias("n_pixels"),
+    ).select(
+        F.col("comp").alias("label"), "minx", "miny", "maxx", "maxy", "n_pixels"
+    )
+
+
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
              radius: float, x_col: str = "x", y_col: str = "y",
              v_col: str = "v") -> DataFrame:

@@ -904,11 +904,16 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_jaccard() -> str:
+    ghash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(gram0, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % {M31})"
+    )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
-g0 AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram FROM u),
-g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+g0 AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram0 FROM u),
+g AS (SELECT DISTINCT doc_id, {ghash} AS gram FROM g0 WHERE gram0 IS NOT NULL),
 sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
 sh AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -1107,6 +1112,117 @@ SELECT gx, gy, CAST(({v}) AS DOUBLE) * 2.0 + CAST(({v}) % 7 AS DOUBLE) AS value 
 """
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity map on the checkerboard: min squared distance to the
+    nearest value-1 pixel within 4 px (exact euclidean, int-only)."""
+    from .operators import focal
+
+    px = raster.synth_raster(spark, width=48, height=48, block=12, n_values=2)
+    band = px.select(F.col("px").alias("gx"), F.col("py").alias("gy"), "value")
+    return focal.proximity(band, target=1, max_dist=4)
+
+
+def sql_proximity() -> str:
+    return """
+WITH px AS (
+  SELECT r.range % 48 AS gx, r.range // 48 AS gy,
+         (((r.range % 48) // 12) + ((r.range // 48) // 12)) % 2 AS value
+  FROM range(2304) r
+),
+t AS (SELECT gx AS tx, gy AS ty FROM px WHERE value = 1),
+offs AS (
+  SELECT a.range - 4 AS dx, b.range - 4 AS dy
+  FROM range(9) a CROSS JOIN range(9) b
+  WHERE (a.range - 4) * (a.range - 4) + (b.range - 4) * (b.range - 4) <= 16
+),
+served AS (
+  SELECT tx + dx AS gx, ty + dy AS gy, min(dx * dx + dy * dy) AS d2
+  FROM t CROSS JOIN offs GROUP BY 1, 2
+)
+SELECT px.gx, px.gy, served.d2 FROM px JOIN served USING (gx, gy)
+"""
+
+
+def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint: bounding boxes + sizes of valid-data (value=1)
+    components of the checkerboard mask."""
+    from .operators import focal
+
+    px = raster.synth_raster(spark, width=48, height=48, block=12, n_values=2)
+    return focal.footprint(px, width=48, valid=1, tile=32)
+
+
+def sql_footprint() -> str:
+    # checkerboard blocks with (bx+by) odd are the value-1 components;
+    # each block is its own 4-connected component (closed form)
+    return """
+WITH px AS (
+  SELECT r.range % 48 AS gx, r.range // 48 AS gy,
+         (gx // 12) AS bx, (gy // 12) AS by
+  FROM range(2304) r
+)
+SELECT min(gy * 48 + gx) AS label,
+       min(gx) AS minx, min(gy) AS miny, max(gx) AS maxx, max(gy) AS maxy,
+       count(*) AS n_pixels
+FROM px WHERE (bx + by) % 2 = 1
+GROUP BY bx, by
+"""
+
+
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (gdaldem) at the default sun; rounded to 6dp (trig)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    out = focal.hillshade(band, cellsize=1.0, z_factor=1.0,
+                          azimuth_deg=315.0, altitude_deg=45.0)
+    return out.select("gx", "gy", F.round("shade", 6).alias("shade"))
+
+
+def sql_hillshade() -> str:
+    import math
+
+    W = 32
+
+    def v(dx: int, dy: int) -> str:
+        if dx == 0 and dy == 0:
+            return _band_val_sql(f"gy * {W} + gx")
+        inside = (
+            f"gx + ({dx}) >= 0 AND gx + ({dx}) <= {W - 1} "
+            f"AND gy + ({dy}) >= 0 AND gy + ({dy}) <= {W - 1}"
+        )
+        return (
+            f"(CASE WHEN {inside} THEN {_band_val_sql(f'(gy + ({dy})) * {W} + gx + ({dx})')} "
+            f"ELSE {_band_val_sql(f'gy * {W} + gx')} END)"
+        )
+
+    dzdx = (
+        f"((({v(1,-1)}) + 2 * ({v(1,0)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(-1,0)}) + ({v(-1,1)}))) / 8.0"
+    )
+    dzdy = (
+        f"((({v(-1,1)}) + 2 * ({v(0,1)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(0,-1)}) + ({v(1,-1)}))) / 8.0"
+    )
+    az = math.radians(315.0)
+    alt = math.radians(45.0)
+    # embed the Python-computed sun constants verbatim so both engines
+    # multiply by the identical doubles
+    return f"""
+WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r),
+g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px),
+s AS (
+  SELECT gx, gy, atan(1.0 * sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope,
+         atan2(dzdy, -dzdx) AS aspect
+  FROM g
+)
+SELECT gx, gy,
+       round(greatest(0.0, 255.0 * ({math.sin(alt)!r} * cos(slope)
+             + {math.cos(alt)!r} * sin(slope) * cos({az - math.pi / 2.0!r} - aspect))), 6) AS shade
+FROM s
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-text rolling polynomial fingerprint."""
     d = _read(spark, sf_dir, "documents")
@@ -1212,6 +1328,9 @@ QUERIES = {
     "polygonize": q_polygonize,
     "raster_sieve": q_raster_sieve,
     "raster_calc": q_raster_calc,
+    "proximity": q_proximity,
+    "footprint": q_footprint,
+    "hillshade": q_hillshade,
     "token_count_bpe": q_token_count_bpe,
     "events_json": q_events_json,
     "focal_slope": q_focal_slope,
@@ -1257,6 +1376,9 @@ ORACLES = {
     "polygonize": sql_polygonize,
     "raster_sieve": sql_raster_sieve,
     "raster_calc": sql_raster_calc,
+    "proximity": sql_proximity,
+    "footprint": sql_footprint,
+    "hillshade": sql_hillshade,
     "token_count_bpe": sql_token_count_bpe,
     "events_json": sql_events_json,
     "focal_slope": sql_focal_slope,
