@@ -59,6 +59,43 @@ def roundtrip_error(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFr
     )
 
 
+def approx_transform_line(xs: "np.ndarray", fn, *, tol: float,
+                          _depth: int = 0) -> "np.ndarray":
+    """Error-bounded approximation of an expensive 1-D transform over a
+    MONOTONE coordinate line (the GDALApproxTransformer technique,
+    alg/gdaltransformer.cpp:58-61, 2571; gdalwarp default tolerance
+    0.125 px, apps/gdalwarp_lib.cpp:1576).
+
+    Evaluate the exact `fn` at the span endpoints + midpoint; if the
+    midpoint's linear interpolation error <= tol, lerp the whole span,
+    else recurse on both halves. Returns fn(xs) to within tol using
+    O(k log n) exact evaluations for smooth fn (k = spans needed).
+
+    Used inside warp UDF batches where fn is a real PROJ pipeline; the
+    closed-form mercator paths don't need it (already column math), so
+    this ships as the kernel + contract test, wired for the pyproj UDF.
+    """
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.float64)
+    n = xs.shape[0]
+    if n <= 3 or _depth > 40:
+        return fn(xs)
+    mid = n // 2
+    e0, em, e1 = fn(xs[:1])[0], fn(xs[mid:mid + 1])[0], fn(xs[-1:])[0]
+    # lerp estimate of the midpoint from the endpoints
+    t = (xs[mid] - xs[0]) / (xs[-1] - xs[0]) if xs[-1] != xs[0] else 0.5
+    est = e0 + t * (e1 - e0)
+    if abs(est - em) <= tol:
+        tt = (xs - xs[0]) / (xs[-1] - xs[0]) if xs[-1] != xs[0] else np.zeros(n)
+        out = e0 + tt * (e1 - e0)
+        out[mid] = em  # exact where we paid for it
+        return out
+    left = approx_transform_line(xs[: mid + 1], fn, tol=tol, _depth=_depth + 1)
+    right = approx_transform_line(xs[mid:], fn, tol=tol, _depth=_depth + 1)
+    return np.concatenate([left, right[1:]])
+
+
 def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
                   lon: str = "lon", lat: str = "lat") -> DataFrame:
     """General CRS pair via pyproj in a pandas UDF (batch transform,

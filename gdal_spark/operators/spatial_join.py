@@ -65,6 +65,136 @@ def assign_cell(df: DataFrame, lon: str = "lon", lat: str = "lat",
     return df.withColumn(out, tile_fns.cell(F.col(lon), F.col(lat), res))
 
 
+def _convex_clip(sub_x, sub_y, clip_x, clip_y):
+    """Sutherland-Hodgman: clip subject polygon by a CONVEX clip
+    polygon (the convex case of OGRLayer::Intersection's pairwise
+    GEOS Intersection, ogrlayer.cpp:3345). Returns (xs, ys) closed
+    ring or empty arrays."""
+    import numpy as np
+
+    pts = list(zip(sub_x, sub_y))
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    cp = list(zip(clip_x, clip_y))
+    if cp and cp[0] == cp[-1]:
+        cp = cp[:-1]
+    # ensure CCW clip orientation for a consistent inside test
+    area2 = sum(cp[i][0] * cp[(i + 1) % len(cp)][1] - cp[(i + 1) % len(cp)][0] * cp[i][1]
+                for i in range(len(cp)))
+    if area2 < 0:
+        cp = cp[::-1]
+    for i in range(len(cp)):
+        a, b = cp[i], cp[(i + 1) % len(cp)]
+        if not pts:
+            break
+        out = []
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def inside(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0]) >= 0.0
+
+        def ix(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = ex * dy - ey * dx
+            t = (ex * (a[1] - p[1]) - ey * (a[0] - p[0])) / denom
+            return (p[0] + t * dx, p[1] + t * dy)
+
+        for j in range(len(pts)):
+            cur, prev = pts[j], pts[j - 1]
+            ci, pi = inside(cur), inside(prev)
+            if ci:
+                if not pi:
+                    out.append(ix(prev, cur))
+                out.append(cur)
+            elif pi:
+                out.append(ix(prev, cur))
+        pts = out
+    if len(pts) < 3:
+        return np.array([]), np.array([])
+    pts.append(pts[0])
+    arr = np.array(pts, dtype=np.float64)
+    return arr[:, 0], arr[:, 1]
+
+
+def polygon_intersection(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    *,
+    res: int = 5,
+    id_a: str = "poly_id",
+    id_b: str = "poly_id",
+) -> DataFrame:
+    """Layer-algebra Intersection for CONVEX polygon layers
+    (ogrlayer.cpp:3345): candidate pairs via covering-cell equi-join
+    (the spatial-filter pushdown skeleton, ogrlayer.cpp:3290-3322),
+    then envelope reject, then exact Sutherland-Hodgman clip per pair
+    in an Arrow-batched UDF. Emits one row per non-empty intersection:
+    (id_a, id_b, xs, ys, area).
+
+    Both layers carry (id, xs, ys, minx..maxy, cell) — produce with
+    sources.polygons.countries64_cover-style explode. Non-convex
+    inputs need a decomposition stage first (documented limitation;
+    the reference delegates to GEOS)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = layer_a.select(
+        F.col(id_a).alias("id_a"), F.col("cell"),
+        F.col("xs").alias("xs_a"), F.col("ys").alias("ys_a"),
+        F.col("minx").alias("aminx"), F.col("miny").alias("aminy"),
+        F.col("maxx").alias("amaxx"), F.col("maxy").alias("amaxy"),
+    )
+    b = layer_b.select(
+        F.col(id_b).alias("id_b"), F.col("cell"),
+        F.col("xs").alias("xs_b"), F.col("ys").alias("ys_b"),
+        F.col("minx").alias("bminx"), F.col("miny").alias("bminy"),
+        F.col("maxx").alias("bmaxx"), F.col("maxy").alias("bmaxy"),
+    )
+    cand = (
+        a.join(b, "cell")
+        .drop("cell")
+        .dropDuplicates(["id_a", "id_b"])
+        # envelope stage — JVM short-circuit (FilterGeometry bbox)
+        .filter(
+            (F.col("aminx") <= F.col("bmaxx")) & (F.col("amaxx") >= F.col("bminx"))
+            & (F.col("aminy") <= F.col("bmaxy")) & (F.col("amaxy") >= F.col("bminy"))
+        )
+    )
+
+    schema = T.StructType([
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _clip(xa: pd.Series, ya: pd.Series, xb: pd.Series, yb: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        oxs, oys, areas = [], [], []
+        for sx, sy, cx, cy in zip(xa, ya, xb, yb):
+            rx, ry = _convex_clip(list(sx), list(sy), list(cx), list(cy))
+            oxs.append(list(rx))
+            oys.append(list(ry))
+            if len(rx) >= 4:
+                areas.append(0.5 * abs(float(np.sum(
+                    rx[:-1] * ry[1:] - rx[1:] * ry[:-1]
+                ))))
+            else:
+                areas.append(0.0)
+        return pd.DataFrame({"xs": oxs, "ys": oys, "area": areas})
+
+    out = cand.withColumn("_g", _clip("xs_a", "ys_a", "xs_b", "ys_b"))
+    return (
+        out.filter(F.col("_g.area") > 0.0)
+        .select(
+            "id_a", "id_b",
+            F.col("_g.xs").alias("xs"), F.col("_g.ys").alias("ys"),
+            F.col("_g.area").alias("area"),
+        )
+    )
+
+
 def spatial_join_points_in_polygons(
     points: DataFrame,
     cover: DataFrame,
