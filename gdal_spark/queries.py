@@ -281,6 +281,71 @@ WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS 
 """
 
 
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule per-row invariant as a gate query: interleaved
+    docs (spans synthesized from orders keys) flow through the
+    cell-bucketed spatial join, and the output carries an
+    order-sensitive md5 fingerprint of each doc's span sequence
+    (kind, text, media_ref, offset). The oracle rebuilds the SAME
+    fingerprint independently in SQL — any span reorder, drop, or
+    mutation inside the engine breaks the hash (the ogr_gensql
+    native-data preservation contract, ogr_gensql.cpp:1536-1538)."""
+    o = _read(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    d = o.select(
+        i.alias("id"),
+        docs.spans_col(i).alias("spans"),
+        docs.lon_col(i).alias("lon"),
+        docs.lat_col(i).alias("lat"),
+    )
+    cov = polygons.countries64_cover(spark, res=6)
+    joined = spatial_join_points_in_polygons(
+        d, cov, res=6, strategy="broadcast",
+        keep_point_cols=["id", "spans"],
+    )
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.transform(
+                F.col("spans"),
+                lambda s: F.concat_ws(
+                    "\x1e", s["kind"], s["text"], s["media_ref"],
+                    s["offset"].cast("string"),
+                ),
+            ),
+        )
+    )
+    return joined.select("id", "poly_id", fp.alias("span_fp"))
+
+
+def sql_span_invariant() -> str:
+    inner = derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+    # rebuild the span sequence independently: nspans = id%5+1 spans,
+    # kind cycles (id+j)%3 over {text,image,audio}, text='t-id-j',
+    # media='m://id/j' unless kind='text', offset=j — ordered by j
+    return f"""
+WITH hits AS ({inner}),
+spans AS (
+  SELECT h.id, h.poly_id, j.range AS j,
+         CASE (h.id + j.range) % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS kind
+  FROM hits h CROSS JOIN range(5) j WHERE j.range <= h.id % 5
+),
+parts AS (
+  SELECT id, poly_id, j,
+         kind || chr(30) || ('t-' || CAST(id AS VARCHAR) || '-' || CAST(j AS VARCHAR))
+              || chr(30) || (CASE WHEN kind = 'text' THEN ''
+                             ELSE 'm://' || CAST(id AS VARCHAR) || '/' || CAST(j AS VARCHAR) END)
+              || chr(30) || CAST(j AS VARCHAR) AS piece
+  FROM spans
+),
+fp AS (
+  SELECT id, poly_id, md5(string_agg(piece, chr(31) ORDER BY j)) AS span_fp
+  FROM parts GROUP BY id, poly_id
+)
+SELECT id, poly_id, span_fp FROM fp
+"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN(k=5) of supplier-derived queries vs orders-derived points by
     iterative cell-ring expansion (gdalgrid.cpp:896-909 semantics)."""
@@ -1321,6 +1386,7 @@ QUERIES = {
     "spatial_erase": q_spatial_erase,
     "spatial_identity": q_spatial_identity,
     "dedup_embedding": q_dedup_embedding,
+    "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
     "overview_avg": q_overview_avg,
@@ -1369,6 +1435,7 @@ ORACLES = {
     "spatial_erase": sql_spatial_erase,
     "spatial_identity": sql_spatial_identity,
     "dedup_embedding": sql_dedup_embedding,
+    "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
     "overview_avg": sql_overview_avg,
