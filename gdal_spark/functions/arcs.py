@@ -1,0 +1,84 @@
+"""Arc linearization — curved geometry support (CircularString family).
+
+The reference linearizes curve geometries by stepping arcs at a max
+angular increment (OGRGeometryFactory::curveToLineString,
+ogr/ogrgeometryfactory.cpp; default step 4 degrees via
+OGR_ARC_STEPSIZE). Here:
+
+- circumcircle(): the 3-point CircularString form -> (center, radius)
+  (numpy, used driver-side / in tests);
+- linearize_arc_cols(): the arc -> vertex-array expansion as pure JVM
+  higher-order functions over (cx, cy, r, a0, a1) columns — the whole
+  linearization is one codegen'd projection, no UDF.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STEP_DEG = 4.0
+
+
+def circumcircle(p0, p1, p2) -> tuple[float, float, float]:
+    """Center + radius of the circle through three points (the
+    CircularString 3-point definition). Raises on collinear input."""
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        raise ValueError("collinear points do not define a circle")
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r = math.hypot(ax - ux, ay - uy)
+    return ux, uy, r
+
+
+def arc_angles(center, p0, p1, p2) -> tuple[float, float]:
+    """Start/end angles of the arc p0->p1->p2 around `center`, with the
+    end angle adjusted so the sweep passes through p1 (the
+    CircularString orientation rule)."""
+    ux, uy, _ = (*center, None)
+    a0 = math.atan2(p0[1] - uy, p0[0] - ux)
+    am = math.atan2(p1[1] - uy, p1[0] - ux)
+    a1 = math.atan2(p2[1] - uy, p2[0] - ux)
+    # choose the sweep direction that passes through the middle point
+    def norm(a):
+        while a < 0:
+            a += 2 * math.pi
+        return a
+    ccw_mid = norm(am - a0) <= norm(a1 - a0)
+    if ccw_mid:
+        if a1 < a0:
+            a1 += 2 * math.pi
+    else:
+        if a1 > a0:
+            a1 -= 2 * math.pi
+    return a0, a1
+
+
+def linearize_arc_cols(df: DataFrame, *, step_deg: float = DEFAULT_STEP_DEG,
+                       cx: str = "cx", cy: str = "cy", r: str = "r",
+                       a0: str = "a0", a1: str = "a1") -> DataFrame:
+    """Expand arc rows to vertex arrays (xs, ys): n = ceil(|a1-a0|/step)
+    segments, vertices at uniform angle steps, endpoints exact.
+    Pure JVM column math (transform over sequence)."""
+    step = math.radians(step_deg)
+    n = F.greatest(
+        F.ceil(F.abs(F.col(a1) - F.col(a0)) / F.lit(step)).cast("int"), F.lit(1)
+    )
+    out = df.withColumn("_n", n)
+    ang = (
+        f"transform(sequence(0, _n), k -> {a0} + ({a1} - {a0}) * CAST(k AS DOUBLE) / CAST(_n AS DOUBLE))"
+    )
+    return (
+        out.withColumn("_angs", F.expr(ang))
+        .withColumn("xs", F.expr(f"transform(_angs, t -> {cx} + {r} * cos(t))"))
+        .withColumn("ys", F.expr(f"transform(_angs, t -> {cy} + {r} * sin(t))"))
+        .drop("_n", "_angs")
+    )

@@ -109,6 +109,19 @@ def contour_segments(band: DataFrame, *, level: int, width: int) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
+def contour_multi(band: DataFrame, *, levels: list[int], width: int) -> DataFrame:
+    """Multi-level contour (the reference's interval/fixed level
+    generators, alg/contour.cpp:283-520): union of per-level segment
+    sets with a `level` column."""
+    out = None
+    for lv in levels:
+        seg = contour_segments(band, level=lv, width=width).withColumn(
+            "level", F.lit(lv)
+        )
+        out = seg if out is None else out.unionByName(seg)
+    return out
+
+
 def contour_oracle_sql(level: int, width: int, band_val_sql) -> str:
     """DuckDB twin built from the SAME case fragments. band_val_sql:
     fn(pid_expr) -> closed-form value SQL."""

@@ -257,6 +257,71 @@ def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFr
     )
 
 
+def cubic_weight_sql(t_expr: str, tap: int) -> str:
+    """Cubic-convolution weight (a = -0.5, the GDALResampleAlg cubic
+    kernel, alg/gdalresamplingkernels.h CubicKernel) for tap offset
+    `tap` in {-1, 0, 1, 2}: distance d = |tap - t|. Emits an SQL string
+    valid in BOTH Spark SQL and DuckDB, with a fixed op order so the
+    doubles are bit-identical."""
+    if tap in (0, 1):
+        # |d| <= 1: (a+2)d^3 - (a+3)d^2 + 1  ->  1.5 d^3 - 2.5 d^2 + 1
+        d = f"abs(({t_expr}) - {tap}.0)"
+        return f"((1.5 * ({d}) * ({d}) * ({d})) - (2.5 * ({d}) * ({d})) + 1.0)"
+    # 1 < |d| < 2: a d^3 - 5a d^2 + 8a d - 4a -> -0.5 d^3 + 2.5 d^2 - 4 d + 2
+    d = f"abs(({t_expr}) - {tap}.0)"
+    return (
+        f"((-0.5 * ({d}) * ({d}) * ({d})) + (2.5 * ({d}) * ({d})) "
+        f"- (4.0 * ({d})) + 2.0)"
+    )
+
+
+def sample_cubic(band: DataFrame, points: DataFrame, *, width: int, height: int,
+                 x_col: str = "px", y_col: str = "py",
+                 id_col: str = "sid") -> DataFrame:
+    """Sample at fractional pixel coords by 4x4 cubic convolution
+    (gcore/gdal_interpolateatpoint.cpp cubic path; kernel weights from
+    alg/gdalresamplingkernels.h, a=-0.5). Taps clamp to the grid (edge
+    replication). 16 shifted equi-joins gather the taps; the weighted
+    sum is a fixed-order column expression. Returns (sid, value)."""
+    xs = F.least(F.greatest(F.col(x_col), F.lit(0.5)), F.lit(width - 0.5))
+    ys = F.least(F.greatest(F.col(y_col), F.lit(0.5)), F.lit(height - 0.5))
+    p = points.select(
+        F.col(id_col), (xs - 0.5).alias("_fx"), (ys - 0.5).alias("_fy")
+    ).select(
+        id_col, "_fx", "_fy",
+        F.least(F.floor("_fx"), F.lit(width - 2)).cast("bigint").alias("_x0"),
+        F.least(F.floor("_fy"), F.lit(height - 2)).cast("bigint").alias("_y0"),
+    ).select(
+        id_col, "_x0", "_y0",
+        (F.col("_fx") - F.col("_x0")).alias("_tx"),
+        (F.col("_fy") - F.col("_y0")).alias("_ty"),
+    )
+    b = band.select("gx", "gy", "value")
+    out = p
+    for i in (-1, 0, 1, 2):        # tap column offset
+        for j in (-1, 0, 1, 2):    # tap row offset
+            name = f"_v_{i}_{j}".replace("-", "m")
+            # clamped tap coordinates (edge replication)
+            txp = F.least(F.greatest(F.col("_x0") + i, F.lit(0)), F.lit(width - 1))
+            typ = F.least(F.greatest(F.col("_y0") + j, F.lit(0)), F.lit(height - 1))
+            out = out.withColumn("_qx", txp).withColumn("_qy", typ).join(
+                b.select(F.col("gx").alias("_qx"), F.col("gy").alias("_qy"),
+                         F.col("value").alias(name)),
+                ["_qx", "_qy"],
+            ).drop("_qx", "_qy")
+    # fixed-order weighted sum: rows first, then columns
+    row_terms = []
+    for j in (-1, 0, 1, 2):
+        terms = []
+        for i in (-1, 0, 1, 2):
+            name = f"_v_{i}_{j}".replace("-", "m")
+            terms.append(f"(CAST({name} AS DOUBLE) * {cubic_weight_sql('_tx', i)})")
+        row = "(((" + terms[0] + " + " + terms[1] + ") + " + terms[2] + ") + " + terms[3] + ")"
+        row_terms.append(f"({row} * {cubic_weight_sql('_ty', j)})")
+    total = "(((" + row_terms[0] + " + " + row_terms[1] + ") + " + row_terms[2] + ") + " + row_terms[3] + ")"
+    return out.select(id_col, F.expr(total).alias("value"))
+
+
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
              radius: float, x_col: str = "x", y_col: str = "y",
              v_col: str = "v") -> DataFrame:

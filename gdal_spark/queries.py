@@ -281,6 +281,101 @@ WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS 
 """
 
 
+def _rect_layer(spark: SparkSession, sf_dir: str, table: str, key: str,
+                salt_x: int, salt_y: int, w: float, h: float, res: int) -> DataFrame:
+    """Derived rectangle layer: one axis-aligned w x h rect per table
+    key, corner from the cross-engine hash — SH-clippable by the
+    polygon_intersection operator AND closed-form for the SQL oracle."""
+    from .kernels import mercator
+
+    t = _read(spark, sf_dir, table)
+    i = F.col(key)
+    x0 = F.lit(-170.0) + F.lit(330.0) * docs.hash01_col(i, salt_x)
+    y0 = F.lit(-75.0) + F.lit(140.0) * docs.hash01_col(i, salt_y)
+    base = t.select(
+        i.alias("poly_id"), x0.alias("x0"), y0.alias("y0"),
+        (x0 + w).alias("x1"), (y0 + h).alias("y1"),
+    )
+    ring_xs = F.array("x0", "x1", "x1", "x0", "x0")
+    ring_ys = F.array("y0", "y0", "y1", "y1", "y0")
+    geo = base.select(
+        "poly_id",
+        ring_xs.alias("xs"), ring_ys.alias("ys"),
+        F.col("x0").alias("minx"), F.col("y0").alias("miny"),
+        F.col("x1").alias("maxx"), F.col("y1").alias("maxy"),
+    )
+    # covering cells of the rect bbox at `res` (engine-side explode)
+    lim = 2**res - 1
+    tx0, ty0_tms = TF.tms_tile(F.col("minx"), F.col("miny"), res)
+    tx1, ty1_tms = TF.tms_tile(F.col("maxx"), F.col("maxy"), res)
+    cx0 = TF.clamp(tx0, 0, lim)
+    cx1 = TF.clamp(tx1, 0, lim)
+    cy_a = TF.clamp(TF.xyz_ty(ty0_tms, res), 0, lim)
+    cy_b = TF.clamp(TF.xyz_ty(ty1_tms, res), 0, lim)
+    cy0 = F.least(cy_a, cy_b)
+    cy1 = F.greatest(cy_a, cy_b)
+    # build the covering-cell list as a cross of two sequences
+    out = (
+        geo.withColumn("_cxs", F.sequence(cx0, cx1))
+        .withColumn("_cys", F.sequence(cy0, cy1))
+        .withColumn(
+            "cell",
+            F.explode(F.expr(
+                f"flatten(transform(_cxs, x -> transform(_cys, y -> "
+                f"{1 << (2 * res)} + x * {2 ** res} + y)))"
+            )),
+        )
+        .drop("_cxs", "_cys")
+    )
+    return out
+
+
+def q_layer_algebra_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer algebra on polygon pairs (ogrlayer.cpp Intersection :3345,
+    Union :3763, SymDifference :4300 — area semantics): two derived
+    rectangle layers through the cell-join + Sutherland-Hodgman
+    pipeline; per intersecting pair emit intersection/union/symdiff
+    areas (union = aA + aB - aI, symdiff = aA + aB - 2*aI). Rectangle
+    fixtures keep the oracle closed-form; the engine path is the
+    general convex-polygon operator."""
+    from .operators.spatial_join import polygon_intersection
+
+    a = _rect_layer(spark, sf_dir, "supplier", "s_suppkey", 21, 22, 30.0, 20.0, res=4)
+    b = _rect_layer(spark, sf_dir, "customer", "c_custkey", 23, 24, 25.0, 15.0, res=4)
+    inter = polygon_intersection(a, b, res=4)
+    return inter.select(
+        "id_a", "id_b",
+        F.round("area", 6).alias("area_i"),
+        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - F.col("area"), 6).alias("area_u"),
+        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - 2 * F.col("area"), 6).alias("area_sd"),
+    )
+
+
+def sql_layer_algebra_areas() -> str:
+    ax0 = f"CAST(-170 AS DOUBLE)+CAST(330 AS DOUBLE)*({derive.hash01_sql('s_suppkey', 21)})"
+    ay0 = f"CAST(-75 AS DOUBLE)+CAST(140 AS DOUBLE)*({derive.hash01_sql('s_suppkey', 22)})"
+    bx0 = f"CAST(-170 AS DOUBLE)+CAST(330 AS DOUBLE)*({derive.hash01_sql('c_custkey', 23)})"
+    by0 = f"CAST(-75 AS DOUBLE)+CAST(140 AS DOUBLE)*({derive.hash01_sql('c_custkey', 24)})"
+    return f"""
+WITH a AS (SELECT s_suppkey AS id_a, {ax0} AS x0, {ay0} AS y0 FROM supplier),
+b AS (SELECT c_custkey AS id_b, {bx0} AS x0, {by0} AS y0 FROM customer),
+p AS (
+  SELECT id_a, id_b,
+         greatest(a.x0, b.x0) AS ix0, least(a.x0 + 30.0, b.x0 + 25.0) AS ix1,
+         greatest(a.y0, b.y0) AS iy0, least(a.y0 + 20.0, b.y0 + 15.0) AS iy1
+  FROM a CROSS JOIN b
+),
+i AS (
+  SELECT id_a, id_b, (ix1 - ix0) * (iy1 - iy0) AS area
+  FROM p WHERE ix1 > ix0 AND iy1 > iy0
+)
+SELECT id_a, id_b, round(area, 6) AS area_i,
+       round(600.0 + 375.0 - area, 6) AS area_u,
+       round(600.0 + 375.0 - 2 * area, 6) AS area_sd
+FROM i
+"""
+
+
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule per-row invariant as a gate query: interleaved
     docs (spans synthesized from orders keys) flow through the
@@ -719,10 +814,14 @@ def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
     pts = d.select("did", px.alias("px"), py.alias("py"))
     out = focal.sample_bilinear(band, pts, width=W, height=W, id_col="did")
+    # normalize by 2^31 before rounding: the 1-ulp trig wobble in the
+    # dest->src mapping perturbs the sampled value by ~1e-6 absolute;
+    # after normalization that is ~5e-16 against a 5e-10 rounding
+    # granularity — flip-proof
     return out.select(
         (F.col("did") % D).alias("dx"),
         (F.col("did") / D).cast("bigint").alias("dy"),
-        F.round("value", 3).alias("value"),
+        F.round(F.col("value") / F.lit(2147483648.0), 9).alias("value"),
     )
 
 
@@ -751,11 +850,81 @@ p1 AS (
 ),
 p AS (SELECT did, dx, dy, _x0, _y0, _fx - _x0 AS _wx, _fy - _y0 AS _wy FROM p1)
 SELECT dx, dy,
-       round(({corner(0,0)}) * (1 - _wx) * (1 - _wy)
+       round((({corner(0,0)}) * (1 - _wx) * (1 - _wy)
            + ({corner(1,0)}) * _wx * (1 - _wy)
            + ({corner(0,1)}) * (1 - _wx) * _wy
-           + ({corner(1,1)}) * _wx * _wy, 3) AS value
+           + ({corner(1,1)}) * _wx * _wy) / 2147483648.0, 9) AS value
 FROM p
+"""
+
+
+def q_warp_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same warp as warp_resample but with the 4x4 cubic-convolution
+    kernel (a=-0.5, alg/gdalresamplingkernels.h)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32 mercator px
+    W, D = 32, 24
+    d = spark.range(D * D).select(
+        F.col("id").alias("did"),
+        (F.col("id") % D).alias("dx"),
+        (F.col("id") / D).cast("bigint").alias("dy"),
+    )
+    lon = (F.col("dx") + F.lit(0.5)) * F.lit(360.0 / D) - F.lit(180.0)
+    lat = F.lit(85.0) - (F.col("dy") + F.lit(0.5)) * F.lit(170.0 / D)
+    mx = TF.merc_mx(lon)
+    my = TF.merc_my(lat)
+    os_f = TF.ORIGIN_SHIFT
+    px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
+    py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
+    pts = d.select("did", px.alias("px"), py.alias("py"))
+    out = focal.sample_cubic(band, pts, width=W, height=W, id_col="did")
+    # normalized like warp_resample (see comment there)
+    return out.select(
+        (F.col("did") % D).alias("dx"),
+        (F.col("did") / D).cast("bigint").alias("dy"),
+        F.round(F.col("value") / F.lit(2147483648.0), 9).alias("value"),
+    )
+
+
+def sql_warp_resample_cubic() -> str:
+    from .operators.focal import cubic_weight_sql
+
+    W, D = 32, 24
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    mx = derive.mercator_mx_sql(lon)
+    my = derive.mercator_my_sql(lat)
+    px = f"(({mx}) + {OS}) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+    py = f"({OS} - ({my})) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+
+    def tap(i: int, j: int) -> str:
+        cx = f"least(greatest(_x0 + ({i}), 0), {W - 1})"
+        cy = f"least(greatest(_y0 + ({j}), 0), {W - 1})"
+        return f"CAST({_band_val_sql(f'({cy}) * {W} + ({cx})')} AS DOUBLE)"
+
+    row_terms = []
+    for j in (-1, 0, 1, 2):
+        terms = [f"({tap(i, j)} * {cubic_weight_sql('_tx', i)})" for i in (-1, 0, 1, 2)]
+        row = "(((" + terms[0] + " + " + terms[1] + ") + " + terms[2] + ") + " + terms[3] + ")"
+        row_terms.append(f"({row} * {cubic_weight_sql('_ty', j)})")
+    total = "(((" + row_terms[0] + " + " + row_terms[1] + ") + " + row_terms[2] + ") + " + row_terms[3] + ")"
+    return f"""
+WITH d AS (SELECT r.range AS did, r.range % {D} AS dx, r.range // {D} AS dy FROM range({D * D}) r),
+p0 AS (
+  SELECT did, dx, dy,
+         least(greatest({px}, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest({py}, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM d
+),
+p1 AS (
+  SELECT did, dx, dy, _fx, _fy,
+         least(CAST(floor(_fx) AS BIGINT), {W - 2}) AS _x0,
+         least(CAST(floor(_fy) AS BIGINT), {W - 2}) AS _y0
+  FROM p0
+),
+p AS (SELECT did, dx, dy, _x0, _y0, _fx - _x0 AS _tx, _fy - _y0 AS _ty FROM p1)
+SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
 """
 
 
@@ -1386,6 +1555,7 @@ QUERIES = {
     "spatial_erase": q_spatial_erase,
     "spatial_identity": q_spatial_identity,
     "dedup_embedding": q_dedup_embedding,
+    "layer_algebra_areas": q_layer_algebra_areas,
     "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
@@ -1403,6 +1573,7 @@ QUERIES = {
     "terrain_metrics": q_terrain_metrics,
     "contour": q_contour,
     "warp_resample": q_warp_resample,
+    "warp_resample_cubic": q_warp_resample_cubic,
     "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
     "events_buckets": q_events_buckets,
@@ -1435,6 +1606,7 @@ ORACLES = {
     "spatial_erase": sql_spatial_erase,
     "spatial_identity": sql_spatial_identity,
     "dedup_embedding": sql_dedup_embedding,
+    "layer_algebra_areas": sql_layer_algebra_areas,
     "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
@@ -1452,6 +1624,7 @@ ORACLES = {
     "terrain_metrics": sql_terrain_metrics,
     "contour": sql_contour,
     "warp_resample": sql_warp_resample,
+    "warp_resample_cubic": sql_warp_resample_cubic,
     "sample_bilinear": sql_sample_bilinear,
     "idw_grid": sql_idw_grid,
     "events_buckets": sql_events_buckets,

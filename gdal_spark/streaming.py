@@ -1,0 +1,70 @@
+"""Structured Streaming surface: the tile-assignment / cell-assignment
+pipeline over a document stream.
+
+The reference is a batch engine (SURVEY §2.13 — no streaming
+operators), so this is an ENGINE EXTENSION, not parity: the same
+codegen'd tile/cell projections compose unchanged onto a streaming
+DataFrame (readStream -> withColumn chain -> writeStream), because
+tile assignment is stateless per row. Stateful pieces (windowed tile
+counts) use standard watermark + window aggregation.
+
+Use cases: continuous ingestion of new documents into the tile-indexed
+Iceberg table; the checkpointLocation gives exactly-once appends —
+complementing the batch-side manifest resume (checkpoint.py).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import tiling
+from .sources import docs
+
+
+def docs_rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Synthetic interleaved-doc stream from the rate source: each tick
+    becomes a doc with the same derived geometry/spans as the batch
+    generator (sources.docs)."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    i = F.col("value")
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("doc-"), F.lpad(i.cast("string"), 12, "0")).alias("doc_id"),
+        i.alias("doc_index"),
+        docs.spans_col(i).alias("spans"),
+        docs.lon_col(i).alias("lon"),
+        docs.lat_col(i).alias("lat"),
+    )
+
+
+def stream_tile_assign(stream_df: DataFrame, zoom: int = 8) -> DataFrame:
+    """Stateless tile assignment on a stream — identical column math to
+    the batch operator (operators.tiling.assign_tiles)."""
+    return tiling.assign_tiles(stream_df, zoom=zoom)
+
+
+def stream_tile_counts(stream_df: DataFrame, *, zoom: int = 5,
+                       window: str = "10 seconds",
+                       watermark: str = "30 seconds") -> DataFrame:
+    """Windowed per-tile doc counts with late-data watermarking — the
+    streaming analog of tile_counts/pyramid base construction."""
+    tiled = tiling.assign_tiles(stream_df, zoom=zoom)
+    return (
+        tiled.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("quadkey"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "quadkey", "cnt")
+    )
+
+
+def run_to_memory(stream_out: DataFrame, *, name: str, mode: str = "append"):
+    """Start the stream into an in-memory table (tests / smoke); caller
+    stops the returned query."""
+    return (
+        stream_out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )

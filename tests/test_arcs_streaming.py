@@ -1,0 +1,100 @@
+"""Arc linearization + streaming pipeline tests."""
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import arcs
+
+
+def test_circumcircle_known():
+    cx, cy, r = arcs.circumcircle((1, 0), (0, 1), (-1, 0))
+    assert (cx, cy) == pytest.approx((0.0, 0.0), abs=1e-12)
+    assert r == pytest.approx(1.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        arcs.circumcircle((0, 0), (1, 1), (2, 2))
+
+
+def test_arc_angles_pass_through_middle():
+    c = (0.0, 0.0, 1.0)
+    a0, a1 = arcs.arc_angles(c[:2], (1, 0), (0, 1), (-1, 0))
+    assert a0 == pytest.approx(0.0)
+    assert a1 == pytest.approx(math.pi)          # CCW upper half
+    a0, a1 = arcs.arc_angles(c[:2], (1, 0), (0, -1), (-1, 0))
+    assert a1 == pytest.approx(-math.pi)         # CW lower half
+
+
+def test_linearize_arc_cols(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 0.0, math.pi)],
+        "gid bigint, cx double, cy double, r double, a0 double, a1 double",
+    )
+    out = arcs.linearize_arc_cols(df, step_deg=4.0).collect()[0]
+    xs, ys = np.array(out["xs"]), np.array(out["ys"])
+    # half circle at 4 deg steps: ceil(180/4)=45 segments -> 46 vertices
+    assert len(xs) == 46
+    # all vertices on the circle
+    np.testing.assert_allclose(np.hypot(xs, ys), 2.0, atol=1e-12)
+    # endpoints exact
+    assert (xs[0], ys[0]) == (2.0, 0.0)
+    assert xs[-1] == pytest.approx(-2.0, abs=1e-12)
+    # max chord deviation within the step bound: r*(1-cos(step/2))
+    step = math.radians(4.0)
+    assert 2.0 * (1 - math.cos(step / 2)) < 0.002
+
+
+def test_contour_multi_levels(spark):
+    from gdal_spark.operators import contour
+
+    w = 8
+    band = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("bigint").alias("gy"),
+        (F.col("id") % w).alias("value"),
+    )
+    segs = contour.contour_multi(band, levels=[2, 5], width=w).toPandas()
+    assert set(segs["level"]) == {2, 5}
+    assert (segs[segs.level == 2]["x1"] == 2.0).all()
+    assert (segs[segs.level == 5]["x1"] == 5.0).all()
+
+
+def test_streaming_tile_assign(spark):
+    from gdal_spark import streaming
+
+    stream = streaming.docs_rate_stream(spark, rows_per_second=500)
+    tiled = streaming.stream_tile_assign(stream, zoom=6)
+    q = streaming.run_to_memory(
+        tiled.select("doc_id", "doc_index", "tx", "ty_xyz", "quadkey"),
+        name="tiles_stream",
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) c FROM tiles_stream").collect()[0]["c"]
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100
+        # streamed assignments equal the batch operator's for same ids
+        got = spark.sql(
+            "SELECT doc_index, tx, ty_xyz, quadkey FROM tiles_stream ORDER BY doc_index LIMIT 50"
+        ).collect()
+        from gdal_spark.operators import tiling
+        from gdal_spark.sources import docs as D
+
+        batch = {
+            r["doc_index"]: (r["tx"], r["ty_xyz"], r["quadkey"])
+            for r in tiling.assign_tiles(
+                D.synth_docs(spark, 200), zoom=6
+            ).collect()
+        }
+        for r in got:
+            assert batch[r["doc_index"]] == (r["tx"], r["ty_xyz"], r["quadkey"])
+    finally:
+        q.stop()
