@@ -376,6 +376,78 @@ FROM i
 """
 
 
+def _l_layer(spark: SparkSession, sf_dir: str, table: str, key: str,
+             salt_x: int, salt_y: int) -> DataFrame:
+    """Derived NON-CONVEX (L-shaped) polygon layer: corner from the
+    cross-engine hash; bottom bar 20x5 + left bar 6x10 (area 160)."""
+    t = _read(spark, sf_dir, table)
+    i = F.col(key)
+    x0 = F.lit(-170.0) + F.lit(320.0) * docs.hash01_col(i, salt_x)
+    y0 = F.lit(-75.0) + F.lit(130.0) * docs.hash01_col(i, salt_y)
+    return t.select(
+        i.alias("poly_id"),
+        F.array(x0, x0 + 20, x0 + 20, x0 + 6, x0 + 6, x0, x0).alias("xs"),
+        F.array(y0, y0, y0 + 5, y0 + 5, y0 + 15, y0 + 15, y0).alias("ys"),
+    )
+
+
+def q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-convex) layer-algebra boolean areas: two L-shaped
+    layers through ear-clipping triangulation + per-triangle-pair
+    convex clipping (the Union/SymDifference/Intersection area
+    semantics of ogrlayer.cpp:3345-4300 for simple polygons)."""
+    from .operators.spatial_join import boolean_areas_general
+
+    a = _l_layer(spark, sf_dir, "supplier", "s_suppkey", 31, 32)
+    b = _l_layer(spark, sf_dir, "customer", "c_custkey", 33, 34)
+    out = boolean_areas_general(a, b, res=4)
+    return out.select(
+        "id_a", "id_b",
+        F.round("area_i", 6).alias("area_i"),
+        F.round("area_u", 6).alias("area_u"),
+        F.round("area_sd", 6).alias("area_sd"),
+    )
+
+
+def sql_boolean_areas() -> str:
+    ax0 = f"CAST(-170 AS DOUBLE)+CAST(320 AS DOUBLE)*({derive.hash01_sql('s_suppkey', 31)})"
+    ay0 = f"CAST(-75 AS DOUBLE)+CAST(130 AS DOUBLE)*({derive.hash01_sql('s_suppkey', 32)})"
+    bx0 = f"CAST(-170 AS DOUBLE)+CAST(320 AS DOUBLE)*({derive.hash01_sql('c_custkey', 33)})"
+    by0 = f"CAST(-75 AS DOUBLE)+CAST(130 AS DOUBLE)*({derive.hash01_sql('c_custkey', 34)})"
+    # each L = two disjoint rects: bottom [x0,x0+20]x[y0,y0+5],
+    # left [x0,x0+6]x[y0+5,y0+15]; aI = sum of the 4 rect-pair overlaps
+    return f"""
+WITH a AS (SELECT s_suppkey AS id_a, {ax0} AS x0, {ay0} AS y0 FROM supplier),
+b AS (SELECT c_custkey AS id_b, {bx0} AS x0, {by0} AS y0 FROM customer),
+ar AS (
+  SELECT id_a, x0 AS rx0, y0 AS ry0, x0 + 20.0 AS rx1, y0 + 5.0 AS ry1 FROM a
+  UNION ALL
+  SELECT id_a, x0, y0 + 5.0, x0 + 6.0, y0 + 15.0 FROM a
+),
+br AS (
+  SELECT id_b, x0 AS rx0, y0 AS ry0, x0 + 20.0 AS rx1, y0 + 5.0 AS ry1 FROM b
+  UNION ALL
+  SELECT id_b, x0, y0 + 5.0, x0 + 6.0, y0 + 15.0 FROM b
+),
+pair AS (
+  SELECT id_a, id_b,
+         greatest(ar.rx0, br.rx0) AS ix0, least(ar.rx1, br.rx1) AS ix1,
+         greatest(ar.ry0, br.ry0) AS iy0, least(ar.ry1, br.ry1) AS iy1
+  FROM ar CROSS JOIN br
+),
+inter AS (
+  SELECT id_a, id_b,
+         sum(CASE WHEN ix1 > ix0 AND iy1 > iy0
+                  THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END) AS ai
+  FROM pair GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(ai, 6) AS area_i,
+       round(160.0 + 160.0 - ai, 6) AS area_u,
+       round(160.0 + 160.0 - 2 * ai, 6) AS area_sd
+FROM inter WHERE ai > 0.0
+"""
+
+
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule per-row invariant as a gate query: interleaved
     docs (spans synthesized from orders keys) flow through the
@@ -1556,6 +1628,7 @@ QUERIES = {
     "spatial_identity": q_spatial_identity,
     "dedup_embedding": q_dedup_embedding,
     "layer_algebra_areas": q_layer_algebra_areas,
+    "boolean_areas_nonconvex": q_boolean_areas,
     "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
@@ -1607,6 +1680,7 @@ ORACLES = {
     "spatial_identity": sql_spatial_identity,
     "dedup_embedding": sql_dedup_embedding,
     "layer_algebra_areas": sql_layer_algebra_areas,
+    "boolean_areas_nonconvex": sql_boolean_areas,
     "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
