@@ -257,6 +257,61 @@ def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFr
     )
 
 
+def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
+             obs_height: float = 2.0) -> DataFrame:
+    """Viewshed (alg/viewshed/viewshed.cpp semantics, uniform-ray
+    sampling): pixel p is visible from the observer iff no intermediate
+    sample along the observer->p ray subtends an equal-or-greater
+    elevation slope.
+
+    Slopes compare as (z - z_obs) / t where t = fraction along the ray
+    (monotone with distance on a fixed ray) — NO trig or sqrt, so the
+    whole computation is exact IEEE arithmetic and cross-engine
+    reproducible. Intermediate terrain heights come from bilinear
+    samples at K = chebyshev(p, obs) uniform steps.
+
+    Plan shape: pixels explode to their ray samples (bounded fan-out),
+    samples gather terrain via the 4-corner join (sample_bilinear),
+    one max-reduce per pixel. Returns (gx, gy, visible)."""
+    spark = band.sparkSession
+    z0row = band.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
+    z_obs = float(z0row[0]["value"]) + obs_height
+
+    px = band.select("gx", "gy", F.col("value").alias("zp"))
+    # NB: Spark resolves column names case-insensitively by default, so
+    # the step count must NOT be named "K" next to a step column "k"
+    px = px.withColumn(
+        "n_steps", F.greatest(F.abs(F.col("gx") - ox), F.abs(F.col("gy") - oy))
+    )
+    # intermediate samples k = 1..n-1 (adjacent/observer pixels have none)
+    samples = (
+        px.filter(F.col("n_steps") >= 2)
+        .withColumn("k", F.explode(F.sequence(F.lit(1), F.col("n_steps") - 1)))
+        .withColumn("t", F.col("k").cast("double") / F.col("n_steps").cast("double"))
+        .withColumn("sx", F.lit(float(ox)) + (F.col("gx") - ox) * F.col("t") + F.lit(0.5))
+        .withColumn("sy", F.lit(float(oy)) + (F.col("gy") - oy) * F.col("t") + F.lit(0.5))
+        .withColumn("sid", (F.col("gy") * width + F.col("gx")) * F.lit(10000) + F.col("k"))
+    )
+    sampled = sample_bilinear(
+        band, samples.select("sid", F.col("sx").alias("px"), F.col("sy").alias("py")),
+        width=width, height=width, id_col="sid",
+    ).withColumnRenamed("value", "zs")
+    joined = samples.join(sampled, "sid").withColumn(
+        "slope_s", (F.col("zs") - F.lit(z_obs)) / F.col("t")
+    )
+    max_slope = joined.groupBy("gx", "gy").agg(F.max("slope_s").alias("max_s"))
+    out = (
+        px.join(max_slope, ["gx", "gy"], "left")
+        .withColumn("slope_p", F.col("zp") - F.lit(z_obs))
+        .select(
+            "gx", "gy",
+            (F.col("max_s").isNull() | (F.col("max_s") < F.col("slope_p")))
+            .alias("visible"),
+        )
+    )
+    return out
+
+
 def cubic_weight_sql(t_expr: str, tap: int) -> str:
     """Cubic-convolution weight (a = -0.5, the GDALResampleAlg cubic
     kernel, alg/gdalresamplingkernels.h CubicKernel) for tap offset

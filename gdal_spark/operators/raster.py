@@ -245,6 +245,29 @@ def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
     )
 
 
+def pansharpen_weighted(ms: DataFrame, pan: DataFrame, *, bands: list[str],
+                        weights: list[float] | None = None) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp, the
+    GDALCreatePansharpenedVRT weighted algorithm): each multispectral
+    band is scaled by pan / pseudo_pan where pseudo_pan is the weighted
+    sum of the MS bands. Joins the (gx, gy)-keyed band tables; pure
+    column arithmetic in a fixed order (cross-engine exact given exact
+    inputs). Returns (gx, gy, <band>_sharp ... )."""
+    ws = weights or [1.0 / len(bands)] * len(bands)
+    j = ms.join(pan.select("gx", "gy", F.col("value").alias("_pan")), ["gx", "gy"])
+    pseudo = None
+    for b, w in zip(bands, ws):
+        term = F.col(b) * F.lit(w)
+        pseudo = term if pseudo is None else pseudo + term
+    j = j.withColumn("_pseudo", pseudo)
+    out_cols = [F.col("gx"), F.col("gy")]
+    for b in bands:
+        out_cols.append(
+            (F.col(b) * (F.col("_pan") / F.col("_pseudo"))).alias(f"{b}_sharp")
+        )
+    return j.select(*out_cols)
+
+
 def raster_calc(pixels: DataFrame, expr: str, *, value_cols: dict[str, str] | None = None,
                 out_col: str = "value") -> DataFrame:
     """gdal_calc analog (osgeo_utils/gdal_calc.py, VRT pixel functions):

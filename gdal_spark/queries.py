@@ -1000,6 +1000,106 @@ SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
 """
 
 
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed from the center of the 32x32 band (alg/viewshed):
+    slope-ratio line-of-sight over bilinear ray samples — trig-free,
+    so the boolean visibility map is cross-engine exact."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    return focal.viewshed(band.select("gx", "gy", "value"), width=32, ox=16, oy=16,
+                          obs_height=2.0)
+
+
+def sql_viewshed() -> str:
+    W = 32
+    corner = lambda cx, cy: _band_val_sql(f"(_y0 + {cy}) * {W} + _x0 + {cx}")
+    z0 = f"CAST({_band_val_sql(str(16 * W + 16))} AS DOUBLE) + 2.0"
+    return f"""
+WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy,
+                   {_band_val_sql(f"(r.range // {W}) * {W} + (r.range % {W})")} AS zp
+            FROM range({W * W}) r),
+s0 AS (SELECT gx, gy, zp, greatest(abs(gx - 16), abs(gy - 16)) AS nsteps FROM px),
+samp AS (
+  SELECT gx, gy, nsteps, st.range AS stepk FROM s0 CROSS JOIN range({W}) st
+  WHERE nsteps >= 2 AND st.range >= 1 AND st.range <= nsteps - 1
+),
+pt AS (SELECT gx, gy, CAST(stepk AS DOUBLE) / CAST(nsteps AS DOUBLE) AS t FROM samp),
+sp AS (
+  SELECT gx, gy, t,
+         16.0 + (gx - 16) * t + 0.5 AS sxx,
+         16.0 + (gy - 16) * t + 0.5 AS syy
+  FROM pt
+),
+b0 AS (
+  SELECT gx, gy, t,
+         least(greatest(sxx, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest(syy, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM sp
+),
+b1 AS (
+  SELECT gx, gy, t, _fx, _fy,
+         least(CAST(floor(_fx) AS BIGINT), {W - 2}) AS _x0,
+         least(CAST(floor(_fy) AS BIGINT), {W - 2}) AS _y0
+  FROM b0
+),
+b AS (SELECT gx, gy, t, _x0, _y0, _fx - _x0 AS _wx, _fy - _y0 AS _wy FROM b1),
+zs AS (
+  SELECT gx, gy, t,
+         ({corner(0,0)}) * (1 - _wx) * (1 - _wy)
+       + ({corner(1,0)}) * _wx * (1 - _wy)
+       + ({corner(0,1)}) * (1 - _wx) * _wy
+       + ({corner(1,1)}) * _wx * _wy AS zs
+  FROM b
+),
+mx AS (SELECT gx, gy, max((zs - ({z0})) / t) AS max_s FROM zs GROUP BY 1, 2)
+SELECT s0.gx, s0.gy,
+       (mx.max_s IS NULL OR mx.max_s < (s0.zp - ({z0}))) AS visible
+FROM s0 LEFT JOIN mx ON mx.gx = s0.gx AND mx.gy = s0.gy
+"""
+
+
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp): two MS
+    bands + a pan band, each derived from the pixel hash with distinct
+    salts; exact arithmetic."""
+    spark_df = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("gx"),
+        (F.col("id") / 32).cast("bigint").alias("gy"),
+        F.col("id").alias("pid"),
+    )
+    ms = spark_df.select(
+        "gx", "gy",
+        raster._hash_col(F.col("pid"), 301).alias("b_red"),
+        raster._hash_col(F.col("pid"), 302).alias("b_nir"),
+    )
+    pan = spark_df.select("gx", "gy", raster._hash_col(F.col("pid"), 303).alias("value"))
+    out = raster.pansharpen_weighted(ms, pan, bands=["b_red", "b_nir"],
+                                     weights=[0.5, 0.5])
+    return out.select("gx", "gy", "b_red_sharp", "b_nir_sharp")
+
+
+def sql_pansharpen() -> str:
+    def hv(salt: int) -> str:
+        return (
+            f"(((r.range % {M31}) * {A} + {salt}) % {M31} * {A} + {salt * 7 + 13}) % {M31}"
+        )
+
+    return f"""
+WITH px AS (
+  SELECT r.range % 32 AS gx, r.range // 32 AS gy,
+         {hv(301)} AS b_red, {hv(302)} AS b_nir, {hv(303)} AS pan
+  FROM range(1024) r
+),
+j AS (SELECT gx, gy, b_red, b_nir, pan,
+             b_red * 0.5 + b_nir * 0.5 AS pseudo FROM px)
+SELECT gx, gy,
+       b_red * (pan / pseudo) AS b_red_sharp,
+       b_nir * (pan / pseudo) AS b_nir_sharp
+FROM j
+"""
+
+
 # ------------------------------------------------------------ relational
 
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,6 +1740,8 @@ QUERIES = {
     "proximity": q_proximity,
     "footprint": q_footprint,
     "hillshade": q_hillshade,
+    "viewshed": q_viewshed,
+    "pansharpen": q_pansharpen,
     "token_count_bpe": q_token_count_bpe,
     "events_json": q_events_json,
     "focal_slope": q_focal_slope,
@@ -1692,6 +1794,8 @@ ORACLES = {
     "proximity": sql_proximity,
     "footprint": sql_footprint,
     "hillshade": sql_hillshade,
+    "viewshed": sql_viewshed,
+    "pansharpen": sql_pansharpen,
     "token_count_bpe": sql_token_count_bpe,
     "events_json": sql_events_json,
     "focal_slope": sql_focal_slope,
