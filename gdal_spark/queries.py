@@ -1000,6 +1000,93 @@ SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
 """
 
 
+def q_warp_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp with the Lanczos-3 windowed-sinc kernel (6x6 taps,
+    normalized weights; alg/gdalresamplingkernels.h)."""
+    from .operators import focal
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    W, D = 32, 24
+    d = spark.range(D * D).select(
+        F.col("id").alias("did"),
+        (F.col("id") % D).alias("dx"),
+        (F.col("id") / D).cast("bigint").alias("dy"),
+    )
+    lon = (F.col("dx") + F.lit(0.5)) * F.lit(360.0 / D) - F.lit(180.0)
+    lat = F.lit(85.0) - (F.col("dy") + F.lit(0.5)) * F.lit(170.0 / D)
+    mx = TF.merc_mx(lon)
+    my = TF.merc_my(lat)
+    os_f = TF.ORIGIN_SHIFT
+    px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
+    py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
+    pts = d.select("did", px.alias("px"), py.alias("py"))
+    out = focal.sample_lanczos(band, pts, width=W, height=W, id_col="did")
+    return out.select(
+        (F.col("did") % D).alias("dx"),
+        (F.col("did") / D).cast("bigint").alias("dy"),
+        F.round(F.col("value") / F.lit(2147483648.0), 9).alias("value"),
+    )
+
+
+def sql_warp_resample_lanczos() -> str:
+    W, D = 32, 24
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    mx = derive.mercator_mx_sql(lon)
+    my = derive.mercator_my_sql(lat)
+    px = f"(({mx}) + {OS}) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+    py = f"({OS} - ({my})) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+
+    def lanczos_w(d_expr: str) -> str:
+        pd_ = f"(pi() * ({d_expr}))"
+        return (
+            f"(CASE WHEN ({d_expr}) = 0.0 THEN 1.0 ELSE "
+            f"(sin({pd_}) / {pd_}) * (sin({pd_} / 3) / ({pd_} / 3)) END)"
+        )
+
+    def tap(i: int, j: int) -> str:
+        cx = f"least(greatest(_x0 + ({i}), 0), {W - 1})"
+        cy = f"least(greatest(_y0 + ({j}), 0), {W - 1})"
+        return f"CAST({_band_val_sql(f'({cy}) * {W} + ({cx})')} AS DOUBLE)"
+
+    taps = list(range(-2, 4))
+    # row-major left folds, identical structure to the numpy loop
+    row_exprs = []
+    for j in taps:
+        row = None
+        for i in taps:
+            term = f"({tap(i, j)} * {lanczos_w(f'_tx - ({i})')})"
+            row = term if row is None else f"({row} + {term})"
+        row_exprs.append(f"({row} * {lanczos_w(f'_ty - ({j})')})")
+    num = None
+    for r in row_exprs:
+        num = r if num is None else f"({num} + {r})"
+    sx = None
+    for i in taps:
+        t = lanczos_w(f"_tx - ({i})")
+        sx = t if sx is None else f"({sx} + {t})"
+    sy = None
+    for j in taps:
+        t = lanczos_w(f"_ty - ({j})")
+        sy = t if sy is None else f"({sy} + {t})"
+    return f"""
+WITH d AS (SELECT r.range AS did, r.range % {D} AS dx, r.range // {D} AS dy FROM range({D * D}) r),
+p0 AS (
+  SELECT did, dx, dy,
+         least(greatest({px}, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest({py}, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM d
+),
+p AS (
+  SELECT did, dx, dy,
+         CAST(floor(_fx) AS BIGINT) AS _x0, CAST(floor(_fy) AS BIGINT) AS _y0,
+         _fx - floor(_fx) AS _tx, _fy - floor(_fy) AS _ty
+  FROM p0
+)
+SELECT dx, dy, round((({num}) / (({sx}) * ({sy}))) / 2147483648.0, 9) AS value FROM p
+"""
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from the center of the 32x32 band (alg/viewshed):
     slope-ratio line-of-sight over bilinear ray samples — trig-free,
@@ -1749,6 +1836,7 @@ QUERIES = {
     "contour": q_contour,
     "warp_resample": q_warp_resample,
     "warp_resample_cubic": q_warp_resample_cubic,
+    "warp_resample_lanczos": q_warp_resample_lanczos,
     "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
     "events_buckets": q_events_buckets,
@@ -1803,6 +1891,7 @@ ORACLES = {
     "contour": sql_contour,
     "warp_resample": sql_warp_resample,
     "warp_resample_cubic": sql_warp_resample_cubic,
+    "warp_resample_lanczos": sql_warp_resample_lanczos,
     "sample_bilinear": sql_sample_bilinear,
     "idw_grid": sql_idw_grid,
     "events_buckets": sql_events_buckets,
