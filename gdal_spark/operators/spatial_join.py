@@ -223,7 +223,7 @@ def boolean_areas_general(
     from ..kernels.triangulate import ear_clip, triangle_area
 
     tri_schema = (
-        "pid bigint, txs array<double>, tys array<double>, "
+        "pid bigint, tri_id bigint, txs array<double>, tys array<double>, "
         "minx double, miny double, maxx double, maxy double, "
         "cell bigint, parea double"
     )
@@ -235,19 +235,21 @@ def boolean_areas_general(
         for _, r in pdf.iterrows():
             tris = ear_clip(r["xs"], r["ys"])
             parea = float(sum(triangle_area(t) for t in tris))
-            for t in tris:
+            for ti, t in enumerate(tris):
                 txs = [t[0][0], t[1][0], t[2][0], t[0][0]]
                 tys = [t[0][1], t[1][1], t[2][1], t[0][1]]
                 ring = np.column_stack([txs, tys])
                 for c in cell_mod.polygon_cover(ring, res):
                     rows.append({
-                        "pid": r[idc], "txs": txs, "tys": tys,
+                        "pid": r[idc], "tri_id": int(r[idc]) * 1000 + ti,
+                        "txs": txs, "tys": tys,
                         "minx": min(txs), "miny": min(tys),
                         "maxx": max(txs), "maxy": max(tys),
                         "cell": int(c), "parea": parea,
                     })
         return pd.DataFrame(rows, columns=[
-            "pid", "txs", "tys", "minx", "miny", "maxx", "maxy", "cell", "parea",
+            "pid", "tri_id", "txs", "tys", "minx", "miny", "maxx", "maxy",
+            "cell", "parea",
         ])
 
     def tri_layer(layer: DataFrame, idc: str) -> DataFrame:
@@ -257,14 +259,14 @@ def boolean_areas_general(
         )
 
     ta = tri_layer(layer_a, id_a).select(
-        F.col("pid").alias("id_a"), F.col("cell"),
+        F.col("pid").alias("id_a"), F.col("tri_id").alias("tri_a"), F.col("cell"),
         F.col("txs").alias("xs_a"), F.col("tys").alias("ys_a"),
         F.col("minx").alias("aminx"), F.col("miny").alias("aminy"),
         F.col("maxx").alias("amaxx"), F.col("maxy").alias("amaxy"),
         F.col("parea").alias("area_a"),
     )
     tb = tri_layer(layer_b, id_b).select(
-        F.col("pid").alias("id_b"), F.col("cell"),
+        F.col("pid").alias("id_b"), F.col("tri_id").alias("tri_b"), F.col("cell"),
         F.col("txs").alias("xs_b"), F.col("tys").alias("ys_b"),
         F.col("minx").alias("bminx"), F.col("miny").alias("bminy"),
         F.col("maxx").alias("bmaxx"), F.col("maxy").alias("bmaxy"),
@@ -273,7 +275,7 @@ def boolean_areas_general(
     cand = (
         ta.join(tb, "cell")
         .drop("cell")
-        .dropDuplicates(["id_a", "id_b", "xs_a", "ys_a", "xs_b", "ys_b"])
+        .dropDuplicates(["tri_a", "tri_b"])  # int keys, not float arrays
         .filter(
             (F.col("aminx") <= F.col("bmaxx")) & (F.col("amaxx") >= F.col("bminx"))
             & (F.col("aminy") <= F.col("bmaxy")) & (F.col("amaxy") >= F.col("bminy"))
