@@ -235,13 +235,16 @@ def boolean_areas_general(
         for _, r in pdf.iterrows():
             tris = ear_clip(r["xs"], r["ys"])
             parea = float(sum(triangle_area(t) for t in tris))
+            # unique per (polygon, triangle): 32-bit shift leaves room
+            # for 4G triangles per polygon and 2^31 polygon ids
+            assert len(tris) < (1 << 32)
             for ti, t in enumerate(tris):
                 txs = [t[0][0], t[1][0], t[2][0], t[0][0]]
                 tys = [t[0][1], t[1][1], t[2][1], t[0][1]]
                 ring = np.column_stack([txs, tys])
                 for c in cell_mod.polygon_cover(ring, res):
                     rows.append({
-                        "pid": r[idc], "tri_id": int(r[idc]) * 1000 + ti,
+                        "pid": r[idc], "tri_id": (int(r[idc]) << 32) + ti,
                         "txs": txs, "tys": tys,
                         "minx": min(txs), "miny": min(tys),
                         "maxx": max(txs), "maxy": max(tys),
