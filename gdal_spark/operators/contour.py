@@ -79,13 +79,16 @@ def slot_exprs(level: int, slot: int) -> tuple[str, str, str, str, list[int]]:
     return (*exprs, cases)  # type: ignore[return-value]
 
 
-def contour_segments(band: DataFrame, *, level: int, width: int) -> DataFrame:
+def contour_segments(band: DataFrame, *, level: int, width: int,
+                     height: int | None = None) -> DataFrame:
     """Marching-squares segments at `level`. band: (gx, gy, value)
-    integer pixels; returns (cx, cy, x1, y1, x2, y2) per segment."""
+    integer pixels; returns (cx, cy, x1, y1, x2, y2) per segment.
+    height defaults to width (square rasters)."""
+    height = height if height is not None else width
     cells = (
         band.select(F.col("gx").alias("cx"), F.col("gy").alias("cy"),
                     F.col("value").alias("v00"))
-        .filter((F.col("cx") < width - 1) & (F.col("cy") < width - 1))
+        .filter((F.col("cx") < width - 1) & (F.col("cy") < height - 1))
     )
     for (dx, dy, name) in ((1, 0, "v10"), (0, 1, "v01"), (1, 1, "v11")):
         cells = cells.join(
@@ -109,15 +112,15 @@ def contour_segments(band: DataFrame, *, level: int, width: int) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
-def contour_multi(band: DataFrame, *, levels: list[int], width: int) -> DataFrame:
+def contour_multi(band: DataFrame, *, levels: list[int], width: int,
+                  height: int | None = None) -> DataFrame:
     """Multi-level contour (the reference's interval/fixed level
     generators, alg/contour.cpp:283-520): union of per-level segment
     sets with a `level` column."""
     out = None
     for lv in levels:
-        seg = contour_segments(band, level=lv, width=width).withColumn(
-            "level", F.lit(lv)
-        )
+        seg = contour_segments(band, level=lv, width=width, height=height) \
+            .withColumn("level", F.lit(lv))
         out = seg if out is None else out.unionByName(seg)
     return out
 

@@ -158,14 +158,6 @@ def ngram_jaccard_pairs(
     return out
 
 
-def _minhash_perm(h: Column, j: int) -> Column:
-    """j-th MinHash permutation of a word hash: (a_j*h + b_j) mod P.
-    a_j, b_j derived from j by fixed LCG constants (odd a)."""
-    a = (2 * j + 1) * 40503 % LSH_PRIME
-    b = (j * 1103515245 + 12345) % LSH_PRIME
-    return (h * F.lit(a) + F.lit(b)) % F.lit(LSH_PRIME)
-
-
 def minhash_signatures(
     df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
     n_hashes: int = 16,

@@ -258,7 +258,7 @@ def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFr
 
 
 def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
-             obs_height: float = 2.0) -> DataFrame:
+             obs_height: float = 2.0, height: int | None = None) -> DataFrame:
     """Viewshed (alg/viewshed/viewshed.cpp semantics, uniform-ray
     sampling): pixel p is visible from the observer iff no intermediate
     sample along the observer->p ray subtends an equal-or-greater
@@ -273,6 +273,9 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
     Plan shape: pixels explode to their ray samples (bounded fan-out),
     samples gather terrain via the 4-corner join (sample_bilinear),
     one max-reduce per pixel. Returns (gx, gy, visible)."""
+    height = height if height is not None else width
+    # sid packs (pixel, step): 21-bit shift bounds the raster dimension
+    assert max(width, height) <= (1 << 21), "viewshed sid packing limit"
     spark = band.sparkSession
     z0row = band.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
     z_obs = float(z0row[0]["value"]) + obs_height
@@ -290,11 +293,14 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
         .withColumn("t", F.col("k").cast("double") / F.col("n_steps").cast("double"))
         .withColumn("sx", F.lit(float(ox)) + (F.col("gx") - ox) * F.col("t") + F.lit(0.5))
         .withColumn("sy", F.lit(float(oy)) + (F.col("gy") - oy) * F.col("t") + F.lit(0.5))
-        .withColumn("sid", (F.col("gy") * width + F.col("gx")) * F.lit(10000) + F.col("k"))
+        .withColumn(
+            "sid",
+            F.shiftleft(F.col("gy") * width + F.col("gx"), 21) + F.col("k"),
+        )
     )
     sampled = sample_bilinear(
         band, samples.select("sid", F.col("sx").alias("px"), F.col("sy").alias("py")),
-        width=width, height=width, id_col="sid",
+        width=width, height=height, id_col="sid",
     ).withColumnRenamed("value", "zs")
     joined = samples.join(sampled, "sid").withColumn(
         "slope_s", (F.col("zs") - F.lit(z_obs)) / F.col("t")

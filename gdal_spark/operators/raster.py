@@ -179,6 +179,7 @@ def rasterize_polygons(
     hits = spatial_join_points_in_polygons(
         grid, cover, res=res,
         keep_point_cols=["gx", "gy"],
+        keep_poly_cols=sorted({"poly_id", burn_col}),
     )
     g = hits.groupBy("gx", "gy")
     if merge_alg == "add":
@@ -310,10 +311,14 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
     x0 = xs.min() // tile * tile
     y0 = ys.min() // tile * tile
     h = w = tile
-    img = np.full((h, w), -1, dtype=np.int64)
+    # explicit presence mask — a value sentinel would mislabel signed
+    # bands (any negative pixel would read as "absent")
+    img = np.zeros((h, w), dtype=np.int64)
+    present2d = np.zeros((h, w), dtype=bool)
     lx = xs - x0
     ly = ys - y0
     img[ly, lx] = vals
+    present2d[ly, lx] = True
     # union-find over local pixels
     parent = np.arange(h * w, dtype=np.int64)
 
@@ -331,15 +336,13 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
             else:
                 parent[ra] = rb
 
-    present = np.zeros(h * w, dtype=bool)
-    present[ly * w + lx] = True
     # horizontal and vertical 4-adjacency within the tile
     for (dy, dx) in ((0, 1), (1, 0)):
-        ay, ax = np.nonzero(img >= 0)
+        ay, ax = np.nonzero(present2d)
         by, bx = ay + dy, ax + dx
         ok = (by < h) & (bx < w)
         ay, ax, by, bx = ay[ok], ax[ok], by[ok], bx[ok]
-        same = (img[by, bx] >= 0) & (img[ay, ax] == img[by, bx])
+        same = present2d[by, bx] & (img[ay, ax] == img[by, bx])
         for a, b in zip(ay[same] * w + ax[same], by[same] * w + bx[same]):
             union(a, b)
     # resolve: label = min global pid in local component

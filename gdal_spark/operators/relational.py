@@ -20,6 +20,7 @@ def first_match_left_join(
     *,
     secondary_order: str,
     prefix: str = "sec_",
+    broadcast: bool = True,
 ) -> DataFrame:
     """OGR SQL `LEFT JOIN ... ON a.f = b.f` is ONE-TO-ONE: each primary
     row takes the FIRST matching secondary row (nested-loop fetch,
@@ -27,7 +28,9 @@ def first_match_left_join(
     Spark-side: dedupe the secondary to its first row per key
     (min `secondary_order` — FID order in the reference) then plain
     left equi-join; the dedup makes Spark's hash join reproduce the
-    nested-loop's first-match semantics exactly.
+    nested-loop's first-match semantics exactly. Set broadcast=False
+    for large secondaries (AQE still picks the join strategy from
+    stats).
     """
     w = F.row_number().over(
         Window.partitionBy(on).orderBy(F.col(secondary_order).asc())
@@ -39,13 +42,8 @@ def first_match_left_join(
         F.col(on),
         *[F.col(c).alias(prefix + c) for c in first.columns if c != on],
     )
-    return primary.join(F.broadcast(renamed) if _is_small(renamed) else renamed,
+    return primary.join(F.broadcast(renamed) if broadcast else renamed,
                         on, "left")
-
-
-def _is_small(df: DataFrame, limit_cols: int = 100) -> bool:
-    # heuristic only; Spark AQE will still pick broadcast from stats.
-    return True
 
 
 def summary(df: DataFrame, col: str) -> DataFrame:

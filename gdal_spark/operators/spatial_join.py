@@ -325,6 +325,7 @@ def spatial_join_points_in_polygons(
     n_salt: int = 8,
     hot_cells: list[int] | None = None,
     keep_point_cols: list[str] | None = None,
+    keep_poly_cols: list[str] | None = None,
 ) -> DataFrame:
     """points ⋈ polygons with PIP predicate.
 
@@ -365,4 +366,5 @@ def spatial_join_points_in_polygons(
         _pip_udf(F.col(lon), F.col(lat), F.col("poly_id"), F.col("xs"), F.col("ys"))
     )
     keep = keep_point_cols or [c for c in points.columns]
-    return exact.select(*keep, "poly_id")
+    keep_poly = keep_poly_cols or ["poly_id"]
+    return exact.select(*keep, *keep_poly)

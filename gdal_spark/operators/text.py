@@ -23,14 +23,12 @@ LANG_MARKERS = {
 
 
 def _count_token(text_col: str, token: str) -> Column:
-    """# of occurrences of ` token ` in ' '||text||' ' via length
-    arithmetic (identical semantics in any engine; no regex dialects)."""
-    padded = f"concat(' ', {text_col}, ' ')"
-    pat = f" {token} "
-    # non-overlapping count; marker words are never self-overlapping
+    """# of whitespace tokens equal to `token` — exact token-equality
+    count over the split (the earlier padded-replace arithmetic
+    undercounted ADJACENT occurrences because the non-overlapping
+    replace consumed the shared separating space: 'the the' counted 1)."""
     return F.expr(
-        f"cast((length({padded}) - length(replace({padded}, '{pat}', '')))"
-        f" / {len(pat)} as bigint)"
+        f"cast(size(filter(split({text_col}, ' '), t -> t = '{token}')) as bigint)"
     )
 
 

@@ -40,21 +40,24 @@ def segmentize(df: DataFrame, max_length: float, xs: str = "xs", ys: str = "ys")
     vertices and splits each segment into equal parts). Pure JVM HOFs.
     """
     ml = float(max_length)
+    # NB: sequence(0, -1) is DESCENDING in Spark — guard degenerate
+    # geometries (fewer than 2 vertices) with an explicit empty array
     npieces = (
-        f"transform(sequence(0, size({xs}) - 2), i -> "
+        f"if(size({xs}) < 2, array(), transform(sequence(0, size({xs}) - 2), i -> "
         f"greatest(CAST(ceil(sqrt((element_at({xs}, i + 2) - element_at({xs}, i + 1)) * (element_at({xs}, i + 2) - element_at({xs}, i + 1))"
-        f" + (element_at({ys}, i + 2) - element_at({ys}, i + 1)) * (element_at({ys}, i + 2) - element_at({ys}, i + 1))) / {ml}) AS INT), 1))"
+        f" + (element_at({ys}, i + 2) - element_at({ys}, i + 1)) * (element_at({ys}, i + 2) - element_at({ys}, i + 1))) / {ml}) AS INT), 1)))"
     )
 
     def interp(c: str) -> str:
         # for each segment i with n_i pieces, emit vertices j=0..n_i-1:
         # v + (v2-v1)*j/n_i ; append the final vertex afterwards
         return (
+            f"if(size({c}) < 2, {c}, "
             f"array_append(flatten(transform(sequence(0, size({c}) - 2), i -> "
             f"transform(sequence(0, element_at(np, i + 1) - 1), j -> "
             f"element_at({c}, i + 1) + (element_at({c}, i + 2) - element_at({c}, i + 1))"
             f" * CAST(j AS DOUBLE) / CAST(element_at(np, i + 1) AS DOUBLE)))), "
-            f"element_at({c}, size({c})))"
+            f"element_at({c}, size({c}))))"
         )
 
     return (

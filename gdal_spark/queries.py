@@ -90,11 +90,8 @@ _WHASH = (
 
 
 def _count_token_sql(token: str) -> str:
-    padded = "concat(' ', text, ' ')"
-    pat = f" {token} "
-    return (
-        f"(length({padded}) - length(replace({padded}, '{pat}', ''))) // {len(pat)}"
-    )
+    """Token-equality count (twin of text._count_token)."""
+    return f"len(list_filter(string_split(text, ' '), t -> t = '{token}'))"
 
 
 # ================================================================ queries
