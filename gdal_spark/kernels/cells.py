@@ -144,11 +144,32 @@ def polygon_cover(ring_xy: np.ndarray, res: int) -> np.ndarray:
     return pack_cell(gx.ravel(), gy.ravel(), res)
 
 
+def cover_count(ring_xy: np.ndarray, res: int) -> int:
+    """Size of polygon_cover's bbox mesh WITHOUT materializing it —
+    O(1) from the clamped tile ranges (a world-spanning ring at res 14
+    would otherwise meshgrid ~1e8 cells just to be counted)."""
+    ring = np.asarray(ring_xy, dtype=np.float64)
+    lim = 2**res - 1
+    minx = max(ring[:, 0].min(), -179.9999999)
+    maxx = min(ring[:, 0].max(), 179.9999999)
+    miny = max(ring[:, 1].min(), -mercator.MAX_LAT)
+    maxy = min(ring[:, 1].max(), mercator.MAX_LAT)
+    tx0, ty0_tms = mercator.lat_lon_to_tile(np.float64(miny), np.float64(minx), res)
+    tx1, ty1_tms = mercator.lat_lon_to_tile(np.float64(maxy), np.float64(maxx), res)
+    tx0 = int(np.clip(tx0, 0, lim)); tx1 = int(np.clip(tx1, 0, lim))
+    ty0 = int(np.clip(mercator.tms_to_xyz(ty0_tms, res), 0, lim))
+    ty1 = int(np.clip(mercator.tms_to_xyz(ty1_tms, res), 0, lim))
+    if ty0 > ty1:
+        ty0, ty1 = ty1, ty0
+    return (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+
+
 def cover_resolution(ring_xy: np.ndarray, max_cells: int = 64, max_res: int = 14) -> int:
     """Pick the finest resolution whose bbox cover stays under max_cells.
     Mirrors how the reference picks pyramid depth from extent
-    (gdal2tiles ZoomForPixelSize semantics, gdal2tiles.py:503-508)."""
+    (gdal2tiles ZoomForPixelSize semantics, gdal2tiles.py:503-508).
+    Uses the O(1) cover_count — never materializes the mesh."""
     for res in range(max_res, -1, -1):
-        if len(polygon_cover(ring_xy, res)) <= max_cells:
+        if cover_count(ring_xy, res) <= max_cells:
             return res
     return 0

@@ -16,9 +16,10 @@ id, which puts points on a lattice of diagonal lines (measured corr
 rounds add the nonlinearity (mid-square family) while every
 intermediate stays < 2^62, so int64 +,*,% reproduce bit-for-bit in any
 engine (verified: 16x16 occupancy chi2 ~ 230 on 255 dof, corr 0.001):
-    h1 = (i*A + salt*16807 + 12345) % 2^31
+    i0 = i % 2^31                            (pre-reduce: i*A must not
+    h1 = (i0*A + salt*16807 + 12345) % 2^31   overflow int64 at 10^12 ids)
     h2 = (h1*h1 + h1) % 2^31
-    h3 = (h2*A + i + salt) % 2^31
+    h3 = (h2*A + i0 + salt) % 2^31
     h4 = (h3*h3 + h2) % 2^31
     hash01 = h4 / 2^31                       in [0, 1)
     lon = -180 + 360*hash01(id, 1)
@@ -44,10 +45,10 @@ ORIGIN_SHIFT_SQL = "20037508.342789244"
 # ---------------------------------------------------------------- numpy side
 
 def hash01_np(i, salt: int) -> np.ndarray:
-    i = np.asarray(i, dtype=np.int64)
-    h1 = (i * A + salt * 16807 + 12345) % M31
+    i0 = np.asarray(i, dtype=np.int64) % M31
+    h1 = (i0 * A + salt * 16807 + 12345) % M31
     h2 = (h1 * h1 + h1) % M31
-    h3 = (h2 * A + i + salt) % M31
+    h3 = (h2 * A + i0 + salt) % M31
     h4 = (h3 * h3 + h2) % M31
     return h4.astype(np.float64) / np.float64(M31)
 
@@ -65,9 +66,10 @@ def lat_np(i) -> np.ndarray:
 
 def hash01_sql(expr: str, salt: int) -> str:
     """Identical int64 op sequence as hash01_np, ANSI SQL (DuckDB)."""
-    h1 = f"((({expr})*{A}+{salt * 16807 + 12345})%{M31})"
+    i0 = f"(({expr})%{M31})"
+    h1 = f"(({i0}*{A}+{salt * 16807 + 12345})%{M31})"
     h2 = f"(({h1}*{h1}+{h1})%{M31})"
-    h3 = f"(({h2}*{A}+({expr})+{salt})%{M31})"
+    h3 = f"(({h2}*{A}+{i0}+{salt})%{M31})"
     h4 = f"(({h3}*{h3}+{h2})%{M31})"
     return f"{h4}/CAST({M31} AS DOUBLE)"
 

@@ -26,10 +26,12 @@ from . import derive
 
 
 def hash01_col(i: Column, salt: int) -> Column:
-    """Column twin of derive.hash01_np (quadratic-mixed int64 hash)."""
-    h1 = (i * derive.A + F.lit(salt * 16807 + 12345)) % derive.M31
+    """Column twin of derive.hash01_np (quadratic-mixed int64 hash;
+    pre-reduce keeps i*A inside int64 at 10^12-row id ranges)."""
+    i0 = i % derive.M31
+    h1 = (i0 * derive.A + F.lit(salt * 16807 + 12345)) % derive.M31
     h2 = (h1 * h1 + h1) % derive.M31
-    h3 = (h2 * derive.A + i + F.lit(salt)) % derive.M31
+    h3 = (h2 * derive.A + i0 + F.lit(salt)) % derive.M31
     h4 = (h3 * h3 + h2) % derive.M31
     return h4.cast("double") / F.lit(float(derive.M31))
 

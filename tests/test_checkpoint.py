@@ -73,6 +73,59 @@ def test_partial_manifest_resumes_only_missing(spark, tmp_path):
     assert all(v == 125 for v in per.values())
 
 
+def test_crash_between_output_and_manifest_is_idempotent(spark, tmp_path):
+    """A kill AFTER the output write but BEFORE the manifest append must
+    not duplicate rows on resume: the dynamic partition overwrite
+    replaces the orphaned partitions."""
+    base = str(tmp_path / "job_crash")
+    inp = _input(spark)
+
+    def process(df):
+        return df
+
+    # simulate the crash: partition pk=3's output exists, no manifest row
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        inp.filter(F.col("pk") == 3).write.mode("overwrite").partitionBy("pk") \
+            .parquet(str(tmp_path / "job_crash" / "out"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    m = checkpoint.run_partitioned(
+        spark, base_dir=base, job_id="jc", input_df=inp,
+        part_key_col="pk", process=process,
+    )
+    assert m["partitions_processed"] == 8  # pk=3 had no manifest -> redone
+    out = spark.read.parquet(os.path.join(base, "out"))
+    assert out.count() == 1000             # overwritten, NOT duplicated
+    assert out.select("id").distinct().count() == 1000
+
+
+def test_string_part_keys(spark, tmp_path):
+    """Quadkey-prefix-style STRING part keys survive the manifest round
+    trip without numeric coercion ('023' stays distinct from '23')."""
+    base = str(tmp_path / "job_str")
+    inp = spark.createDataFrame(
+        [(1, "023"), (2, "23"), (3, "023"), (4, "1")],
+        "id bigint, pk string",
+    )
+    m = checkpoint.run_partitioned(
+        spark, base_dir=base, job_id="js", input_df=inp,
+        part_key_col="pk", process=lambda d: d,
+    )
+    assert m["partitions_processed"] == 3
+    man = checkpoint.read_manifest(spark, base, "js")
+    keys = sorted(r["part_key"] for r in man.collect())
+    assert keys == ["023", "1", "23"]
+    # resume: nothing pending
+    m2 = checkpoint.run_partitioned(
+        spark, base_dir=base, job_id="js", input_df=inp,
+        part_key_col="pk", process=lambda d: d,
+    )
+    assert m2["partitions_processed"] == 0
+
+
 def test_manifests_isolated_by_job_id(spark, tmp_path):
     base = str(tmp_path / "job3")
     inp = _input(spark, n=100, parts=4)
