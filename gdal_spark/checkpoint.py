@@ -47,9 +47,19 @@ def read_manifest(spark: SparkSession, base_dir: str, job_id: str) -> DataFrame:
     """Manifest rows for `job_id`. A missing manifest (first run) is
     empty; any OTHER read failure propagates — swallowing a transient
     FS error here would silently restart the whole job and duplicate
-    output."""
+    output.
+
+    Existence is probed through Spark's Hadoop FileSystem so the check
+    is correct on the production targets (s3a://, hdfs://, abfs://),
+    not just the driver-local disk — a driver-local os.path.exists
+    would report False for every remote path and silently disable
+    resume."""
     p = manifest_path(base_dir)
-    if not os.path.exists(p):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return spark.read.parquet(p).filter(F.col("job_id") == job_id)
 

@@ -24,22 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # case -> list of segments, each segment = (edgeA, edgeB);
-# corners: bit0=v00, bit1=v10, bit2=v11, bit3=v01 (inside == value > L)
-CASE_SEGMENTS: dict[int, list[tuple[str, str]]] = {
+# corners: bit0=v00, bit1=v10, bit2=v11, bit3=v01 (inside == value > L).
+# Saddle cases 5 and 10 are ambiguous; the reference disambiguates by
+# the cell-center mean (alg/marching_squares/square.h FudgeCase /
+# center-average rule): when (v00+v10+v11+v01)/4 > level the two inside
+# corners CONNECT through the center, flipping the segment pairing.
+# We encode that as case bit 4 (case + 16 when center > level); the
+# center bit only changes the pairing for 5/10 — every other extended
+# case maps to the same segments as its low-4-bit case.
+_BASE_SEGMENTS: dict[int, list[tuple[str, str]]] = {
     1: [("left", "bottom")],
     2: [("bottom", "right")],
     3: [("left", "right")],
     4: [("right", "top")],
-    5: [("left", "bottom"), ("right", "top")],
+    5: [("left", "bottom"), ("right", "top")],   # center <= L: separate
     6: [("bottom", "top")],
     7: [("left", "top")],
     8: [("top", "left")],
     9: [("bottom", "top")],
-    10: [("bottom", "right"), ("top", "left")],
+    10: [("bottom", "right"), ("top", "left")],  # center <= L: separate
     11: [("right", "top")],
     12: [("right", "left")],
     13: [("bottom", "right")],
     14: [("left", "bottom")],
+}
+CASE_SEGMENTS: dict[int, list[tuple[str, str]]] = {
+    **_BASE_SEGMENTS,
+    **{c + 16: segs for c, segs in _BASE_SEGMENTS.items() if c not in (5, 10)},
+    21: [("left", "top"), ("bottom", "right")],   # 5, center > L: connected
+    26: [("left", "bottom"), ("right", "top")],   # 10, center > L: connected
 }
 
 
@@ -59,7 +72,9 @@ def case_expr(level: int) -> str:
     L = level
     return (
         f"CAST(v00 > {L} AS INT) + 2 * CAST(v10 > {L} AS INT) "
-        f"+ 4 * CAST(v11 > {L} AS INT) + 8 * CAST(v01 > {L} AS INT)"
+        f"+ 4 * CAST(v11 > {L} AS INT) + 8 * CAST(v01 > {L} AS INT) "
+        # center-average saddle bit (exact: 4*mean > 4*L in int math)
+        f"+ 16 * CAST(v00 + v10 + v11 + v01 > 4 * ({L}) AS INT)"
     )
 
 

@@ -171,7 +171,11 @@ def minhash_signatures(
         F.expr(
             f"array_distinct(transform(toks, w -> {word_hash_expr('w')}))"
         ),
-    )
+    ).filter(F.size("whs") > 0)
+    # ^ empty/whitespace-only docs are EXCLUDED from minhashing by
+    # contract (min over an empty set is undefined); the SQL oracles'
+    # unnest CTEs drop them identically, so the rule is pinned here
+    # rather than left fixture-dependent.
     sig_cols = []
     for j in range(n_hashes):
         a = (2 * j + 1) * 40503 % LSH_PRIME
@@ -196,16 +200,22 @@ def minhash_lsh_pairs(
     on (band_idx, band_values) — the scalable LSH shape."""
     r = n_hashes // bands
     sigs = minhash_signatures(df, id_col=id_col, text=text, n_hashes=n_hashes)
+    # The band key is the r-value slice FOLDED to one int64 (h*131 + x
+    # mod 2^31-1): the self-join shuffles and compares 8-byte keys
+    # instead of array<bigint> — far cheaper serialization + hash
+    # exchange. Fold collisions only ADD candidate band matches, and the
+    # oracle applies the identical fold, so results stay engine-exact
+    # (this is standard LSH bucket hashing, not an approximation).
     banded = sigs.select(
         "id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band, slice(sig, b*{r}+1, {r}) as key))"
+                f"b -> struct(b as band, aggregate(slice(sig, b*{r}+1, {r}), 0L, "
+                f"(h, x) -> (h * 131 + x) % {LSH_PRIME}) as key))"
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"),
-             F.col("bk.key").cast("array<bigint>").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -224,7 +234,9 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
     t = tokens(df, text)
     whashes = t.withColumn(
         "whs", F.expr(f"array_distinct(transform(toks, w -> {word_hash_expr('w')}))")
-    )
+    ).filter(F.size("whs") > 0)
+    # empty docs excluded by contract — matches the oracles' unnest CTEs
+    # (an empty doc has no bit votes; fingerprint 0 would be arbitrary)
     fp = F.expr(
         "aggregate(sequence(0, %d), 0L, (acc, b) -> acc + (CASE WHEN "
         "aggregate(whs, 0L, (v, h) -> v + CASE WHEN (h div shiftleft(1L, b)) %% 2 = 1 "

@@ -408,33 +408,81 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
         edges.select(F.col("l2").alias("l1"), F.col("l1").alias("l2"))
     ).distinct().cache()
 
-    # label propagation to fixed point on the (small) label graph:
-    # each round relaxes every edge (root(l) <- min over neighbors'
-    # roots) — the classic distributed connected-components iteration;
-    # converges in O(graph diameter) small-join rounds.
-    mapping = edges.select("l1").distinct().select(
-        "l1", F.col("l1").alias("root")
-    ).cache()
-    for _ in range(64):
-        nbr = (
-            edges.join(mapping.withColumnRenamed("l1", "l2"), "l2")
-            .select("l1", "root")
-        )
-        nxt = (
-            mapping.unionByName(nbr)
-            .groupBy("l1")
-            .agg(F.min("root").alias("root"))
-            .cache()
-        )
-        changed = (
-            nxt.alias("n")
-            .join(mapping.alias("m"), "l1")
-            .filter(F.col("n.root") != F.col("m.root"))
-            .count()
-        )
-        mapping = nxt
-        if changed == 0:
-            break
+    # Resolve the label graph to canonical roots. The graph is tiny
+    # relative to the pixel table (one node per provisional tile-border
+    # label), so the fast path collects it once and union-finds on the
+    # driver — zero per-round Spark jobs. Above the driver threshold we
+    # fall back to distributed min-label propagation WITH pointer
+    # doubling (root <- root(root) each round), so convergence is
+    # O(log diameter) and the 64-round cap is genuinely sufficient for
+    # any raster this planet stores; if the fixed point is still not
+    # reached we raise instead of silently emitting wrong components.
+    n_edges = edges.count()
+    if n_edges <= 2_000_000:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row["l1"]), find(row["l2"])
+            if ra != rb:
+                # union by min so the root is the canonical min label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(k, find(k)) for k in list(parent.keys())]
+        spark = pixels.sparkSession
+        if rows:
+            mapping = spark.createDataFrame(rows, "l1 bigint, root bigint")
+        else:
+            mapping = spark.createDataFrame([], "l1 bigint, root bigint")
+    else:
+        mapping = edges.select("l1").distinct().select(
+            "l1", F.col("l1").alias("root")
+        ).cache()
+        changed = -1
+        for _ in range(64):
+            nbr = (
+                edges.join(mapping.withColumnRenamed("l1", "l2"), "l2")
+                .select("l1", "root")
+            )
+            half = (
+                mapping.unionByName(nbr)
+                .groupBy("l1")
+                .agg(F.min("root").alias("root"))
+            )
+            # pointer doubling: root <- root's root
+            nxt = (
+                half.alias("h")
+                .join(
+                    half.select(F.col("l1").alias("_r"), F.col("root").alias("_rr")),
+                    F.col("h.root") == F.col("_r"),
+                    "left",
+                )
+                .select("l1", F.least(F.col("h.root"),
+                                      F.coalesce("_rr", F.col("h.root"))).alias("root"))
+                .cache()
+            )
+            changed = (
+                nxt.alias("n")
+                .join(mapping.alias("m"), "l1")
+                .filter(F.col("n.root") != F.col("m.root"))
+                .count()
+            )
+            mapping = nxt
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                "label_pixels: cross-tile label propagation did not converge "
+                f"in 64 doubling rounds ({changed} labels still changing) — "
+                "refusing to emit possibly-wrong component labels"
+            )
 
     return (
         labeled.join(F.broadcast(mapping), labeled["label"] == mapping["l1"], "left")

@@ -1437,7 +1437,8 @@ j AS (
 sig AS (SELECT doc_id, jj, min((h * a + b) % {P}) AS mh FROM j GROUP BY 1, 2),
 band AS (
   SELECT doc_id, jj // 4 AS band,
-         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY jj) AS key
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY jj)),
+                     (h, x) -> (h * 131 + x) % {P}) AS key
   FROM sig GROUP BY 1, 2
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
