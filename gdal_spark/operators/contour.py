@@ -73,8 +73,10 @@ def case_expr(level: int) -> str:
     return (
         f"CAST(v00 > {L} AS INT) + 2 * CAST(v10 > {L} AS INT) "
         f"+ 4 * CAST(v11 > {L} AS INT) + 8 * CAST(v01 > {L} AS INT) "
-        # center-average saddle bit (exact: 4*mean > 4*L in int math)
-        f"+ 16 * CAST(v00 + v10 + v11 + v01 > 4 * ({L}) AS INT)"
+        # center-average saddle bit (exact: 4*mean > 4*L in int math;
+        # BIGINT casts — 4 band values of ~2^30 overflow int32)
+        f"+ 16 * CAST(CAST(v00 AS BIGINT) + v10 + v11 + v01 "
+        f"> 4 * CAST({L} AS BIGINT) AS INT)"
     )
 
 

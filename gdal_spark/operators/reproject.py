@@ -7,14 +7,19 @@ Here:
 - EPSG:4326 <-> EPSG:3857 (the tiling CRS pair) is implemented as
   exact closed-form column math (gdal2tiles.py:422-443 formulas) —
   whole-stage codegen, no UDF at all.
-- Arbitrary CRS pairs go through pyproj (same PROJ underneath as the
-  reference) inside an Arrow-batched pandas UDF, gated on the wheel
-  being present (it is not in this container — the 4326<->3857 path
-  carries all tests).
+- EPSG:4326 <-> UTM (326xx) is the closed-form 6th-order Krüger
+  series (kernels.tmerc — the same algorithm as PROJ's etmerc) inside
+  an Arrow-batched pandas UDF: utm_forward_cols / utm_inverse_cols.
+  This covers the reference's own ogr2ogr benchmark CRS pair
+  (32631 -> 4326) without any external wheel.
+- Other arbitrary CRS pairs go through pyproj (same PROJ underneath
+  as the reference) inside an Arrow-batched pandas UDF, gated on the
+  wheel being present (it is not in this container).
 """
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -94,6 +99,43 @@ def approx_transform_line(xs: "np.ndarray", fn, *, tol: float,
     left = approx_transform_line(xs[: mid + 1], fn, tol=tol, _depth=_depth + 1)
     right = approx_transform_line(xs[mid:], fn, tol=tol, _depth=_depth + 1)
     return np.concatenate([left, right[1:]])
+
+
+def utm_forward_cols(df: DataFrame, zone: int, lon: str = "lon",
+                     lat: str = "lat") -> DataFrame:
+    """Geographic -> UTM (EPSG:326xx) as an Arrow-batched pandas UDF
+    over the closed-form Krüger series (kernels.tmerc) — the engine's
+    native path for the reference's single most common ogr2ogr case
+    (32631<->4326, autotest/benchmark/test_ogr2ogr.py:61-66;
+    batch Transform API ogrct.cpp:2254). Adds (easting, northing)."""
+    from ..kernels import tmerc
+
+    @F.pandas_udf("struct<easting:double, northing:double>")
+    def _fwd(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        e, n = tmerc.utm_forward(lon_s.to_numpy(), lat_s.to_numpy(), zone)
+        return pd.DataFrame({"easting": e, "northing": n})
+
+    res = df.withColumn("_en", _fwd(F.col(lon), F.col(lat)))
+    return res.withColumn("easting", F.col("_en.easting")).withColumn(
+        "northing", F.col("_en.northing")
+    ).drop("_en")
+
+
+def utm_inverse_cols(df: DataFrame, zone: int, easting: str = "easting",
+                     northing: str = "northing") -> DataFrame:
+    """UTM -> geographic (inverse Krüger series + unrolled Newton);
+    adds (lon_inv, lat_inv)."""
+    from ..kernels import tmerc
+
+    @F.pandas_udf("struct<lon:double, lat:double>")
+    def _inv(e_s: pd.Series, n_s: pd.Series) -> pd.DataFrame:
+        lo, la = tmerc.utm_inverse(e_s.to_numpy(), n_s.to_numpy(), zone)
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    res = df.withColumn("_ll", _inv(F.col(easting), F.col(northing)))
+    return res.withColumn("lon_inv", F.col("_ll.lon")).withColumn(
+        "lat_inv", F.col("_ll.lat")
+    ).drop("_ll")
 
 
 def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,

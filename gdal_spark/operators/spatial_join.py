@@ -65,6 +65,88 @@ def assign_cell(df: DataFrame, lon: str = "lon", lat: str = "lat",
     return df.withColumn(out, tile_fns.cell(F.col(lon), F.col(lat), res))
 
 
+@F.pandas_udf(T.StructType([
+    T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())
+]))
+def _decode_point_udf(buf: pd.Series) -> pd.DataFrame:
+    """Vectorized WKB point decode (kernels.wkb batch fast path: one
+    frombuffer per Arrow batch — no per-row Python on the hot input)."""
+    from ..kernels import wkb as wkb_mod
+
+    xs, ys = wkb_mod.decode_points_batch(list(buf))
+    return pd.DataFrame({"lon": xs, "lat": ys})
+
+
+def decode_point_cols(df: DataFrame, geom: str = "geom") -> DataFrame:
+    """GeoParquet-shaped point table (WKB binary geometry column,
+    ogrgeometry.cpp:1515 importFromWkb) -> plain (lon, lat) columns."""
+    out = df.withColumn("_ll", _decode_point_udf(F.col(geom)))
+    return out.withColumn("lon", F.col("_ll.lon")).withColumn(
+        "lat", F.col("_ll.lat")
+    ).drop("_ll")
+
+
+@F.pandas_udf(T.BooleanType())
+def _pip_wkb_udf(x: pd.Series, y: pd.Series, poly_id: pd.Series,
+                 wkb_col: pd.Series) -> pd.Series:
+    """Exact PIP against WKB MultiPolygons (holes + multi-part): decode
+    each distinct polygon ONCE per Arrow batch, then run the vectorized
+    crossing rule per part (outer ring minus holes, OR across parts —
+    OGRPolygon/OGRMultiPolygon containment semantics)."""
+    from ..kernels import wkb as wkb_mod
+    from ..kernels.pip import point_in_polygon
+
+    out = np.zeros(len(x), dtype=bool)
+    if len(x) == 0:
+        return pd.Series(out)
+    xv = x.to_numpy(dtype=np.float64)
+    yv = y.to_numpy(dtype=np.float64)
+    pid = poly_id.to_numpy()
+    for p in pd.unique(pid):
+        idx = np.nonzero(pid == p)[0]
+        polys = wkb_mod.decode_multipolygon(wkb_col.iloc[idx[0]])
+        hit = np.zeros(idx.shape[0], dtype=bool)
+        for rings in polys:
+            hit |= point_in_polygon(xv[idx], yv[idx], rings)
+        out[idx] = hit
+    return pd.Series(out)
+
+
+def spatial_join_wkb(
+    points: DataFrame,
+    cover: DataFrame,
+    *,
+    res: int = 6,
+    geom: str = "geom",
+    strategy: str = "broadcast",
+    keep_point_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-polygon join where BOTH sides carry WKB geometry
+    (GeoParquet convention): points have a binary `geom` point column,
+    cover has (cell, poly_id, wkb multipolygon, minx..maxy).
+
+    Same 3-stage plan as spatial_join_points_in_polygons — decode point
+    WKB (batch-vectorized), cell equi-join, JVM envelope prefilter,
+    exact multi-ring crossing rule in one Arrow UDF. Supports polygons
+    with holes and multi-part polygons (the shapes real country layers
+    have, ogr/ogr_core.h:405-443 wkbMultiPolygon)."""
+    pts = decode_point_cols(points, geom)
+    pts = assign_cell(pts, "lon", "lat", res)
+    if strategy == "shuffle":
+        joined = pts.join(cover, "cell")
+    else:
+        joined = pts.join(F.broadcast(cover), "cell")
+    env = (
+        (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
+    )
+    exact = joined.filter(env).filter(
+        _pip_wkb_udf(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("wkb"))
+    )
+    keep = keep_point_cols or [c for c in points.columns if c != geom]
+    return exact.select(*keep, "poly_id")
+
+
 def _convex_clip(sub_x, sub_y, clip_x, clip_y):
     """Sutherland-Hodgman: clip subject polygon by a CONVEX clip
     polygon (the convex case of OGRLayer::Intersection's pairwise

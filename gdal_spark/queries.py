@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,6 +147,35 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_spatial_join() -> str:
     return derive.pip_join_sql(_pts_cte(), id_col="id", x_col="x", y_col="y")
+
+
+def q_spatial_join_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WKB path: points stored as WKB binary (GeoParquet
+    convention, ogrgeometry.cpp:1515/1610) joined against WKB
+    MultiPolygons WITH holes and island parts. The point column is
+    encoded then batch-decoded inside the pipeline, so the codec is on
+    the hot path; the oracle computes the identical multi-ring
+    crossing-rule result from the closed-form fixture — a WKB-free
+    twin, proving the codec is lossless."""
+    from .kernels import wkb as wkb_mod
+    from .operators.spatial_join import spatial_join_wkb
+
+    pts = _points(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(wkb_mod.encode_points(lon.to_numpy(), lat.to_numpy()))
+
+    wkb_pts = pts.select("id", _enc("lon", "lat").alias("geom"))
+    cov = polygons.countries64_mp_cover(spark, res=6)
+    return spatial_join_wkb(wkb_pts, cov, res=6, keep_point_cols=["id"])
+
+
+def sql_spatial_join_wkb() -> str:
+    return derive.pip_mp_join_sql(
+        _pts_cte(), hole_s=polygons.HOLE_S, island_s=polygons.ISLAND_S,
+        id_col="id", x_col="x", y_col="y",
+    )
 
 
 def q_spatial_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -558,6 +588,64 @@ b AS (SELECT id, x, y, (mx)/{OS}*CAST(180 AS DOUBLE) AS lon2,
       FROM m),
 e AS (SELECT greatest(abs(lon2 - x), abs(lat2 - y)) AS err FROM b)
 SELECT count(*) AS n, CAST(sum(CASE WHEN err < 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok FROM e
+"""
+
+
+SALT_ULON, SALT_ULAT = 11, 12
+
+
+def _utm_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-31 point layer anchored on customer keys: lon in [0.5, 5.5),
+    lat in [-75, 80) — inside UTM zone 31's validity box."""
+    c = _read(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return c.select(
+        i.alias("id"),
+        (F.lit(0.5) + F.lit(5.0) * docs.hash01_col(i, SALT_ULON)).alias("lon"),
+        (F.lit(-75.0) + F.lit(155.0) * docs.hash01_col(i, SALT_ULAT)).alias("lat"),
+    )
+
+
+def _utm_pts_cte() -> str:
+    lon = f"0.5 + 5.0 * ({derive.hash01_sql('c_custkey', SALT_ULON)})"
+    lat = f"-75.0 + 155.0 * ({derive.hash01_sql('c_custkey', SALT_ULAT)})"
+    return f"SELECT c_custkey AS id, {lon} AS lon, {lat} AS lat FROM customer"
+
+
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 -> EPSG:32631 -> 4326: the reference's own ogr2ogr benchmark
+    CRS pair (autotest/benchmark/test_ogr2ogr.py:61-66), run through the
+    closed-form Krüger-series batch UDFs (ogrct.cpp:2254 array
+    Transform). Outputs mm-rounded projected coords + nano-degree-
+    rounded round-trip coords; the oracle replays the identical series
+    in SQL (coefficients are shared float literals)."""
+    from .operators import reproject
+
+    pts = _utm_pts(spark, sf_dir)
+    fwd = reproject.utm_forward_cols(pts, zone=31)
+    rt = reproject.utm_inverse_cols(fwd, zone=31)
+    return rt.select(
+        "id",
+        F.round("easting", 3).alias("easting_mm"),
+        F.round("northing", 3).alias("northing_mm"),
+        F.round("lon_inv", 9).alias("lon_rt"),
+        F.round("lat_inv", 9).alias("lat_rt"),
+    )
+
+
+def sql_reproject_utm() -> str:
+    from .kernels import tmerc
+
+    fwd = tmerc.forward_sql_ctes("pts", 31).strip()
+    inv = tmerc.inverse_sql_ctes("fe", 31).strip()
+    return f"""
+WITH pts AS ({_utm_pts_cte()}),
+{fwd},
+fe AS (SELECT id, easting, northing FROM utm_fwd),
+{inv}
+SELECT f.id, round(f.easting, 3) AS easting_mm, round(f.northing, 3) AS northing_mm,
+       round(i.lon, 9) AS lon_rt, round(i.lat, 9) AS lat_rt
+FROM fe f JOIN utm_inv i USING (id)
 """
 
 
@@ -1807,6 +1895,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "pyramid_counts": q_pyramid_counts,
     "spatial_join": q_spatial_join,
+    "spatial_join_wkb": q_spatial_join_wkb,
     "spatial_join_skew": q_spatial_join_skew,
     "spatial_filter": q_spatial_filter,
     "spatial_erase": q_spatial_erase,
@@ -1817,6 +1906,7 @@ QUERIES = {
     "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
+    "reproject_utm": q_reproject_utm,
     "overview_avg": q_overview_avg,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
@@ -1862,6 +1952,7 @@ ORACLES = {
     "tile_assign": sql_tile_assign,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
+    "spatial_join_wkb": sql_spatial_join_wkb,
     "spatial_join_skew": sql_spatial_join_skew,
     "spatial_filter": sql_spatial_filter,
     "spatial_erase": sql_spatial_erase,
@@ -1872,6 +1963,7 @@ ORACLES = {
     "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
+    "reproject_utm": sql_reproject_utm,
     "overview_avg": sql_overview_avg,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,

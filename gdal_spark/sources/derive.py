@@ -190,6 +190,55 @@ FROM range({NPOLY}) r
 """.replace("r.range%8", "(r.range % 8)").replace("r.range//8", "(r.range // 8)")
 
 
+def pip_mp_join_sql(points_cte: str, *, hole_s: float, island_s: float,
+                    id_col: str = "id", x_col: str = "x",
+                    y_col: str = "y") -> str:
+    """DuckDB twin of the WKB MultiPolygon join (sources.polygons
+    countries64_mp): each country is outer n-gon + hole (scale hole_s)
+    + island 4-gon diamond (scale island_s, phase 0). Containment =
+    odd total crossing count over ALL THREE rings (even-odd; equals
+    the per-part outer-minus-holes OR island semantics because the
+    island is strictly inside the hole). Crossing rule identical to
+    pip_join_sql (ogrlinearring.cpp:503-531)."""
+    hs = repr(float(hole_s))
+    is_ = repr(float(island_s))
+    rnv = "(CASE WHEN rr.range = 2 THEN 4 ELSE nv END)"
+    rs = f"(CASE WHEN rr.range = 0 THEN 1.0 WHEN rr.range = 1 THEN {hs} ELSE {is_} END)"
+    rp = "(CASE WHEN rr.range = 2 THEN 0.0 ELSE phase END)"
+    vx = (lambda idx: f"cx + (rx*{rs})*cos({rp} + 2*pi()*CAST({idx} AS DOUBLE)"
+          f"/CAST({rnv} AS DOUBLE))")
+    vy = (lambda idx: f"cy + (ry*{rs})*sin({rp} + 2*pi()*CAST({idx} AS DOUBLE)"
+          f"/CAST({rnv} AS DOUBLE))")
+    return f"""
+WITH pts AS ({points_cte}),
+polys AS ({polygons_sql_cte()}),
+cand AS (
+  SELECT pts.{id_col} AS pid_, pts.{x_col} AS px_, pts.{y_col} AS py_,
+         polys.p, polys.cx, polys.cy, polys.rx, polys.ry, polys.nv, polys.phase
+  FROM pts JOIN polys
+    ON pts.{x_col} >= polys.cx - polys.rx AND pts.{x_col} <= polys.cx + polys.rx
+   AND pts.{y_col} >= polys.cy - polys.ry AND pts.{y_col} <= polys.cy + polys.ry
+),
+edges AS (
+  SELECT cand.*, CAST(rr.range AS BIGINT) AS ri, CAST(e.range AS BIGINT) AS j,
+    {vx("e.range")} - px_ AS x2,
+    {vy("e.range")} - py_ AS y2,
+    {vx(f"(e.range+1)%{rnv}")} - px_ AS x1,
+    {vy(f"(e.range+1)%{rnv}")} - py_ AS y1
+  FROM cand CROSS JOIN range(3) rr CROSS JOIN range(12) e
+  WHERE e.range < (CASE WHEN rr.range = 2 THEN 4 ELSE cand.nv END)
+),
+crossings AS (
+  SELECT pid_, p,
+    sum(CASE WHEN (((y1 > 0) AND (y2 <= 0)) OR ((y2 > 0) AND (y1 <= 0)))
+              AND ((x1*y2 - x2*y1)/(y2 - y1)) > 0.0
+        THEN 1 ELSE 0 END) AS c
+  FROM edges GROUP BY pid_, p
+)
+SELECT pid_ AS {id_col}, p AS poly_id FROM crossings WHERE c % 2 = 1
+"""
+
+
 def pip_join_sql(points_cte: str, id_col: str = "id", x_col: str = "x",
                  y_col: str = "y", skew: bool = False) -> str:
     """DuckDB SQL computing the exact spatial join (point-in-polygon) of

@@ -76,3 +76,71 @@ def countries64_cover(spark: SparkSession, res: int, skew_poly0: bool = False) -
     cov = polygon_cover_pdf(pdf, res)
     cov_df = spark.createDataFrame(cov, schema="poly_id bigint, cell bigint")
     return cov_df.join(spark.createDataFrame(pdf, schema=POLY_SCHEMA), "poly_id")
+
+
+# --------------------------------------------------- WKB multipolygon layer
+
+# ring scale factors (shared float literals with the SQL oracle): each
+# country becomes a MultiPolygon of
+#   part 1: outer n-gon + a hole (the n-gon scaled by HOLE_S about the
+#           center)
+#   part 2: an island (4-gon diamond, scale ISLAND_S, phase 0) inside
+#           the hole
+HOLE_S = 1.0 / 3.0
+ISLAND_S = 0.125
+
+MP_SCHEMA = (
+    "poly_id bigint, wkb binary, "
+    "minx double, miny double, maxx double, maxy double"
+)
+
+
+def scaled_ring_np(p: int, scale: float, nv_override: int | None = None,
+                   phase_override: float | None = None) -> np.ndarray:
+    """Closed ring: cx + (rx*scale)*cos(phase + 2*pi*j/nv) — the exact
+    op sequence the SQL oracle replays (multiply radius by the scale
+    literal FIRST, then the trig product)."""
+    prm = derive.polygon_params_np([p])
+    nv = int(prm["nv"][0]) if nv_override is None else nv_override
+    phase = float(prm["phase"][0]) if phase_override is None else phase_override
+    j = np.arange(nv, dtype=np.float64)
+    ang = phase + 2.0 * np.pi * j / nv
+    xs = prm["cx"][0] + (prm["rx"][0] * scale) * np.cos(ang)
+    ys = prm["cy"][0] + (prm["ry"][0] * scale) * np.sin(ang)
+    ring = np.column_stack([xs, ys])
+    return np.vstack([ring, ring[:1]])
+
+
+def countries64_mp_pdf() -> pd.DataFrame:
+    """64 WKB MultiPolygons with holes + islands (GeoParquet-shaped:
+    geometry as a WKB binary column, envelope as plain columns)."""
+    from ..kernels import wkb as wkb_mod
+
+    rows = []
+    for p in range(derive.NPOLY):
+        outer = scaled_ring_np(p, 1.0)
+        hole = scaled_ring_np(p, HOLE_S)
+        island = scaled_ring_np(p, ISLAND_S, nv_override=4, phase_override=0.0)
+        buf = wkb_mod.encode_multipolygon([[outer, hole], [island]])
+        rows.append({
+            "poly_id": p,
+            "wkb": buf,
+            "minx": float(outer[:, 0].min()),
+            "miny": float(outer[:, 1].min()),
+            "maxx": float(outer[:, 0].max()),
+            "maxy": float(outer[:, 1].max()),
+        })
+    return pd.DataFrame(rows)
+
+
+def countries64_mp_cover(spark: SparkSession, res: int) -> DataFrame:
+    """(cell, poly_id, wkb, envelope) cover for the WKB layer — cell
+    cover from the outer ring's bbox (holes/islands are interior)."""
+    pdf = countries64_mp_pdf()
+    cov = []
+    for p in range(derive.NPOLY):
+        ring = scaled_ring_np(p, 1.0)
+        for c in cells.polygon_cover(ring, res):
+            cov.append({"poly_id": p, "cell": int(c)})
+    cov_df = spark.createDataFrame(pd.DataFrame(cov), schema="poly_id bigint, cell bigint")
+    return cov_df.join(spark.createDataFrame(pdf, schema=MP_SCHEMA), "poly_id")
