@@ -28,7 +28,12 @@ OFFSETS_3X3 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 def _halo_join(band: DataFrame, offsets=OFFSETS_3X3) -> DataFrame:
     """Gather each pixel's neighborhood as columns v_<dx>_<dy> via
     shifted equi-joins (edge pixels: missing neighbors = center value,
-    the reference's edge replication)."""
+    the reference's edge replication).
+
+    NOTE: this is the per-pixel COMPAT path (8 shuffles per focal op).
+    The scale path is operators.tile_raster.halo_apply — one shuffle of
+    edge strips + a per-tile numpy stencil; the tile queries prove both
+    produce bit-identical results."""
     out = band.select("gx", "gy", F.col("value").alias("v_0_0"))
     base = band.select(
         F.col("gx").alias("_nx"), F.col("gy").alias("_ny"),
@@ -385,68 +390,10 @@ def sample_cubic(band: DataFrame, points: DataFrame, *, width: int, height: int,
 
 LANCZOS_A = 3  # GDAL's lanczos radius (alg/gdalresamplingkernels.h)
 
-
-def sample_lanczos(band: DataFrame, points: DataFrame, *, width: int, height: int,
-                   x_col: str = "px", y_col: str = "py",
-                   id_col: str = "sid") -> DataFrame:
-    """Sample at fractional pixel coords with the Lanczos-3 windowed
-    sinc kernel (alg/gdalresamplingkernels.h lanczos; 6x6 taps,
-    weights normalized). Arrow-batched mapInPandas with a broadcast
-    terrain array — the per-executor tile-cache pattern (the
-    GDALRasterBlock LRU analog); at full scale the array becomes the
-    task's tile + halo from a neighbor-tile join.
-
-    Accumulation uses explicit left-folds (NOT numpy pairwise sums) so
-    the generated-SQL oracle can reproduce the identical double
-    sequence up to the 1-ulp sin() difference."""
-    import numpy as np
-    import pandas as pd
-
-    img = (
-        band.select("gx", "gy", "value").orderBy("gy", "gx").toPandas()
-    )["value"].to_numpy().reshape(height, width).astype(np.float64)
-    spark = band.sparkSession
-    bimg = spark.sparkContext.broadcast(img)
-    a = LANCZOS_A
-
-    def lw(d: float) -> float:
-        if d == 0.0:
-            return 1.0
-        pd_ = 3.141592653589793 * d
-        return (np.sin(pd_) / pd_) * (np.sin(pd_ / a) / (pd_ / a))
-
-    def run(batches):
-        terrain = bimg.value
-        for pdf in batches:
-            vals = []
-            for x, y in zip(pdf[x_col], pdf[y_col]):
-                fx = min(max(float(x), 0.5), width - 0.5) - 0.5
-                fy = min(max(float(y), 0.5), height - 0.5) - 0.5
-                x0 = int(np.floor(fx))
-                y0 = int(np.floor(fy))
-                tx = fx - x0
-                ty = fy - y0
-                taps = range(-a + 1, a + 1)  # -2..3
-                wx = [lw(tx - i) for i in taps]
-                wy = [lw(ty - j) for j in taps]
-                num = 0.0
-                for j, wyj in zip(taps, wy):
-                    row = 0.0
-                    for i, wxi in zip(taps, wx):
-                        cx = min(max(x0 + i, 0), width - 1)
-                        cy = min(max(y0 + j, 0), height - 1)
-                        row = row + float(terrain[cy, cx]) * wxi
-                    num = num + row * wyj
-                sx = 0.0
-                for wxi in wx:
-                    sx = sx + wxi
-                sy = 0.0
-                for wyj in wy:
-                    sy = sy + wyj
-                vals.append(num / (sx * sy))
-            yield pd.DataFrame({id_col: pdf[id_col], "value": vals})
-
-    return points.mapInPandas(run, f"{id_col} bigint, value double")
+# Lanczos-3 sampling lives in operators.tile_raster.sample_lanczos_tiles:
+# halo-3 padded tiles + vectorized numpy taps (one shuffle, no driver
+# materialization). The former driver-broadcast implementation here was
+# a scale anti-pattern and was removed.
 
 
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,

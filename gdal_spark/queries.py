@@ -721,14 +721,19 @@ def _band_val_sql(pid_expr: str) -> str:
 
 
 def q_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Horn 3x3 slope via halo-exchange joins (gdaldem slope semantics,
-    apps/gdalalg_raster_slope.cpp); rounded to 6dp (atan is the one
-    non-IEEE-pinned op in the chain)."""
-    from .operators import focal
+    """Horn 3x3 slope via the tile-array model (gdaldem slope
+    semantics, apps/gdalalg_raster_slope.cpp): ONE halo shuffle +
+    per-tile numpy stencil (operators.tile_raster), not 8 self-joins;
+    rounded to 6dp (atan is the one non-IEEE-pinned op)."""
+    from .operators import tile_raster
 
     band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
-    out = focal.slope_horn(band, cellsize=1.0, z_factor=1.0)
-    return out.select("gx", "gy", F.round("slope_deg", 6).alias("slope_deg"))
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.slope_tiles(tiles, tile=8, nty=4, ntx=4,
+                                  cellsize=1.0, z_factor=1.0)
+    px = tile_raster.pixels_from_tiles(out, tile=8, col="slope_deg",
+                                       out="slope_deg")
+    return px.select("gx", "gy", F.round("slope_deg", 6).alias("slope_deg"))
 
 
 def sql_focal_slope() -> str:
@@ -888,12 +893,25 @@ FROM events GROUP BY 1, 2
 
 
 def q_terrain_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPI / TRI / roughness (gdaldem family) in one halo pass —
+    """TPI / TRI / roughness (gdaldem family) on the tile-array model:
+    one halo shuffle, all three metrics from one padded-tile stencil —
     integer-exact (sums of 8 int64 / 8.0)."""
-    from .operators import focal
+    from .operators import tile_raster
 
     band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32
-    return focal.terrain_metrics(band)
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.terrain_tiles(tiles, tile=8, nty=4, ntx=4)
+    z = out.select(
+        "ty", "tx",
+        F.posexplode(F.arrays_zip("tpi", "tri", "roughness")).alias("_pos", "_m"),
+    )
+    return z.select(
+        (F.col("tx") * 8 + F.col("_pos") % 8).alias("gx"),
+        (F.col("ty") * 8 + (F.col("_pos") / 8).cast("bigint")).alias("gy"),
+        F.col("_m.tpi").alias("tpi"),
+        F.col("_m.tri").alias("tri"),
+        F.col("_m.roughness").cast("bigint").alias("roughness"),
+    )
 
 
 def sql_terrain_metrics() -> str:
@@ -1087,8 +1105,10 @@ SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
 
 def q_warp_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warp with the Lanczos-3 windowed-sinc kernel (6x6 taps,
-    normalized weights; alg/gdalresamplingkernels.h)."""
-    from .operators import focal
+    normalized weights; alg/gdalresamplingkernels.h), sampled on the
+    tile-array model (halo-3 padded tiles, vectorized taps — no driver
+    collect, no per-row Python)."""
+    from .operators import tile_raster
 
     band = raster.synth_band(spark, zoom=2, tile_px=8)
     W, D = 32, 24
@@ -1105,7 +1125,10 @@ def q_warp_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
     py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
     pts = d.select("did", px.alias("px"), py.alias("py"))
-    out = focal.sample_lanczos(band, pts, width=W, height=W, id_col="did")
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.sample_lanczos_tiles(
+        tiles, pts, tile=8, width=W, height=W, id_col="did"
+    )
     return out.select(
         (F.col("did") % D).alias("dx"),
         (F.col("did") / D).cast("bigint").alias("dy"),
@@ -1749,13 +1772,17 @@ GROUP BY bx, by
 
 
 def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hillshade (gdaldem) at the default sun; rounded to 6dp (trig)."""
-    from .operators import focal
+    """Hillshade (gdaldem) at the default sun, on the tile-array model
+    (one halo shuffle + numpy stencil); rounded to 6dp (trig)."""
+    from .operators import tile_raster
 
     band = raster.synth_band(spark, zoom=2, tile_px=8)
-    out = focal.hillshade(band, cellsize=1.0, z_factor=1.0,
-                          azimuth_deg=315.0, altitude_deg=45.0)
-    return out.select("gx", "gy", F.round("shade", 6).alias("shade"))
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.hillshade_tiles(tiles, tile=8, nty=4, ntx=4,
+                                      z_factor=1.0, azimuth_deg=315.0,
+                                      altitude_deg=45.0)
+    px = tile_raster.pixels_from_tiles(out, tile=8, col="shade", out="shade")
+    return px.select("gx", "gy", F.round("shade", 6).alias("shade"))
 
 
 def sql_hillshade() -> str:
