@@ -81,15 +81,24 @@ def knn_join(
     if max_rounds is None:
         max_rounds = lim + 2
 
-    results = None  # accumulated top-k per finished query
+    results = None   # accumulated top-k per finished query
+    carried = None   # previous rounds' top-k for still-pending queries
     s = 1
+    prev_s = 0
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
-        # all cells within Chebyshev distance s of the query cell
-        offs = spark.range(-s, s + 1).select(F.col("id").alias("_dx")).crossJoin(
-            spark.range(-s, s + 1).select(F.col("id").alias("_dy"))
+        # ONLY the new annulus: cells with Chebyshev distance in
+        # (prev_s, s] of the query cell. Cells <= prev_s were already
+        # scanned in earlier rounds and their survivors ride forward in
+        # `carried` — no candidate is ever recomputed (the fix for the
+        # re-scan-the-whole-square shape).
+        offs = (
+            spark.range(-s, s + 1).select(F.col("id").alias("_dx"))
+            .crossJoin(spark.range(-s, s + 1).select(F.col("id").alias("_dy")))
         )
+        if prev_s > 0:  # round 1 includes the center cell (Chebyshev 0)
+            offs = offs.filter(F.greatest(F.abs("_dx"), F.abs("_dy")) > prev_s)
         qcells = (
             pending.crossJoin(F.broadcast(offs))
             .select(
@@ -111,6 +120,8 @@ def knn_join(
              + (F.col("_pmy") - F.col("_qmy")) * (F.col("_pmy") - F.col("_qmy"))
              ).alias("_d2"),
         )
+        if carried is not None:
+            cand = carried.select("_qid", "_pid", "_d2").unionByName(cand)
         win = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_pid").asc())
         # persist: topk feeds the done-test, the finished rows AND the
         # final union — without it each round's big candidate join
@@ -135,10 +146,12 @@ def knn_join(
         finished = topk.join(F.broadcast(done_ids), "_qid")
         results = finished if results is None else results.unionByName(finished)
         pending = pending.join(F.broadcast(done_ids), "_qid", "left_anti").persist()
+        carried = topk.join(F.broadcast(done_ids), "_qid", "left_anti").persist()
         # materialize the loop state so each round's work runs once
         n_pending = pending.count()
         if n_pending == 0:
             break
+        prev_s = s
         s *= 2  # geometric growth: few rounds even for isolated queries
 
     out = results.select(

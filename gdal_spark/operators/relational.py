@@ -50,17 +50,29 @@ def summary(df: DataFrame, col: str) -> DataFrame:
     """Whole-table summary record (SWQM_SUMMARY_RECORD,
     ogr_gensql.cpp:849 PrepareSummary): single pass, streaming
     accumulators. The reference uses Kahan sums / Welford variance
-    (ogr_swq.h:357-398); Spark's sum is not compensated, so exact
-    parity holds for integer-valued columns and tolerance parity for
-    floats (SURVEY.md §2.4)."""
+    (ogr_swq.h:357-398, swq.cpp:324-460); for integer-valued columns
+    the moment form below (n*Sx2 - Sx^2 over exact int64 sums, one
+    double division + one correctly-rounded sqrt) equals Welford's
+    result exactly and is bit-identical across engines; float columns
+    get tolerance parity (SURVEY.md §2.4)."""
     c = F.col(col)
-    return df.agg(
+    agg = df.agg(
         F.count(c).alias("cnt"),
         F.countDistinct(c).alias("cnt_distinct"),
         F.min(c).alias("min_v"),
         F.max(c).alias("max_v"),
         F.sum(c).alias("sum_v"),
         F.avg(c).alias("avg_v"),
+        F.sum(c * c).alias("_s2"),
+    )
+    n = F.col("cnt")
+    m = n * F.col("_s2") - F.col("sum_v") * F.col("sum_v")
+    return agg.select(
+        "cnt", "cnt_distinct", "min_v", "max_v", "sum_v", "avg_v",
+        F.sqrt(m.cast("double") / (n * n).cast("double")).alias("stddev_pop_v"),
+        F.when(n > 1,
+               F.sqrt(m.cast("double") / (n * (n - 1)).cast("double")))
+        .alias("stddev_samp_v"),
     )
 
 

@@ -124,6 +124,115 @@ def ivf_assign(corpus_q: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+RANK_KEY_SQL = (
+    "(CASE WHEN {dot} > 0 THEN CAST(1 AS DOUBLE) WHEN {dot} < 0 "
+    "THEN CAST(-1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) "
+    "* (CAST({dot} * {dot} AS DOUBLE) / CAST({naa} * {nbb} AS DOUBLE))"
+)
+
+
+def ivf_sql_ctes(dim: int, n_centroids: int, n_assign: int) -> str:
+    """DuckDB CTE chain replaying quantize + derived centroids +
+    multi-assignment bit-for-bit (same LCG formula, same signed
+    squared-cosine ranking key, ties by cent_id). Final CTEs:
+    n0(vec_id, v, n2) and asg(vec_id, v, n2, cent_id)."""
+    M31, A = derive.M31, derive.A
+    cv = (
+        f"CAST(round((((((r.range * {dim} + d) % {M31}) * {A} + 7) % {M31})"
+        f" * {A} + 62) % {M31} / CAST({M31} AS DOUBLE) * {2 * SCALE} - {SCALE})"
+        f" AS BIGINT)"
+    )
+    key = RANK_KEY_SQL.format(dot="cdot", naa="n2", nbb="cn2")
+    return f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+n0 AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM qv),
+cents AS (
+  SELECT CAST(r.range AS BIGINT) AS cent_id,
+         list_transform(range({dim}), d -> {cv}) AS cvec
+  FROM range({n_centroids}) r
+),
+cn AS (SELECT cent_id, cvec, CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT) AS cn2 FROM cents),
+ac AS (
+  SELECT vec_id, v, n2, cent_id, cn2,
+         CAST(list_sum(list_transform(range({dim}), i -> v[i+1] * cvec[i+1])) AS BIGINT) AS cdot
+  FROM n0 CROSS JOIN cn
+),
+rk AS (
+  SELECT vec_id, v, n2, cent_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY {key} DESC, cent_id ASC) AS rn
+  FROM ac
+),
+asg AS (SELECT vec_id, v, n2, cent_id FROM rk WHERE rn <= {n_assign})"""
+
+
+def ivf_multi_assign(corpus_q: DataFrame, cents: DataFrame,
+                     n_assign: int = 2) -> DataFrame:
+    """Assign each vector to its `n_assign` nearest centroids (exact
+    int ranking key, ties -> lower cent_id). Multi-assignment is the
+    IVF dedup trick: two near-duplicate vectors always share at least
+    one of their top buckets in practice, so bucket-local pair
+    generation replaces the all-pairs cross join."""
+    cand = corpus_q.crossJoin(F.broadcast(cents)).select(
+        "id", "qvec", "cent_id",
+        _dot("qvec", "cvec").alias("_dot"),
+        _norm2("qvec").alias("_naa"),
+        _norm2("cvec").alias("_nbb"),
+    )
+    w = Window.partitionBy("id").orderBy(_rank_key().desc(), F.col("cent_id").asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_assign)
+        .select("id", "qvec", "cent_id")
+    )
+
+
+def ivf_dedup_pairs(
+    embeddings: DataFrame, *, n_centroids: int = 8, n_assign: int = 2,
+    cos_threshold_x10: int = 4, id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidates are
+    pairs sharing an IVF bucket (each vector multi-assigned to its
+    `n_assign` nearest derived centroids), then the EXACT integer
+    cosine test (dot > 0 and 100*dot^2 >= t^2*naa*nbb). The bucket
+    join replaces the O(n^2) cross join — per-bucket pairs are
+    O((n/K)^2) and K grows with the corpus. Deterministic end-to-end
+    (derived centroids + exact int ranking), so the DuckDB oracle
+    replays it bit-for-bit; pairs missed because both vectors share no
+    bucket are a documented recall trade measured in tests.
+
+    Returns (id_a, id_b, dot)."""
+    spark = embeddings.sparkSession
+    first = embeddings.select(F.expr(f"size({vec})").alias("d")).limit(1).collect()
+    dim = int(first[0]["d"])
+    cents = derived_centroids(spark, n_centroids, dim)
+    q = quantize(embeddings, id_col=id_col, vec=vec)
+    assigned = ivf_multi_assign(q, cents, n_assign)
+    n = assigned.withColumn("n2", _norm2("qvec"))
+    a = n.select(F.col("id").alias("id_a"), F.col("cent_id"),
+                 F.col("qvec").alias("va"), F.col("n2").alias("naa"))
+    b = n.select(F.col("id").alias("id_b"), F.col("cent_id"),
+                 F.col("qvec").alias("vb"), F.col("n2").alias("nbb"))
+    t2 = cos_threshold_x10 * cos_threshold_x10
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("cent_id")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dot", _dot("va", "vb"))
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(100.0) * (F.col("dot") * F.col("dot")).cast("double")
+               >= F.lit(float(t2)) * (F.col("naa") * F.col("nbb")).cast("double"))
+        )
+    )
+    return pairs.select("id_a", "id_b", "dot")
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, *, k: int = 5, n_centroids: int = 8,
     n_probe: int = 2, id_col: str = "vec_id", vec: str = "embedding",

@@ -308,6 +308,39 @@ WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS 
 """
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs THE SCALE WAY: IVF multi-assign bucket
+    candidates + exact integer cosine verify (no cross join; per-bucket
+    pairs are O((n/K)^2)). The all-pairs q_dedup_embedding stays as the
+    small-scale recall yardstick; this is the production path."""
+    e = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_dedup_pairs(
+        e, n_centroids=8, n_assign=2, cos_threshold_x10=4, id_col="vec_id"
+    )
+
+
+def sql_dedup_embedding_ivf() -> str:
+    ctes = similarity.ivf_sql_ctes(dim=64, n_centroids=8, n_assign=2)
+    return f"""
+WITH {ctes.strip()},
+candp AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+pf AS (
+  SELECT id_a, id_b, na.v AS va, nb.v AS vb, na.n2 AS naa, nb.n2 AS nbb
+  FROM candp JOIN n0 na ON na.vec_id = id_a JOIN n0 nb ON nb.vec_id = id_b
+),
+d AS (
+  SELECT id_a, id_b, naa, nbb,
+         CAST(list_sum(list_transform(range(64), i -> va[i+1] * vb[i+1])) AS BIGINT) AS dot
+  FROM pf
+)
+SELECT id_a, id_b, dot FROM d
+WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS DOUBLE)
+"""
+
+
 def _rect_layer(spark: SparkSession, sf_dir: str, table: str, key: str,
                 salt_x: int, salt_y: int, w: float, h: float, res: int) -> DataFrame:
     """Derived rectangle layer: one axis-aligned w x h rect per table
@@ -1298,31 +1331,52 @@ FROM j
 # ------------------------------------------------------------ relational
 
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUMMARY_RECORD aggregates (ogr_gensql.cpp:849): exact for
-    integer-valued columns; price summed as exact integer cents."""
+    """SUMMARY_RECORD aggregates (ogr_gensql.cpp:849) incl. the
+    Welford stddevs (ogr_swq.h:357-398) in exact integer-moment form:
+    n*Sx2 - Sx^2 is an exact int64, the double division and sqrt are
+    single correctly-rounded IEEE ops — engine-independent for the
+    integer l_quantity column. Price summed as exact integer cents."""
     li = _read(spark, sf_dir, "lineitem")
-    return li.agg(
+    q = F.col("l_quantity")
+    agg = li.agg(
         F.count("*").alias("cnt"),
         F.countDistinct("l_quantity").alias("cnt_dist_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.sum("l_quantity").alias("sum_qty"),
         F.avg("l_quantity").alias("avg_qty"),
+        F.sum((q * q).cast("bigint")).alias("_s2"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint").alias("sum_price_cents"),
+    )
+    n = F.col("cnt")
+    m = n * F.col("_s2") - F.col("sum_qty") * F.col("sum_qty")
+    return agg.select(
+        "cnt", "cnt_dist_qty", "min_qty", "max_qty", "sum_qty", "avg_qty",
+        F.sqrt(m.cast("double") / (n * n).cast("double")).alias("stddev_pop_qty"),
+        F.sqrt(m.cast("double") / (n * (n - 1)).cast("double")).alias("stddev_samp_qty"),
+        "sum_price_cents",
     )
 
 
 def sql_ogr_summary() -> str:
     return """
-SELECT count(*) AS cnt,
-       count(DISTINCT l_quantity) AS cnt_dist_qty,
-       min(l_quantity) AS min_qty,
-       max(l_quantity) AS max_qty,
-       sum(l_quantity) AS sum_qty,
-       avg(l_quantity) AS avg_qty,
-       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
-FROM lineitem
+WITH a AS (
+  SELECT count(*) AS cnt,
+         count(DISTINCT l_quantity) AS cnt_dist_qty,
+         min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty,
+         sum(l_quantity) AS sum_qty,
+         avg(l_quantity) AS avg_qty,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS _s2,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+  FROM lineitem
+)
+SELECT cnt, cnt_dist_qty, min_qty, max_qty, sum_qty, avg_qty,
+       sqrt(CAST(cnt * _s2 - sum_qty * sum_qty AS DOUBLE) / CAST(cnt * cnt AS DOUBLE)) AS stddev_pop_qty,
+       sqrt(CAST(cnt * _s2 - sum_qty * sum_qty AS DOUBLE) / CAST(cnt * (cnt - 1) AS DOUBLE)) AS stddev_samp_qty,
+       sum_price_cents
+FROM a
 """
 
 
@@ -1884,11 +1938,35 @@ SELECT qid AS query_id, cid AS neighbor_id, rnk FROM r WHERE rnk <= 5
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate; rows-only check — documented)."""
+    """IVF-bucketed ANN. Approximate vs brute force by construction,
+    but DETERMINISTIC given the derived centroids — so it now carries a
+    full exact oracle (sql_similarity_ivf replays bucketing + probe +
+    ranking); recall vs brute force is measured in tests."""
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     out = similarity.ivf_topk(e, q, k=5, n_centroids=8, n_probe=2, id_col="vec_id")
     return out.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def sql_similarity_ivf() -> str:
+    # corpus single-assign (rn = 1); queries (vec_id < 20) probe top-2
+    ctes = similarity.ivf_sql_ctes(dim=64, n_centroids=8, n_assign=1)
+    key = similarity.RANK_KEY_SQL.format(dot="dot", naa="naa", nbb="nbb")
+    return f"""
+WITH {ctes.strip()},
+probe AS (SELECT vec_id, v, n2, cent_id FROM rk WHERE rn <= 2 AND vec_id < 20),
+cand AS (
+  SELECT p.vec_id AS qid, c.vec_id AS cid, p.n2 AS naa, c.n2 AS nbb,
+         CAST(list_sum(list_transform(range(64), i -> p.v[i+1] * c.v[i+1])) AS BIGINT) AS dot
+  FROM probe p JOIN asg c ON c.cent_id = p.cent_id AND c.vec_id != p.vec_id
+),
+r AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY {key} DESC, cid ASC) AS rnk
+  FROM cand
+)
+SELECT qid AS query_id, cid AS neighbor_id, rnk FROM r WHERE rnk <= 5
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,6 +2006,7 @@ QUERIES = {
     "spatial_erase": q_spatial_erase,
     "spatial_identity": q_spatial_identity,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "layer_algebra_areas": q_layer_algebra_areas,
     "boolean_areas_nonconvex": q_boolean_areas,
     "span_invariant": q_span_invariant,
@@ -1985,6 +2064,7 @@ ORACLES = {
     "spatial_erase": sql_spatial_erase,
     "spatial_identity": sql_spatial_identity,
     "dedup_embedding": sql_dedup_embedding,
+    "dedup_embedding_ivf": sql_dedup_embedding_ivf,
     "layer_algebra_areas": sql_layer_algebra_areas,
     "boolean_areas_nonconvex": sql_boolean_areas,
     "span_invariant": sql_span_invariant,
@@ -2028,7 +2108,7 @@ ORACLES = {
     "lang_id": sql_lang_id,
     "doc_fingerprint": sql_doc_fingerprint,
     "similarity_topk": sql_similarity_topk,
-    # similarity_ivf: approximate — rows-only check by design
+    "similarity_ivf": sql_similarity_ivf,
     "multimodal_meta": sql_multimodal_meta,
 }
 
