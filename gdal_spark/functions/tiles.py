@@ -68,6 +68,38 @@ def quadkey(tx: Column, ty_tms: Column, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+def geodetic_tile(lon: Column, lat: Column, zoom: int,
+                  tile_size: int = TILE_SIZE,
+                  tms_compatible: bool = True) -> tuple[Column, Column]:
+    """EPSG:4326 geodetic profile tile (gdal2tiles.py:534-629
+    GlobalGeodetic): lon/lat ARE the planar coords; pyramid top level
+    is 2x1 tiles (tmscompatible resFact = 180/tile_size) or 1x1
+    (resFact = 360/tile_size). Same ceil-1 PixelsToTile rule as
+    mercator. Returns (tx, ty_tms) — unclamped, TMS orientation."""
+    res_fact = 180.0 / tile_size if tms_compatible else 360.0 / tile_size
+    res = F.lit(res_fact / float(2**zoom))
+    px = (F.lit(180.0) + lon) / res
+    py = (F.lit(90.0) + lat) / res
+    tx = (F.ceil(px / F.lit(float(tile_size))) - 1).cast("bigint")
+    ty = (F.ceil(py / F.lit(float(tile_size))) - 1).cast("bigint")
+    return tx, ty
+
+
+def geodetic_tile_columns(df, lon: str = "lon", lat: str = "lat",
+                          zoom: int = 12, tile_size: int = TILE_SIZE,
+                          tms_compatible: bool = True):
+    """Attach (gtx, gty_tms) geodetic-profile tiles, clamped to the 2:1
+    grid (2*2^z x 2^z for tmscompatible)."""
+    nx = (2 if tms_compatible else 1) * 2**zoom
+    ny = 2**zoom if tms_compatible else max(1, 2**zoom // 2)
+    tx, ty = geodetic_tile(F.col(lon), F.col(lat), zoom, tile_size,
+                           tms_compatible)
+    return (
+        df.withColumn("gtx", clamp(tx, 0, nx - 1))
+        .withColumn("gty_tms", clamp(ty, 0, ny - 1))
+    )
+
+
 def pack_cell(tx: Column, ty_xyz: Column, res: int) -> Column:
     """(tx, ty_xyz) -> int64 row-major cell id with resolution marker bit
     (kernels.cells.pack_cell twin). Row-major keeps the codegen'd

@@ -1,0 +1,330 @@
+"""gdal2tiles base-tile generation + overview pyramid, end to end.
+
+The reference's tiling job (swig/python/gdal-utils/osgeo_utils/
+gdal2tiles.py) computes, per base tile at max zoom:
+  1. the tile's mercator bounds (TileBounds),
+  2. geo_query (gdal2tiles.py:2962-3004): the source-raster read
+     window (rx, ry, rxsize, rysize) and the tile-buffer write window
+     (wx, wy, wxsize, wysize), with the exact 0.001/0.5 int()
+     truncations and border-shift arithmetic,
+  3. ReadRaster(rx.., wxsize..) with nearest-neighbour scaling
+     (gcore/rasterio.cpp:774-890: src = int(clamp(0.5*inc + off + 1e-10
+     + i*inc, 0, size-1))), written into the tile at (wx, wy)
+     (create_base_tile, gdal2tiles.py:1283-1438),
+then builds overview tiles by merging each tile's 4 children.
+
+Spark-native shape: the per-tile window params are tiny driver-side
+metadata (the reference ALSO precomputes them single-threaded —
+get_tile_details); the heavy work — mapping every destination pixel to
+its source pixel and carrying the payload — is a broadcast of the
+param table against the source pixel table, i.e. one equi-join on
+(sx, sy), then a groupBy per tile. Pixels the source does not cover
+stay absent (transparent; they contribute 0 to checksums, matching
+the reference's alpha=0 regions).
+
+Every arithmetic step is integer or pinned-order IEEE double, so the
+DuckDB oracle (sql twin below) reproduces checksums bit-for-bit —
+the autotest checksum-grid pattern (autotest/pyscripts/
+test_gdal2tiles.py:121-124).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import mercator
+from ..sources import derive
+
+CHECKSUM_P = 1000000007
+SALT_SRC = 307
+
+# fixture source raster: NOT aligned to the tile grid (border windows
+# exercised), resolution an exact power-of-two fraction of the world
+# (the nearest-neighbour increment stays IEEE-exact)
+SRC_W, SRC_H = 37, 29
+WORLD_PX = 128  # source resolution = world / 128
+SRC_OFF_X = 11.3  # source ul corner, in source pixels from world UL
+SRC_OFF_Y = 5.7
+
+
+def src_geotransform():
+    os_ = mercator.ORIGIN_SHIFT
+    xres = 2.0 * os_ / WORLD_PX
+    ulx = -os_ + SRC_OFF_X * xres
+    uly = os_ - SRC_OFF_Y * xres
+    return ulx, uly, xres
+
+
+def geo_query(ulx_src, uly_src, xres, yres, w, h,
+              ulx, uly, lrx, lry, querysize):
+    """Straight port of gdal2tiles.py:2962-3004 (int() = C truncation
+    toward zero; all float ops in the reference's order)."""
+    rx = int((ulx - ulx_src) / xres + 0.001)
+    ry = int((uly - uly_src) / yres + 0.001)
+    rxsize = max(1, int((lrx - ulx) / xres + 0.5))
+    rysize = max(1, int((lry - uly) / yres + 0.5))
+    wxsize, wysize = querysize, querysize
+    wx = 0
+    if rx < 0:
+        rxshift = abs(rx)
+        wx = int(wxsize * (float(rxshift) / rxsize))
+        wxsize = wxsize - wx
+        rxsize = rxsize - int(rxsize * (float(rxshift) / rxsize))
+        rx = 0
+    if rx + rxsize > w:
+        wxsize = int(wxsize * (float(w - rx) / rxsize))
+        rxsize = w - rx
+    wy = 0
+    if ry < 0:
+        ryshift = abs(ry)
+        wy = int(wysize * (float(ryshift) / rysize))
+        wysize = wysize - wy
+        rysize = rysize - int(rysize * (float(ryshift) / rysize))
+        ry = 0
+    if ry + rysize > h:
+        wysize = int(wysize * (float(h - ry) / rysize))
+        rysize = h - ry
+    return (rx, ry, rxsize, rysize), (wx, wy, wxsize, wysize)
+
+
+def tile_details(tz: int, tile_size: int):
+    """Per-base-tile read/write windows for the fixture source — the
+    get_tile_details analog. Returns list of dicts."""
+    ulx, uly, xres = src_geotransform()
+    lrx = ulx + SRC_W * xres
+    lry = uly - SRC_H * xres
+    tminx, tminy, tmaxx, tmaxy = mercator.tile_range_for_extent(
+        ulx, lry, lrx, uly, tz, tile_size
+    )
+    out = []
+    for ty in range(tminy, tmaxy + 1):
+        for tx in range(tminx, tmaxx + 1):
+            b = mercator.tile_bounds(tx, ty, tz, tile_size)
+            (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+                ulx, uly, xres, -xres, SRC_W, SRC_H,
+                float(b[0]), float(b[3]), float(b[2]), float(b[1]),
+                querysize=tile_size,
+            )
+            if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+                continue
+            out.append(dict(tz=tz, tx=tx, ty=ty, rx=rx, ry=ry,
+                            rxsize=rxs, rysize=rys,
+                            wx=wx, wy=wy, wxsize=wxs, wysize=wys))
+    return out
+
+
+def src_pixels(spark: SparkSession) -> DataFrame:
+    """Deterministic source band (sx, sy, value) — LCG of the source
+    pixel id, twin of the SQL band CTE."""
+    M31, A = derive.M31, derive.A
+    pid = F.col("id")
+    h1 = (pid % M31) * A + F.lit(SALT_SRC)
+    val = ((h1 % M31) * A + F.lit(SALT_SRC * 7 + 13)) % M31
+    return spark.range(SRC_W * SRC_H).select(
+        (F.col("id") % SRC_W).alias("sx"),
+        (F.col("id") / SRC_W).cast("bigint").alias("sy"),
+        val.alias("value"),
+    )
+
+
+def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16) -> DataFrame:
+    """Base tiles at `tz` as (tz, tx, ty, pos, value) pixel rows:
+    dest-pixel -> source-pixel nearest map (exact closed form), then
+    ONE equi-join against the source pixel table."""
+    params = tile_details(tz, tile_size)
+    pdf = spark.createDataFrame(
+        [(d["tz"], d["tx"], d["ty"], d["rx"], d["ry"], d["rxsize"], d["rysize"],
+          d["wx"], d["wy"], d["wxsize"], d["wysize"]) for d in params],
+        "tz int, tx bigint, ty bigint, rx bigint, ry bigint, rxsize bigint, "
+        "rysize bigint, wx bigint, wy bigint, wxsize bigint, wysize bigint",
+    )
+    ts2 = tile_size * tile_size
+    dest = (
+        pdf.crossJoin(F.broadcast(
+            spark.range(ts2).select(F.col("id").alias("pos"))
+        ))
+        .withColumn("px", F.col("pos") % tile_size)
+        .withColumn("py", (F.col("pos") / tile_size).cast("bigint"))
+        .filter(
+            (F.col("px") >= F.col("wx")) & (F.col("px") < F.col("wx") + F.col("wxsize"))
+            & (F.col("py") >= F.col("wy")) & (F.col("py") < F.col("wy") + F.col("wysize"))
+        )
+    )
+    # nearest rule, rasterio.cpp:774/878: start = 0.5*inc + off + EPS,
+    # then += inc per buffer pixel; clamp, truncate. The op ORDER below
+    # — ((0.5*inc + off) + EPS) + i*inc — matches the SQL twin exactly.
+    incx = F.col("rxsize").cast("double") / F.col("wxsize").cast("double")
+    incy = F.col("rysize").cast("double") / F.col("wysize").cast("double")
+    sxf = ((F.lit(0.5) * incx + F.col("rx")) + F.lit(1e-10)) \
+        + (F.col("px") - F.col("wx")).cast("double") * incx
+    syf = ((F.lit(0.5) * incy + F.col("ry")) + F.lit(1e-10)) \
+        + (F.col("py") - F.col("wy")).cast("double") * incy
+    dest = dest.withColumn(
+        "sx", F.floor(F.least(F.greatest(sxf, F.lit(0.0)), F.lit(float(SRC_W - 1)))).cast("bigint")
+    ).withColumn(
+        "sy", F.floor(F.least(F.greatest(syf, F.lit(0.0)), F.lit(float(SRC_H - 1)))).cast("bigint")
+    )
+    src = src_pixels(spark)
+    return dest.join(src, ["sx", "sy"]).select("tz", "tx", "ty", "pos", "value")
+
+
+def tile_checksums(tiles: DataFrame, tile_size: int) -> DataFrame:
+    """Per-tile checksum: sum((1 + pos) * value) mod P over present
+    pixels (absent = transparent = 0 contribution) — the
+    test_gdal2tiles checksum-grid pattern."""
+    return tiles.groupBy("tz", "tx", "ty").agg(
+        (F.sum((F.lit(1) + F.col("pos")) * F.col("value")) % CHECKSUM_P)
+        .alias("checksum"),
+        F.count("*").alias("n_px"),
+    )
+
+
+def overview_tiles(base: DataFrame, *, tz: int, tile_size: int) -> DataFrame:
+    """One overview level from base-tile pixel rows (gdal2tiles
+    create_overview_tile: merge 4 children, shrink 2x). Values are the
+    2x2 child SUMS (= 4*average, exact integers — the oracle-stable
+    formulation of the average shrink)."""
+    ts = tile_size
+    g = base.select(
+        "value",
+        (F.col("tx") * ts + F.col("pos") % ts).alias("gx"),
+        ((F.lit(2**tz - 1) - F.col("ty")) * ts
+         + (F.col("pos") / ts).cast("bigint")).alias("gy_img"),
+    ).select(
+        "value",
+        (F.col("gx") / 2).cast("bigint").alias("gx2"),
+        (F.col("gy_img") / 2).cast("bigint").alias("gy2"),
+    )
+    zo = tz - 1
+    return g.select(
+        F.lit(zo).alias("tz"),
+        (F.col("gx2") / ts).cast("bigint").alias("tx"),
+        (F.lit(2**zo - 1) - (F.col("gy2") / ts).cast("bigint")).alias("ty"),
+        ((F.col("gy2") % ts) * ts + F.col("gx2") % ts).alias("pos"),
+        "value",
+    ).groupBy("tz", "tx", "ty", "pos").agg(F.sum("value").alias("value"))
+
+
+# --------------------------------------------------------------- SQL twin
+
+def sql_ctes(tz: int = 2, tile_size: int = 16) -> str:
+    """DuckDB replication: tminmax + geo_query + nearest map, all in
+    closed form (trunc() = the C int() truncation; floor for the
+    clamped non-negative sample coords)."""
+    ts = tile_size
+    w, h = SRC_W, SRC_H
+    M31, A = derive.M31, derive.A
+    # every geotransform constant is computed ONCE in Python and
+    # embedded as a float literal — the engine's tile_details consumes
+    # the identical doubles, so the int() truncations cannot diverge
+    os_ = repr(float(mercator.ORIGIN_SHIFT))
+    ulx_f, uly_f, xres_f = src_geotransform()
+    xres = repr(float(xres_f))
+    ulx = repr(float(ulx_f))
+    uly = repr(float(uly_f))
+    lrx = repr(float(ulx_f + SRC_W * xres_f))
+    lry = repr(float(uly_f - SRC_H * xres_f))
+    res = repr(float(mercator.resolution(tz, ts)))
+
+    def m2t(mexpr: str) -> str:
+        # MetersToPixels + PixelsToTile(ceil - 1), then int() clamp
+        px = f"(({mexpr}) + {os_}) / {res}"
+        t = f"CAST(ceil(({px}) / CAST({ts} AS DOUBLE)) - 1 AS BIGINT)"
+        return f"least(greatest({t}, 0), {2**tz - 1})"
+
+    val = (
+        f"(((sy * {w} + sx) % {M31}) * {A} + {SALT_SRC}) % {M31} * {A} "
+        f"+ {SALT_SRC * 7 + 13}"
+    )
+    return f"""
+src AS (
+  SELECT r.range % {w} AS sx, r.range // {w} AS sy,
+         ({val}) % {M31} AS value
+  FROM range({w * h}) r
+),
+tminmax AS (
+  SELECT {m2t(ulx)} AS tminx, {m2t(lry)} AS tminy,
+         {m2t(lrx)} AS tmaxx, {m2t(uly)} AS tmaxy
+),
+tiles0 AS (
+  SELECT CAST(a.range AS BIGINT) AS tx, CAST(b.range AS BIGINT) AS ty
+  FROM range({2**tz}) a CROSS JOIN range({2**tz}) b, tminmax
+  WHERE a.range BETWEEN tminx AND tmaxx AND b.range BETWEEN tminy AND tmaxy
+),
+gq0 AS (
+  SELECT tx, ty,
+         CAST(trunc(((tx * {ts} * {res} - {os_}) - {ulx}) / {xres} + 0.001) AS BIGINT) AS rx0,
+         CAST(trunc((((ty + 1) * {ts} * {res} - {os_}) - {uly}) / (-{xres}) + 0.001) AS BIGINT) AS ry0,
+         greatest(1, CAST(trunc((((tx + 1) * {ts} * {res} - {os_}) - (tx * {ts} * {res} - {os_})) / {xres} + 0.5) AS BIGINT)) AS rxs0,
+         greatest(1, CAST(trunc(((ty * {ts} * {res} - {os_}) - ((ty + 1) * {ts} * {res} - {os_})) / (-{xres}) + 0.5) AS BIGINT)) AS rys0
+  FROM tiles0
+),
+gqx AS (
+  SELECT tx, ty, ry0, rys0,
+         CASE WHEN rx0 < 0 THEN 0 ELSE rx0 END AS rx,
+         CASE WHEN rx0 < 0
+              THEN rxs0 - CAST(trunc(rxs0 * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
+              ELSE rxs0 END AS rxs1,
+         CASE WHEN rx0 < 0
+              THEN CAST(trunc({ts} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
+              ELSE 0 END AS wx,
+         CASE WHEN rx0 < 0
+              THEN {ts} - CAST(trunc({ts} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
+              ELSE {ts} END AS wxs1
+  FROM gq0
+),
+gqx2 AS (
+  SELECT tx, ty, ry0, rys0, rx, wx,
+         CASE WHEN rx + rxs1 > {w}
+              THEN CAST(trunc(wxs1 * (CAST({w} - rx AS DOUBLE) / rxs1)) AS BIGINT)
+              ELSE wxs1 END AS wxsize,
+         CASE WHEN rx + rxs1 > {w} THEN {w} - rx ELSE rxs1 END AS rxsize
+  FROM gqx
+),
+gqy AS (
+  SELECT tx, ty, rx, wx, wxsize, rxsize,
+         CASE WHEN ry0 < 0 THEN 0 ELSE ry0 END AS ry,
+         CASE WHEN ry0 < 0
+              THEN rys0 - CAST(trunc(rys0 * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
+              ELSE rys0 END AS rys1,
+         CASE WHEN ry0 < 0
+              THEN CAST(trunc({ts} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
+              ELSE 0 END AS wy,
+         CASE WHEN ry0 < 0
+              THEN {ts} - CAST(trunc({ts} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
+              ELSE {ts} END AS wys1
+  FROM gqx2
+),
+gq AS (
+  SELECT tx, ty, rx, ry, wx, wy, wxsize, rxsize,
+         CASE WHEN ry + rys1 > {h}
+              THEN CAST(trunc(wys1 * (CAST({h} - ry AS DOUBLE) / rys1)) AS BIGINT)
+              ELSE wys1 END AS wysize,
+         CASE WHEN ry + rys1 > {h} THEN {h} - ry ELSE rys1 END AS rysize
+  FROM gqy
+),
+dest AS (
+  SELECT g.*, p.range % {ts} AS px, p.range // {ts} AS py,
+         p.range AS pos
+  FROM gq g CROSS JOIN range({ts * ts}) p
+  WHERE g.rxsize > 0 AND g.rysize > 0 AND g.wxsize > 0 AND g.wysize > 0
+    AND p.range % {ts} >= g.wx AND p.range % {ts} < g.wx + g.wxsize
+    AND p.range // {ts} >= g.wy AND p.range // {ts} < g.wy + g.wysize
+),
+mapped AS (
+  SELECT tx, ty, pos,
+    CAST(floor(least(greatest(
+      ((0.5 * (CAST(rxsize AS DOUBLE) / CAST(wxsize AS DOUBLE)) + rx) + 1e-10)
+        + CAST(px - wx AS DOUBLE) * (CAST(rxsize AS DOUBLE) / CAST(wxsize AS DOUBLE)),
+      0.0), CAST({w - 1} AS DOUBLE))) AS BIGINT) AS sx,
+    CAST(floor(least(greatest(
+      ((0.5 * (CAST(rysize AS DOUBLE) / CAST(wysize AS DOUBLE)) + ry) + 1e-10)
+        + CAST(py - wy AS DOUBLE) * (CAST(rysize AS DOUBLE) / CAST(wysize AS DOUBLE)),
+      0.0), CAST({h - 1} AS DOUBLE))) AS BIGINT) AS sy
+  FROM dest
+),
+base AS (
+  SELECT {tz} AS tz, m.tx, m.ty, m.pos, s.value
+  FROM mapped m JOIN src s ON s.sx = m.sx AND s.sy = m.sy
+)"""

@@ -113,6 +113,79 @@ SELECT id, tx, {derive.xyz_ty_sql('ty_tms', 12)} AS ty_xyz, {qk} AS quadkey FROM
 """
 
 
+def q_base_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles base-tile pipeline END TO END: source raster (not
+    tile-aligned) -> geo_query windows -> nearest-resampled base tile
+    payloads at z2 -> one overview level (2x2 child sums) at z1; output
+    is the per-tile checksum grid (test_gdal2tiles.py:121-124
+    pattern). Exercises the border-tile window shifts and the
+    rasterio.cpp nearest rule."""
+    from .operators import base_tiles as BT
+
+    base = BT.base_tiles(spark, tz=2, tile_size=16)
+    chk2 = BT.tile_checksums(base, 16)
+    ov = BT.overview_tiles(base, tz=2, tile_size=16)
+    chk1 = BT.tile_checksums(ov, 16)
+    return chk2.unionByName(chk1)
+
+
+def sql_base_tiles() -> str:
+    from .operators import base_tiles as BT
+
+    ctes = BT.sql_ctes(tz=2, tile_size=16).strip()
+    P = BT.CHECKSUM_P
+    return f"""
+WITH {ctes},
+chk2 AS (
+  SELECT tz, tx, ty, CAST(sum((1 + pos) * value) % {P} AS BIGINT) AS checksum,
+         count(*) AS n_px
+  FROM base GROUP BY 1, 2, 3
+),
+ovg AS (
+  SELECT (tx * 16 + pos % 16) // 2 AS gx2,
+         ((3 - ty) * 16 + pos // 16) // 2 AS gy2,
+         value
+  FROM base
+),
+ov AS (
+  SELECT 1 AS tz, gx2 // 16 AS tx, 1 - (gy2 // 16) AS ty,
+         (gy2 % 16) * 16 + gx2 % 16 AS pos,
+         CAST(sum(value) AS BIGINT) AS value
+  FROM ovg GROUP BY 1, 2, 3, 4
+),
+chk1 AS (
+  SELECT tz, tx, ty, CAST(sum((1 + pos) * value) % {P} AS BIGINT) AS checksum,
+         count(*) AS n_px
+  FROM ov GROUP BY 1, 2, 3
+)
+SELECT * FROM chk2 UNION ALL SELECT * FROM chk1
+"""
+
+
+def q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment in the EPSG:4326 geodetic profile
+    (gdal2tiles.py:534-629 GlobalGeodetic, tmscompatible 2:1 grid):
+    lon/lat are planar, top level is 2x1 tiles — the second of
+    gdal2tiles' two global profiles."""
+    pts = _points(spark, sf_dir)
+    return TF.geodetic_tile_columns(pts, zoom=10).select("id", "gtx", "gty_tms")
+
+
+def sql_tile_assign_geodetic() -> str:
+    z, ts = 10, 256
+    res = repr((180.0 / ts) / float(2**z))
+    tx = f"CAST(ceil(((180.0 + x) / {res}) / CAST({ts} AS DOUBLE)) - 1 AS BIGINT)"
+    ty = f"CAST(ceil(((90.0 + y) / {res}) / CAST({ts} AS DOUBLE)) - 1 AS BIGINT)"
+    nx, ny = 2 * 2**z, 2**z
+    return f"""
+WITH pts AS ({_pts_cte()})
+SELECT id,
+       least(greatest({tx}, 0), {nx - 1}) AS gtx,
+       least(greatest({ty}, 0), {ny - 1}) AS gty_tms
+FROM pts
+"""
+
+
 def q_pyramid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count pyramid z5..z0 — the overview reduction loop
     (gdal2tiles.py:1471 analog) with count as merge fn."""
@@ -1998,6 +2071,8 @@ FROM documents
 
 QUERIES = {
     "tile_assign": q_tile_assign,
+    "tile_assign_geodetic": q_tile_assign_geodetic,
+    "base_tiles": q_base_tiles,
     "pyramid_counts": q_pyramid_counts,
     "spatial_join": q_spatial_join,
     "spatial_join_wkb": q_spatial_join_wkb,
@@ -2056,6 +2131,8 @@ QUERIES = {
 
 ORACLES = {
     "tile_assign": sql_tile_assign,
+    "tile_assign_geodetic": sql_tile_assign_geodetic,
+    "base_tiles": sql_base_tiles,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
