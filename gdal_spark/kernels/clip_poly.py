@@ -1,0 +1,282 @@
+"""Polygon-pair boolean RESULT GEOMETRY — Greiner-Hormann clipping.
+
+The reference's layer algebra (OGRLayer::Intersection / Union,
+ogr/ogrlayer.cpp:3345, :3763) emits merged feature geometries via GEOS.
+This kernel re-derives the classic Greiner-Hormann (1998) clipping
+algorithm from the published description for SIMPLE polygons in
+generic position (no vertex-on-edge / collinear-overlap degeneracies —
+the deterministic fixtures guarantee this; degenerate inputs should go
+through the triangle-soup area path which is robust to them):
+
+  1. insert all proper edge-edge intersection points into both vertex
+     rings, linked as neighbour pairs, each tagged entry/exit by
+     alternation from a point-in-polygon seed;
+  2. trace: from an unvisited intersection, walk the subject ring
+     forward on entry / backward on exit, switching rings at each
+     intersection, until the start point closes the ring.
+
+Supports Intersection and Union (the entry/exit roles flip). The
+traced ring vertex set is exactly {A-vertices in B} + {B-vertices in
+A} + {proper edge crossings} — the property the SQL oracle checks.
+
+Containment/disjoint cases (no crossings) resolve by PIP: A-in-B ->
+A (intersection) / B (union), etc.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .pip import point_in_ring
+
+
+class _V:
+    __slots__ = ("x", "y", "nxt", "prv", "neighbour", "inter", "entry",
+                 "visited", "alpha")
+
+    def __init__(self, x: float, y: float, inter: bool = False,
+                 alpha: float = 0.0):
+        self.x = x
+        self.y = y
+        self.nxt = None
+        self.prv = None
+        self.neighbour = None
+        self.inter = inter
+        self.entry = True
+        self.visited = False
+        self.alpha = alpha
+
+
+def _ring(points) -> _V:
+    """Build a circular doubly-linked list; returns the head vertex.
+    `points` is an (n, 2) open ring (no repeated closing vertex)."""
+    head = None
+    prev = None
+    for x, y in points:
+        v = _V(float(x), float(y))
+        if head is None:
+            head = v
+            v.nxt = v
+            v.prv = v
+        else:
+            v.prv = prev
+            v.nxt = head
+            prev.nxt = v
+            head.prv = v
+        prev = v
+    return head
+
+
+def _iter(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.nxt
+        if v is head:
+            break
+
+
+def _seg_intersect(p1, p2, q1, q2):
+    """Proper segment intersection: returns (t, u, x, y) with
+    0 < t < 1 and 0 < u < 1, else None. Fixed op order (shared with
+    the SQL oracle): d1 = p2-p1, d2 = q2-q1, denom = cross(d1, d2),
+    t = cross(q1-p1, d2)/denom, u = cross(q1-p1, d1)/denom."""
+    d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
+    d2x, d2y = q2[0] - q1[0], q2[1] - q1[1]
+    denom = d1x * d2y - d1y * d2x
+    if denom == 0.0:
+        return None
+    ex, ey = q1[0] - p1[0], q1[1] - p1[1]
+    t = (ex * d2y - ey * d2x) / denom
+    u = (ex * d1y - ey * d1x) / denom
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return (t, u, p1[0] + t * d1x, p1[1] + t * d1y)
+    return None
+
+
+def _insert_sorted(edge_start: _V, v: _V):
+    """Insert intersection vertex after edge_start, keeping alpha
+    order among consecutive intersections on the same edge."""
+    pos = edge_start
+    while pos.nxt.inter and pos.nxt.alpha < v.alpha:
+        pos = pos.nxt
+    v.nxt = pos.nxt
+    v.prv = pos
+    pos.nxt.prv = v
+    pos.nxt = v
+
+
+def _close(ring_pts: list) -> np.ndarray:
+    arr = np.asarray(ring_pts, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
+def clip_pair(subject: np.ndarray, clip: np.ndarray, op: str = "intersection"):
+    """Greiner-Hormann boolean of two simple rings (open or closed
+    input; closed rings are opened). Returns list of CLOSED (m, 2)
+    rings. op in {'intersection', 'union'}."""
+    A = np.asarray(subject, dtype=np.float64)
+    B = np.asarray(clip, dtype=np.float64)
+    if (A[0] == A[-1]).all():
+        A = A[:-1]
+    if (B[0] == B[-1]).all():
+        B = B[:-1]
+
+    sh = _ring(A)
+    ch = _ring(B)
+
+    # phase 1: intersections
+    found = False
+    sv = sh
+    while True:
+        sn = sv.nxt
+        while sn.inter:
+            sn = sn.nxt
+        cv = ch
+        while True:
+            cn = cv.nxt
+            while cn.inter:
+                cn = cn.nxt
+            hit = _seg_intersect((sv.x, sv.y), (sn.x, sn.y),
+                                 (cv.x, cv.y), (cn.x, cn.y))
+            if hit is not None:
+                found = True
+                t, u, x, y = hit
+                i1 = _V(x, y, inter=True, alpha=t)
+                i2 = _V(x, y, inter=True, alpha=u)
+                i1.neighbour = i2
+                i2.neighbour = i1
+                _insert_sorted(sv, i1)
+                _insert_sorted(cv, i2)
+            cv = cn
+            if cv is ch:
+                break
+        sv = sn
+        if sv is sh:
+            break
+
+    closedA = _close(A)
+    closedB = _close(B)
+    if not found:
+        a_in_b = bool(point_in_ring(A[:1, 0], A[:1, 1], closedB)[0])
+        b_in_a = bool(point_in_ring(B[:1, 0], B[:1, 1], closedA)[0])
+        if op == "intersection":
+            if a_in_b:
+                return [closedA]
+            if b_in_a:
+                return [closedB]
+            return []
+        if op == "difference":  # A \ B
+            if a_in_b:
+                return []
+            if b_in_a:
+                return [closedA, closedB]  # B becomes a hole of A
+            return [closedA]
+        # union
+        if a_in_b:
+            return [closedB]
+        if b_in_a:
+            return [closedA]
+        return [closedA, closedB]  # disjoint: two parts
+
+    # phase 2: entry/exit tagging by alternation from a PIP seed.
+    # For union the roles flip on BOTH rings (trace the outside arcs);
+    # for difference (A \ B) only the subject flips.
+    def tag(head: _V, other_closed: np.ndarray, flip: bool):
+        first = head
+        status = bool(point_in_ring(np.array([first.x]), np.array([first.y]),
+                                    other_closed)[0])
+        # next intersection toggles to the opposite state: entering if
+        # currently outside
+        entry = not status
+        if flip:
+            entry = not entry
+        for v in _iter(head):
+            if v.inter:
+                v.entry = entry
+                entry = not entry
+
+    tag(sh, closedB, flip=op in ("union", "difference"))
+    tag(ch, closedA, flip=op == "union")
+
+    # phase 3: trace
+    rings = []
+    while True:
+        start = None
+        for v in _iter(sh):
+            if v.inter and not v.visited:
+                start = v
+                break
+        if start is None:
+            break
+        ring = []
+        cur = start
+        while True:
+            cur.visited = True
+            if cur.neighbour is not None:
+                cur.neighbour.visited = True
+            if cur.entry:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.nxt
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    ring.append((cur.x, cur.y))
+                    cur = cur.prv
+                    if cur.inter:
+                        break
+            cur = cur.neighbour
+            if cur is start or cur.neighbour is start:
+                break
+            if cur.visited and cur is not start:
+                break
+        if len(ring) >= 3:
+            rings.append(_close(ring))
+    return rings
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """|shoelace|/2 of a closed ring."""
+    r = np.asarray(ring, dtype=np.float64)
+    return 0.5 * abs(float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])))
+
+
+def _interior_witness(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple closed ring: first ear centroid
+    that passes the ring's own PIP test (exists for any simple ring)."""
+    r = np.asarray(ring, dtype=np.float64)[:-1]
+    n = r.shape[0]
+    closed = np.vstack([r, r[:1]])
+    for i in range(n):
+        c = (r[i - 1] + r[i] + r[(i + 1) % n]) / 3.0
+        if bool(point_in_ring(np.array([c[0]]), np.array([c[1]]), closed)[0]):
+            return float(c[0]), float(c[1])
+    # fallback: vertex mean (convex rings)
+    m = r.mean(axis=0)
+    return float(m[0]), float(m[1])
+
+
+def classify_rings(rings: list) -> list:
+    """[(ring, is_hole)]: a traced ring is a HOLE iff its interior lies
+    inside another traced ring (union of two simple polygons nests at
+    most one level). Traversal orientation is not trusted — GH hole
+    rings can come out either winding."""
+    out = []
+    for i, r in enumerate(rings):
+        wx, wy = _interior_witness(r)
+        hole = False
+        for j, other in enumerate(rings):
+            if i == j:
+                continue
+            if bool(point_in_ring(np.array([wx]), np.array([wy]), other)[0]):
+                hole = True
+                break
+        out.append((r, hole))
+    return out
+
+
+def rings_area(rings: list) -> float:
+    """Total area of a traced ring set: outers minus holes."""
+    return sum((-1.0 if hole else 1.0) * ring_area(r)
+               for r, hole in classify_rings(rings))

@@ -1,0 +1,67 @@
+"""Layer-algebra boolean RESULT GEOMETRY (non-convex pairs).
+
+OGRLayer::Intersection / Union emit merged feature geometries
+(ogr/ogrlayer.cpp:3345, :3763 — GEOS-backed in the reference). Here
+the pairwise clip is the Greiner-Hormann kernel (kernels.clip_poly),
+run per intersecting pair inside one Arrow-batched applyInPandas; the
+candidate pairing upstream is the usual cell-join + envelope skeleton,
+so the exact stage only ever sees genuinely-overlapping pairs.
+
+Output: one row per traced ring (pair_id, op, ring_idx, is_hole,
+xs, ys, area) — rings closed, holes classified by containment.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.clip_poly import classify_rings, clip_pair, ring_area
+
+RING_SCHEMA = (
+    "pair_id bigint, op string, ring_idx int, is_hole boolean, "
+    "xs array<double>, ys array<double>, area double"
+)
+
+
+def boolean_rings(pairs: DataFrame, *, ops=("intersection", "union")) -> DataFrame:
+    """pairs: (pair_id, xs_a, ys_a, xs_b, ys_b) — one row per polygon
+    pair (rings open or closed). Returns traced rings for each op."""
+    ops = list(ops)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            A = np.column_stack([np.asarray(r["xs_a"]), np.asarray(r["ys_a"])])
+            B = np.column_stack([np.asarray(r["xs_b"]), np.asarray(r["ys_b"])])
+            for op in ops:
+                rings = clip_pair(A, B, op)
+                for idx, (ring, hole) in enumerate(classify_rings(rings)):
+                    rows.append({
+                        "pair_id": int(r["pair_id"]), "op": op[:1],
+                        "ring_idx": idx, "is_hole": bool(hole),
+                        "xs": ring[:, 0].tolist(), "ys": ring[:, 1].tolist(),
+                        "area": float(ring_area(ring)),
+                    })
+        cols = ["pair_id", "op", "ring_idx", "is_hole", "xs", "ys", "area"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return pairs.groupBy("pair_id").applyInPandas(lambda p: run(p), RING_SCHEMA)
+
+
+def ring_vertex_set(rings: DataFrame, decimals: int = 9) -> DataFrame:
+    """Distinct rounded ring vertices per (pair_id, op) — the
+    orientation-free contract the SQL oracle reproduces closed-form:
+    {A verts strictly inside B} + {B verts strictly inside A} +
+    {proper edge crossings} for intersection; the strictly-outside
+    complements for union."""
+    v = rings.select(
+        "pair_id", "op",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("_i", "_p"),
+    ).select(
+        "pair_id", "op",
+        F.round(F.col("_p.xs"), decimals).alias("vx"),
+        F.round(F.col("_p.ys"), decimals).alias("vy"),
+    )
+    return v.distinct()

@@ -414,6 +414,180 @@ WHERE dot > 0 AND 100.0 * CAST(dot * dot AS DOUBLE) >= 16.0 * CAST(naa * nbb AS 
 """
 
 
+SALT_LAX, SALT_LAY, SALT_LAW, SALT_LAH = 21, 22, 23, 24
+SALT_LBX, SALT_LBY, SALT_LBW, SALT_LBH = 25, 26, 27, 28
+
+
+def _l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic non-convex pair fixture: two axis-aligned L-shapes
+    per supplier key (B anchored inside A's bbox so most pairs overlap
+    non-convexly; disjoint/containment pairs exercised too)."""
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    ax = F.lit(-170.0) + F.lit(320.0) * docs.hash01_col(i, SALT_LAX)
+    ay = F.lit(-75.0) + F.lit(140.0) * docs.hash01_col(i, SALT_LAY)
+    w = F.lit(4.0) + F.lit(4.0) * docs.hash01_col(i, SALT_LAW)
+    h = F.lit(4.0) + F.lit(4.0) * docs.hash01_col(i, SALT_LAH)
+    w1 = w * F.lit(0.4)
+    h1 = h * F.lit(0.45)
+    bx = ax + w * (F.lit(0.1) + F.lit(0.5) * docs.hash01_col(i, SALT_LBX))
+    by = ay + h * (F.lit(0.1) + F.lit(0.5) * docs.hash01_col(i, SALT_LBY))
+    wb = F.lit(4.0) + F.lit(4.0) * docs.hash01_col(i, SALT_LBW)
+    hb = F.lit(4.0) + F.lit(4.0) * docs.hash01_col(i, SALT_LBH)
+    wb1 = wb * F.lit(0.4)
+    hb1 = hb * F.lit(0.45)
+    return s.select(
+        i.alias("pair_id"),
+        F.array(ax, ax + w, ax + w, ax + w1, ax + w1, ax).alias("xs_a"),
+        F.array(ay, ay, ay + h1, ay + h1, ay + h, ay + h).alias("ys_a"),
+        F.array(bx, bx + wb, bx + wb, bx + wb1, bx + wb1, bx).alias("xs_b"),
+        F.array(by, by, by + hb1, by + hb1, by + hb, by + hb).alias("ys_b"),
+    )
+
+
+def q_boolean_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-convex boolean RESULT GEOMETRY: Greiner-Hormann traced
+    rings for Intersection and Union per L-shape pair
+    (ogrlayer.cpp:3345/:3763 merged-geometry semantics), reported as
+    the orientation-free ring vertex set. The oracle derives the same
+    set closed-form: strictly-inside/outside original vertices plus
+    proper edge crossings."""
+    from .operators import boolean_geom
+
+    pairs = _l_pairs(spark, sf_dir)
+    rings = boolean_geom.boolean_rings(pairs)
+    return boolean_geom.ring_vertex_set(rings, decimals=9)
+
+
+def sql_boolean_geometry() -> str:
+    hx = lambda s: derive.hash01_sql("s_suppkey", s)
+    params = f"""
+SELECT s_suppkey AS pid,
+  -170.0 + 320.0 * ({hx(SALT_LAX)}) AS ax,
+  -75.0 + 140.0 * ({hx(SALT_LAY)}) AS ay,
+  4.0 + 4.0 * ({hx(SALT_LAW)}) AS w,
+  4.0 + 4.0 * ({hx(SALT_LAH)}) AS h,
+  4.0 + 4.0 * ({hx(SALT_LBW)}) AS wb,
+  4.0 + 4.0 * ({hx(SALT_LBH)}) AS hb,
+  0.1 + 0.5 * ({hx(SALT_LBX)}) AS fbx,
+  0.1 + 0.5 * ({hx(SALT_LBY)}) AS fby
+FROM supplier"""
+    # vertex coordinate CASEs (exact op order as the Spark arrays)
+    vxa = ("CASE j WHEN 0 THEN ax WHEN 1 THEN ax + w WHEN 2 THEN ax + w "
+           "WHEN 3 THEN ax + w * 0.4 WHEN 4 THEN ax + w * 0.4 ELSE ax END")
+    vya = ("CASE j WHEN 0 THEN ay WHEN 1 THEN ay WHEN 2 THEN ay + h * 0.45 "
+           "WHEN 3 THEN ay + h * 0.45 WHEN 4 THEN ay + h ELSE ay + h END")
+    vxb = ("CASE j WHEN 0 THEN bx WHEN 1 THEN bx + wb WHEN 2 THEN bx + wb "
+           "WHEN 3 THEN bx + wb * 0.4 WHEN 4 THEN bx + wb * 0.4 ELSE bx END")
+    vyb = ("CASE j WHEN 0 THEN by_ WHEN 1 THEN by_ WHEN 2 THEN by_ + hb * 0.45 "
+           "WHEN 3 THEN by_ + hb * 0.45 WHEN 4 THEN by_ + hb ELSE by_ + hb END")
+    return f"""
+WITH k0 AS ({params}),
+k AS (
+  SELECT pid, ax, ay, w, h, wb, hb,
+         ax + w * fbx AS bx, ay + h * fby AS by_
+  FROM k0
+),
+j6 AS (SELECT CAST(range AS BIGINT) AS j FROM range(6)),
+va AS (SELECT pid, j, {vxa} AS x, {vya} AS y FROM k CROSS JOIN j6),
+vb AS (SELECT pid, j, {vxb} AS x, {vyb} AS y FROM k CROSS JOIN j6),
+ea AS (
+  SELECT a1.pid, a1.j, a1.x AS x1, a1.y AS y1, a2.x AS x2, a2.y AS y2
+  FROM va a1 JOIN va a2 ON a2.pid = a1.pid AND a2.j = (a1.j + 1) % 6
+),
+eb AS (
+  SELECT b1.pid, b1.j, b1.x AS x1, b1.y AS y1, b2.x AS x2, b2.y AS y2
+  FROM vb b1 JOIN vb b2 ON b2.pid = b1.pid AND b2.j = (b1.j + 1) % 6
+),
+-- crossing-rule PIP of A vertices against B (ogrlinearring.cpp:503-531)
+pipa AS (
+  SELECT v.pid, v.j, v.x, v.y,
+         sum(CASE WHEN ((((e.y2 - v.y) > 0) AND ((e.y1 - v.y) <= 0))
+                     OR (((e.y1 - v.y) > 0) AND ((e.y2 - v.y) <= 0)))
+                   AND (((e.x2 - v.x) * (e.y1 - v.y) - (e.x1 - v.x) * (e.y2 - v.y))
+                        / ((e.y1 - v.y) - (e.y2 - v.y))) > 0.0
+             THEN 1 ELSE 0 END) % 2 AS inside
+  FROM va v JOIN eb e ON e.pid = v.pid GROUP BY 1, 2, 3, 4
+),
+pipb AS (
+  SELECT v.pid, v.j, v.x, v.y,
+         sum(CASE WHEN ((((e.y2 - v.y) > 0) AND ((e.y1 - v.y) <= 0))
+                     OR (((e.y1 - v.y) > 0) AND ((e.y2 - v.y) <= 0)))
+                   AND (((e.x2 - v.x) * (e.y1 - v.y) - (e.x1 - v.x) * (e.y2 - v.y))
+                        / ((e.y1 - v.y) - (e.y2 - v.y))) > 0.0
+             THEN 1 ELSE 0 END) % 2 AS inside
+  FROM vb v JOIN ea e ON e.pid = v.pid GROUP BY 1, 2, 3, 4
+),
+-- proper edge crossings with the kernel's exact formula order
+cross0 AS (
+  SELECT a.pid,
+         (a.x2 - a.x1) AS d1x, (a.y2 - a.y1) AS d1y,
+         (b.x2 - b.x1) AS d2x, (b.y2 - b.y1) AS d2y,
+         (b.x1 - a.x1) AS ex, (b.y1 - a.y1) AS ey,
+         a.x1 AS px, a.y1 AS py
+  FROM ea a JOIN eb b ON b.pid = a.pid
+),
+crossings AS (
+  SELECT pid,
+         px + ((ex * d2y - ey * d2x) / (d1x * d2y - d1y * d2x)) * d1x AS x,
+         py + ((ex * d2y - ey * d2x) / (d1x * d2y - d1y * d2x)) * d1y AS y
+  FROM cross0
+  WHERE (d1x * d2y - d1y * d2x) != 0.0
+    AND ((ex * d2y - ey * d2x) / (d1x * d2y - d1y * d2x)) > 0.0
+    AND ((ex * d2y - ey * d2x) / (d1x * d2y - d1y * d2x)) < 1.0
+    AND ((ex * d1y - ey * d1x) / (d1x * d2y - d1y * d2x)) > 0.0
+    AND ((ex * d1y - ey * d1x) / (d1x * d2y - d1y * d2x)) < 1.0
+),
+st AS (
+  SELECT k.pid,
+         coalesce(c.n, 0) AS ncross,
+         (SELECT inside FROM pipa WHERE pipa.pid = k.pid AND pipa.j = 0) AS a_in_b,
+         (SELECT inside FROM pipb WHERE pipb.pid = k.pid AND pipb.j = 0) AS b_in_a
+  FROM k LEFT JOIN (SELECT pid, count(*) AS n FROM crossings GROUP BY 1) c
+    ON c.pid = k.pid
+),
+iverts AS (
+  SELECT p.pid, p.x, p.y FROM pipa p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 1
+  UNION ALL
+  SELECT p.pid, p.x, p.y FROM pipb p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 1
+  UNION ALL
+  SELECT c.pid, c.x, c.y FROM crossings c
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM va v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 1
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM vb v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 0 AND st.b_in_a = 1
+),
+uverts AS (
+  SELECT p.pid, p.x, p.y FROM pipa p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 0
+  UNION ALL
+  SELECT p.pid, p.x, p.y FROM pipb p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 0
+  UNION ALL
+  SELECT c.pid, c.x, c.y FROM crossings c
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM vb v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 1
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM va v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 0 AND st.b_in_a = 1
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM va v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 0 AND st.b_in_a = 0
+  UNION ALL
+  SELECT v.pid, v.x, v.y FROM vb v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 0 AND st.b_in_a = 0
+)
+SELECT DISTINCT pid AS pair_id, 'i' AS op, round(x, 9) AS vx, round(y, 9) AS vy FROM iverts
+UNION
+SELECT DISTINCT pid AS pair_id, 'u' AS op, round(x, 9) AS vx, round(y, 9) AS vy FROM uverts
+"""
+
+
 def _rect_layer(spark: SparkSession, sf_dir: str, table: str, key: str,
                 salt_x: int, salt_y: int, w: float, h: float, res: int) -> DataFrame:
     """Derived rectangle layer: one axis-aligned w x h rect per table
@@ -2084,6 +2258,7 @@ QUERIES = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "layer_algebra_areas": q_layer_algebra_areas,
     "boolean_areas_nonconvex": q_boolean_areas,
+    "boolean_geometry": q_boolean_geometry,
     "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
@@ -2144,6 +2319,7 @@ ORACLES = {
     "dedup_embedding_ivf": sql_dedup_embedding_ivf,
     "layer_algebra_areas": sql_layer_algebra_areas,
     "boolean_areas_nonconvex": sql_boolean_areas,
+    "boolean_geometry": sql_boolean_geometry,
     "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
