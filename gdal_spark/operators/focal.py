@@ -396,6 +396,63 @@ LANCZOS_A = 3  # GDAL's lanczos radius (alg/gdalresamplingkernels.h)
 # a scale anti-pattern and was removed.
 
 
+def grid_metrics(points: DataFrame, *, cell: float, radius: float,
+                 x_col: str = "x", y_col: str = "y",
+                 v_col: str = "v") -> DataFrame:
+    """gdal_grid DATA METRICS (alg/gdalgrid.h:50-88: GGA_Minimum /
+    Maximum / Range / Count / AverageDistance, plus GGA_Nearest
+    interpolation) over a circular search ellipse — one operator, one
+    bounded-fanout explode + groupBy per node:
+
+      vmin / vmax / vrange / cnt over points with d <= radius,
+      avg_dist = mean euclidean node->point distance (ordered fold by
+      point id: sqrt is correctly-rounded IEEE, so the value is
+      engine-exact), nearest_v = value of the (d2, pid)-min point.
+
+    (GGA_AverageDistancePts — mean distance between point PAIRS — is
+    the one member not implemented; it is quadratic per node and rare.)
+    Nodes with no point in radius are absent (nodata)."""
+    reach = int(radius / cell) + 1
+    spark = points.sparkSession
+    offs = (
+        spark.range(-reach, reach + 1).select(F.col("id").alias("_di"))
+        .crossJoin(spark.range(-reach, reach + 1).select(F.col("id").alias("_dj")))
+    )
+    pts = points.select(
+        F.col("pid"), F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.col(v_col).alias("_v"),
+        F.floor(F.col(x_col) / cell).cast("bigint").alias("_ci"),
+        F.floor(F.col(y_col) / cell).cast("bigint").alias("_cj"),
+    )
+    cand = (
+        pts.crossJoin(F.broadcast(offs))
+        .select(
+            "pid", "_x", "_y", "_v",
+            (F.col("_ci") + F.col("_di")).alias("i"),
+            (F.col("_cj") + F.col("_dj")).alias("j"),
+        )
+        .withColumn("_dx", F.col("i") * cell - F.col("_x"))
+        .withColumn("_dy", F.col("j") * cell - F.col("_y"))
+        .withColumn("_d2", F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy"))
+        .filter(F.col("_d2") <= F.lit(radius * radius))
+    )
+    agg = cand.groupBy("i", "j").agg(
+        F.count("*").alias("cnt"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+        # lexicographic struct min = (d2, pid)-nearest, JVM-side
+        F.min(F.struct("_d2", "pid", "_v")).alias("_near"),
+        F.sort_array(F.collect_list(F.struct("pid", "_d2"))).alias("_pts"),
+    )
+    avg = F.expr("aggregate(_pts, 0D, (a, s) -> a + sqrt(s._d2))") / F.col("cnt")
+    return agg.select(
+        "i", "j", "cnt", "vmin", "vmax",
+        (F.col("vmax") - F.col("vmin")).alias("vrange"),
+        avg.alias("avg_dist"),
+        F.col("_near._v").alias("nearest_v"),
+    )
+
+
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
              radius: float, x_col: str = "x", y_col: str = "y",
              v_col: str = "v") -> DataFrame:

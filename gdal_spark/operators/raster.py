@@ -493,6 +493,64 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
     )
 
 
+def reclassify(band: DataFrame, breaks: list[tuple[int, int, int]],
+               default: int | None = None) -> DataFrame:
+    """Raster reclassify (the `gdal raster reclassify` pipeline step /
+    gdalalg_raster_reclassify semantics): map [lo, hi] value ranges to
+    class codes via one chained CASE — whole-stage codegen, zero
+    Python. `breaks` = [(lo, hi, class)], first match wins; unmatched
+    pixels keep their value (default None) or take `default`."""
+    expr = None
+    for lo, hi, cls in breaks:
+        cond = (F.col("value") >= lo) & (F.col("value") <= hi)
+        expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
+    expr = expr.otherwise(F.col("value") if default is None else F.lit(default))
+    return band.withColumn("value", expr.cast("bigint"))
+
+
+def fill_nodata(band: DataFrame, *, nodata, max_dist: int = 3) -> DataFrame:
+    """Fill nodata pixels from surrounding valid pixels
+    (alg/gdalfillnodata.cpp GDALFillNodata semantics re-derived for
+    dataflow: inverse-distance-squared weighted mean of the valid
+    pixels within `max_dist` chebyshev, instead of the reference's
+    sequential 4-direction scan — same intent, deterministic and
+    distributed: valid pixels explode to the bounded window, one
+    groupBy per nodata pixel; the weighted fold is ordered by source
+    pixel id so the double sum is engine-exact).
+
+    Nodata pixels with no valid pixel in range stay absent."""
+    spark = band.sparkSession
+    r = max_dist
+    offs = (
+        spark.range(-r, r + 1).select(F.col("id").alias("_dx"))
+        .crossJoin(spark.range(-r, r + 1).select(F.col("id").alias("_dy")))
+        .filter(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
+    )
+    valid = band.filter(F.col("value") != nodata)
+    holes = band.filter(F.col("value") == nodata).select("gx", "gy")
+    served = (
+        valid.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("gx") + F.col("_dx")).alias("tgx"),
+            (F.col("gy") + F.col("_dy")).alias("tgy"),
+            (F.col("gy") * 100000 + F.col("gx")).alias("_spid"),
+            (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")).alias("_d2"),
+            F.col("value").alias("_v"),
+        )
+    )
+    cand = holes.join(
+        served, (F.col("gx") == F.col("tgx")) & (F.col("gy") == F.col("tgy"))
+    )
+    agg = cand.groupBy("gx", "gy").agg(
+        F.sort_array(F.collect_list(F.struct("_spid", "_d2", "_v"))).alias("pts")
+    )
+    num = F.expr("aggregate(pts, 0D, (a, s) -> a + s._v / CAST(s._d2 AS DOUBLE))")
+    den = F.expr("aggregate(pts, 0D, (a, s) -> a + 1.0 / CAST(s._d2 AS DOUBLE))")
+    filled = agg.select("gx", "gy", (num / den).alias("value"))
+    keep = valid.select("gx", "gy", F.col("value").cast("double").alias("value"))
+    return keep.unionByName(filled)
+
+
 def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
     """Raster->vector polygonize (alg/polygonize.cpp:73): one row per
     connected component — (label, value, n_pixels), label = min global

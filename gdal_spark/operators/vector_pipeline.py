@@ -197,6 +197,80 @@ def clip_rect(df: DataFrame, minx: float, miny: float, maxx: float, maxy: float,
     return df.mapInPandas(run, df.schema).filter(F.size(F.col(xs)) > 0)
 
 
+def buffer_points(df: DataFrame, dist, *, n_seg: int = 32,
+                  x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+    """Point buffer -> regular n_seg-gon ring (OGRGeometry::Buffer for
+    point inputs; GEOS default 8 quadrant segments = 32-gon,
+    ogr/ogrgeometry.cpp Buffer). `dist` may be a Column. Pure column
+    math (transform over a sequence) — line/polygon buffering
+    (Minkowski offsetting) is not implemented; the reference delegates
+    those to GEOS and our layer algebra covers overlay semantics."""
+    d = dist if isinstance(dist, Column) else F.lit(float(dist))
+    df = df.withColumn("_bd", d)
+    two_pi = 6.283185307179586
+    xs_e = (
+        f"transform(sequence(0, {n_seg - 1}), k -> "
+        f"{x_col} + _bd * cos({two_pi!r} * CAST(k AS DOUBLE) / {float(n_seg)!r}))"
+    )
+    ys_e = (
+        f"transform(sequence(0, {n_seg - 1}), k -> "
+        f"{y_col} + _bd * sin({two_pi!r} * CAST(k AS DOUBLE) / {float(n_seg)!r}))"
+    )
+    return df.withColumn("xs", F.expr(xs_e)).withColumn("ys", F.expr(ys_e)) \
+             .drop("_bd")
+
+
+def explode_parts(df: DataFrame, parts: str = "parts") -> DataFrame:
+    """ogr2ogr -explodecollections / pipeline explode-collections
+    (apps/gdalalg_vector_pipeline.cpp step registry): one row per
+    geometry part. `parts` is array<struct<xs, ys>>; emits part_idx +
+    flat xs/ys columns."""
+    return df.select(
+        *[c for c in df.columns if c != parts],
+        F.posexplode(parts).alias("part_idx", "_g"),
+    ).withColumn("xs", F.col("_g.xs")).withColumn("ys", F.col("_g.ys")) \
+     .drop("_g")
+
+
+def make_valid(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """Structural geometry repair (the deterministic slice of
+    OGRGeometry::MakeValid, ogr/ogrgeometry.cpp MakeValid):
+    - drop repeated consecutive vertices,
+    - drop the closing vertex if duplicated (rings are stored open),
+    - enforce CCW outer-ring orientation (reverse CW input),
+    - degenerate rings (< 3 distinct vertices) become empty and the
+      row is dropped (the reference emits no feature).
+    Self-intersection node-splitting (the GEOS-level repair) is out of
+    scope and documented as such."""
+    z = f"arrays_zip({xs}, {ys})"
+    dedup = (
+        f"filter({z}, (p, i) -> i = 0 OR p.{xs} != element_at({z}, i).{xs} "
+        f"OR p.{ys} != element_at({z}, i).{ys})"
+    )
+    open_ring = (
+        f"if(size(_dz) > 1 AND element_at(_dz, 1).{xs} = element_at(_dz, -1).{xs} "
+        f"AND element_at(_dz, 1).{ys} = element_at(_dz, -1).{ys}, "
+        f"slice(_dz, 1, size(_dz) - 1), _dz)"
+    )
+    # shoelace signed area (open ring, wrap-around edge included)
+    signed2 = (
+        "aggregate(sequence(1, size(_oz)), 0D, (a, i) -> a + "
+        "element_at(_oz, i).{x} * element_at(_oz, 1 + i % size(_oz)).{y} - "
+        "element_at(_oz, 1 + i % size(_oz)).{x} * element_at(_oz, i).{y})"
+    ).format(x=xs, y=ys)
+    out = (
+        df.withColumn("_dz", F.expr(dedup))
+        .withColumn("_oz", F.expr(open_ring))
+        .filter(F.expr("size(_oz) >= 3"))
+        .withColumn("_s2", F.expr(signed2))
+        .withColumn("_fz", F.expr("if(_s2 < 0, reverse(_oz), _oz)"))
+        .withColumn(xs, F.expr(f"transform(_fz, p -> p.{xs})"))
+        .withColumn(ys, F.expr(f"transform(_fz, p -> p.{ys})"))
+        .drop("_dz", "_oz", "_s2", "_fz")
+    )
+    return out
+
+
 def swap_xy(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
     return (
         df.withColumn("_t", F.col(xs)).withColumn(xs, F.col(ys))
@@ -212,7 +286,8 @@ class VectorPipeline:
     stages apply segmentize -> simplify -> clip_src -> reproject ->
     clip_dst (ogr2ogr_lib.cpp:6902-7243)."""
 
-    _GEOM_ORDER = ["segmentize", "simplify", "clip_src", "reproject", "clip_dst"]
+    _GEOM_ORDER = ["explode_collections", "buffer", "segmentize", "simplify",
+                   "clip_src", "reproject", "clip_dst", "make_valid"]
 
     def __init__(self, df: DataFrame):
         self.df = df
@@ -224,6 +299,19 @@ class VectorPipeline:
 
     def select(self, *cols):
         self.df = self.df.select(*cols)
+        return self
+
+    def explode_collections(self, parts: str = "parts"):
+        self._stages["explode_collections"] = lambda d: explode_parts(d, parts)
+        return self
+
+    def buffer(self, dist, n_seg: int = 32, x_col: str = "lon", y_col: str = "lat"):
+        self._stages["buffer"] = lambda d: buffer_points(
+            d, dist, n_seg=n_seg, x_col=x_col, y_col=y_col)
+        return self
+
+    def make_valid(self):
+        self._stages["make_valid"] = lambda d: make_valid(d)
         return self
 
     def segmentize(self, max_length: float):

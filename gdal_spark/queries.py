@@ -1144,6 +1144,234 @@ FROM agg
 """
 
 
+def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid data metrics (alg/gdalgrid.h:50-88): min/max/range/
+    count/average-distance + nearest per node, circular radius, same
+    scattered fixture as idw_grid."""
+    from .operators import focal
+
+    p = _read(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    pts = p.select(
+        i.alias("pid"),
+        (docs.hash01_col(i, 11) * 100.0).alias("x"),
+        (docs.hash01_col(i, 12) * 100.0).alias("y"),
+        ((i * 37 + 11) % 1000).alias("v"),
+    )
+    return focal.grid_metrics(pts, cell=10.0, radius=15.0)
+
+
+def sql_grid_metrics() -> str:
+    x = f"({derive.hash01_sql('p_partkey', 11)}) * 100.0"
+    y = f"({derive.hash01_sql('p_partkey', 12)}) * 100.0"
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS pid, {x} AS _x, {y} AS _y,
+         (p_partkey * 37 + 11) % 1000 AS _v
+  FROM part
+),
+offs AS (SELECT a.range - 2 AS di, b.range - 2 AS dj FROM range(5) a CROSS JOIN range(5) b),
+cand0 AS (
+  SELECT pid, _x, _y, _v,
+         CAST(floor(_x / 10.0) AS BIGINT) + di AS i,
+         CAST(floor(_y / 10.0) AS BIGINT) + dj AS j
+  FROM pts CROSS JOIN offs
+),
+cand AS (
+  SELECT pid, _v, i, j,
+         (i * 10.0 - _x) * (i * 10.0 - _x) + (j * 10.0 - _y) * (j * 10.0 - _y) AS _d2
+  FROM cand0
+),
+filt AS (SELECT * FROM cand WHERE _d2 <= 225.0)
+SELECT i, j, count(*) AS cnt, min(_v) AS vmin, max(_v) AS vmax,
+       max(_v) - min(_v) AS vrange,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sqrt(_d2) ORDER BY pid)),
+                   (a, b) -> a + b) / count(*) AS avg_dist,
+       (list(_v ORDER BY _d2, pid))[1] AS nearest_v
+FROM filt GROUP BY 1, 2
+"""
+
+
+def q_vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point buffer step (OGRGeometry::Buffer, 32-gon GEOS-default
+    approximation) — exploded ring vertices, 9dp."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    pts = s.select(
+        i.alias("id"),
+        (F.lit(-170.0) + F.lit(320.0) * docs.hash01_col(i, 31)).alias("lon"),
+        (F.lit(-75.0) + F.lit(140.0) * docs.hash01_col(i, 32)).alias("lat"),
+        (F.lit(1.0) + F.lit(2.0) * docs.hash01_col(i, 33)).alias("bd"),
+    )
+    buf = VP.buffer_points(pts, F.col("bd"), n_seg=16)
+    return buf.select(
+        "id", F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "_p")
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_vector_buffer() -> str:
+    lon = f"-170.0 + 320.0 * ({derive.hash01_sql('s_suppkey', 31)})"
+    lat = f"-75.0 + 140.0 * ({derive.hash01_sql('s_suppkey', 32)})"
+    bd = f"1.0 + 2.0 * ({derive.hash01_sql('s_suppkey', 33)})"
+    two_pi = repr(6.283185307179586)
+    return f"""
+WITH pts AS (SELECT s_suppkey AS id, {lon} AS lon, {lat} AS lat, {bd} AS bd FROM supplier)
+SELECT id, CAST(k.range AS BIGINT) AS k,
+       round(lon + bd * cos({two_pi} * CAST(k.range AS DOUBLE) / 16.0), 9) AS vx,
+       round(lat + bd * sin({two_pi} * CAST(k.range AS DOUBLE) / 16.0), 9) AS vy
+FROM pts CROSS JOIN range(16) k
+"""
+
+
+def q_explode_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode-collections + make-valid pipeline steps: 3-part multi
+    geometry per key (valid CCW ring, CW ring needing orientation fix,
+    degenerate 2-point sliver that must be dropped). Output: per
+    surviving part, vertex count + SIGNED shoelace area (positive
+    after repair proves the CCW fix)."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    cx = F.lit(-100.0) + F.lit(200.0) * docs.hash01_col(i, 34)
+    cy = F.lit(-60.0) + F.lit(120.0) * docs.hash01_col(i, 35)
+    r = F.lit(1.0) + F.lit(3.0) * docs.hash01_col(i, 36)
+    # part0: CCW diamond; part1: CW square (reversed order); part2:
+    # degenerate [p, q, p]
+    p0 = F.struct(
+        F.array(cx + r, cx, cx - r, cx).alias("xs"),
+        F.array(cy, cy + r, cy, cy - r).alias("ys"),
+    )
+    p1 = F.struct(
+        F.array(cx - r, cx - r, cx + r, cx + r).alias("xs"),
+        F.array(cy - r, cy + r, cy + r, cy - r).alias("ys"),
+    )
+    p2 = F.struct(
+        F.array(cx, cx + r, cx).alias("xs"),
+        F.array(cy, cy, cy).alias("ys"),
+    )
+    multi = s.select(i.alias("id"), F.array(p0, p1, p2).alias("parts"))
+    ex = VP.explode_parts(multi)
+    mv = VP.make_valid(ex)
+    signed = F.expr(
+        "aggregate(sequence(1, size(xs)), 0D, (a, i) -> a + "
+        "element_at(xs, i) * element_at(ys, 1 + i % size(xs)) - "
+        "element_at(xs, 1 + i % size(xs)) * element_at(ys, i)) / 2"
+    )
+    return mv.select(
+        "id", "part_idx", F.size("xs").alias("nv"),
+        F.round(signed, 9).alias("signed_area"),
+    )
+
+
+def sql_explode_make_valid() -> str:
+    cx = f"-100.0 + 200.0 * ({derive.hash01_sql('s_suppkey', 34)})"
+    cy = f"-60.0 + 120.0 * ({derive.hash01_sql('s_suppkey', 35)})"
+    r = f"1.0 + 3.0 * ({derive.hash01_sql('s_suppkey', 36)})"
+    # part0 already CCW: area = 2 r^2 (diamond, shoelace of the exact
+    # vertex doubles); part1 CW square reversed -> CCW: area = 4 r^2;
+    # part2 dropped. Signed areas computed from the same vertex doubles
+    # with the same fold.
+    return f"""
+WITH k AS (SELECT s_suppkey AS id, {cx} AS cx, {cy} AS cy, {r} AS r FROM supplier),
+parts AS (
+  SELECT id, 0 AS part_idx,
+         [cx + r, cx, cx - r, cx] AS xs, [cy, cy + r, cy, cy - r] AS ys
+  FROM k
+  UNION ALL
+  SELECT id, 1,
+         list_reverse([cx - r, cx - r, cx + r, cx + r]),
+         list_reverse([cy - r, cy + r, cy + r, cy - r])
+  FROM k
+),
+ar AS (
+  SELECT id, part_idx, len(xs) AS nv,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(xs) + 1), i ->
+             xs[i] * ys[1 + i % len(xs)] - xs[1 + i % len(xs)] * ys[i])),
+           (a, b) -> a + b) / 2 AS s2
+  FROM parts
+)
+SELECT id, part_idx, nv, round(s2, 9) AS signed_area FROM ar
+"""
+
+
+def q_raster_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster reclassify (gdal raster reclassify step): 3-class range
+    remap as one codegen CASE chain."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    t1, t2 = 715827882, 1431655764
+    out = raster.reclassify(band, [(0, t1, 10), (t1 + 1, t2, 20)], default=30)
+    return out.select("gx", "gy", "value")
+
+
+def sql_raster_reclassify() -> str:
+    t1, t2 = 715827882, 1431655764
+    v = _band_val_sql("gy * 32 + gx")
+    return f"""
+WITH px AS (SELECT r.range % 32 AS gx, r.range // 32 AS gy FROM range(1024) r)
+SELECT gx, gy,
+       CAST(CASE WHEN ({v}) BETWEEN 0 AND {t1} THEN 10
+                 WHEN ({v}) BETWEEN {t1 + 1} AND {t2} THEN 20
+                 ELSE 30 END AS BIGINT) AS value
+FROM px
+"""
+
+
+def q_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-nodata (GDALFillNodata re-derived as a bounded-window
+    inverse-distance fill): ~20% of the band punched to nodata, filled
+    from valid pixels within chebyshev 2; ordered fold keeps the
+    doubles engine-exact."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    punched = band.withColumn(
+        "value", F.when(F.col("value") % 5 == 0, F.lit(-1)).otherwise(F.col("value"))
+    ).select("gx", "gy", "value")
+    out = raster.fill_nodata(punched, nodata=-1, max_dist=2)
+    return out.select("gx", "gy", F.round("value", 6).alias("value"))
+
+
+def sql_fill_nodata() -> str:
+    v = _band_val_sql("gy * 32 + gx")
+    return f"""
+WITH px0 AS (SELECT r.range % 32 AS gx, r.range // 32 AS gy, {v} AS v0 FROM range(1024) r),
+px AS (SELECT gx, gy, CASE WHEN v0 % 5 = 0 THEN -1 ELSE v0 END AS value FROM px0),
+valid AS (SELECT * FROM px WHERE value != -1),
+holes AS (SELECT gx, gy FROM px WHERE value = -1),
+offs AS (
+  SELECT a.range - 2 AS dx, b.range - 2 AS dy
+  FROM range(5) a CROSS JOIN range(5) b
+  WHERE NOT (a.range = 2 AND b.range = 2)
+),
+served AS (
+  SELECT v.gx + o.dx AS tgx, v.gy + o.dy AS tgy,
+         v.gy * 100000 + v.gx AS spid,
+         o.dx * o.dx + o.dy * o.dy AS d2, v.value AS vv
+  FROM valid v CROSS JOIN offs o
+),
+cand AS (
+  SELECT h.gx, h.gy, s.spid, s.d2, s.vv
+  FROM holes h JOIN served s ON s.tgx = h.gx AND s.tgy = h.gy
+),
+filled AS (
+  SELECT gx, gy,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(vv / CAST(d2 AS DOUBLE) ORDER BY spid)), (a, b) -> a + b)
+    / list_reduce(list_prepend(CAST(0 AS DOUBLE), list(1.0 / CAST(d2 AS DOUBLE) ORDER BY spid)), (a, b) -> a + b)
+    AS value
+  FROM cand GROUP BY 1, 2
+)
+SELECT gx, gy, round(CAST(value AS DOUBLE), 6) AS value FROM valid
+UNION ALL
+SELECT gx, gy, round(value, 6) AS value FROM filled
+"""
+
+
 def q_events_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal binning of the events stream table (the time analog of
     the grid/binning aggregations, SURVEY §2.4): hourly buckets per
@@ -2283,6 +2511,11 @@ QUERIES = {
     "warp_resample_lanczos": q_warp_resample_lanczos,
     "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
+    "grid_metrics": q_grid_metrics,
+    "vector_buffer": q_vector_buffer,
+    "explode_make_valid": q_explode_make_valid,
+    "raster_reclassify": q_raster_reclassify,
+    "fill_nodata": q_fill_nodata,
     "events_buckets": q_events_buckets,
     "ogr_summary": q_ogr_summary,
     "ogr_distinct": q_ogr_distinct,
@@ -2344,6 +2577,11 @@ ORACLES = {
     "warp_resample_lanczos": sql_warp_resample_lanczos,
     "sample_bilinear": sql_sample_bilinear,
     "idw_grid": sql_idw_grid,
+    "grid_metrics": sql_grid_metrics,
+    "vector_buffer": sql_vector_buffer,
+    "explode_make_valid": sql_explode_make_valid,
+    "raster_reclassify": sql_raster_reclassify,
+    "fill_nodata": sql_fill_nodata,
     "events_buckets": sql_events_buckets,
     "ogr_summary": sql_ogr_summary,
     "ogr_distinct": sql_ogr_distinct,
