@@ -105,23 +105,87 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # -- Zipfian corpus for the dedup benches (VERDICT r1: the uniform
+    # word-soup corpus makes ~56% of pairs genuine candidates, so the
+    # prefix filter had nothing to prune). Word rank is log-uniform
+    # (= Zipf s=1) over a 10k vocab, deterministic from (doc, pos).
+    n_zipf = int(os.environ.get("SPARK_GRAFT_BENCH_ZIPF_DOCS", "20000"))
+    zipf_path = os.path.join(cache, f"zipf_{n_zipf}.parquet")
+    if not os.path.exists(zipf_path):
+        from gdal_spark.sources.derive import A, M31
+        ln_v = 9.2103403719761836  # ln(10000)
+        h = (
+            f"((((doc_id * 131 + j) % {M31}) * {A} + 9176) % {M31})"
+        )
+        word = (
+            f"concat('w', cast(cast(exp({h} / cast({M31} as double) * {ln_v}) "
+            f"as bigint) as string))"
+        )
+        ndoc_words = f"40 + doc_id % 41"
+        (
+            spark.range(n_zipf).select(F.col("id").alias("doc_id"))
+            .withColumn(
+                "text",
+                F.expr(
+                    f"concat_ws(' ', transform(sequence(1, {ndoc_words}), j -> {word}))"
+                ),
+            )
+            .repartition(cpus)
+            .write.mode("overwrite").parquet(zipf_path)
+        )
+
+    from gdal_spark.operators import dedup as dedup_ops
+    from gdal_spark.operators import reproject as reproj_ops
+
+    def bench_utm(s, d):
+        # the reference's own ogr2ogr benchmark CRS pair
+        # (autotest/benchmark/test_ogr2ogr.py:61-66: 32631 <-> 4326)
+        # over the full synthesized doc table — batch Krueger UDF both
+        # directions
+        pts = s.read.parquet(doc_path).select("doc_id", "lon", "lat")
+        fwd = reproj_ops.utm_forward_cols(pts, zone=31)
+        return reproj_ops.utm_inverse_cols(fwd, zone=31).select(
+            "doc_id", "easting", "northing", "lon_inv", "lat_inv"
+        )
+
+    def bench_slope_tiles(s, d):
+        # 1024x1024 synthetic band on the tile-array model: ONE halo
+        # shuffle + numpy stencils (the scale path for focal ops)
+        from gdal_spark.operators import raster as raster_ops
+        from gdal_spark.operators import tile_raster
+        band = raster_ops.synth_band(s, zoom=3, tile_px=128)
+        tiles = tile_raster.tiles_from_pixels(band, tile=128)
+        out = tile_raster.slope_tiles(tiles, tile=128, nty=8, ntx=8)
+        return out.select("ty", "tx", F.xxhash64("slope_deg").alias("h"))
+
     per_query = {
         "tile_assign": Q.q_tile_assign,
         "pyramid_counts": Q.q_pyramid_counts,
         "spatial_join": Q.q_spatial_join,
+        "spatial_join_wkb": Q.q_spatial_join_wkb,
         "spatial_join_skew": Q.q_spatial_join_skew,
         "knn": Q.q_knn,
+        "reproject_utm_2m": bench_utm,
         "rasterize_add": Q.q_rasterize_add,
         "overview_avg": Q.q_overview_avg,
         "polygonize": Q.q_polygonize,
+        "slope_tiles_1m": bench_slope_tiles,
+        "base_tiles": Q.q_base_tiles,
+        "boolean_geometry": Q.q_boolean_geometry,
         "minhash_lsh": Q.q_minhash_lsh,
-        # threshold 60: the synthetic word-soup corpus makes every doc
-        # pair share grams, so low thresholds force a near-quadratic
-        # exact verify regardless of algorithm; 60% exercises the
-        # prefix-filter pruning the way Zipfian real corpora do.
-        "dedup_jaccard_t60": lambda s, d: __import__("gdal_spark.operators.dedup", fromlist=["d"]).ngram_jaccard_pairs(
+        # legacy word-soup corpus (near-quadratic verify by
+        # construction — kept for cross-round comparability)
+        "dedup_jaccard_t60": lambda s, d: dedup_ops.ngram_jaccard_pairs(
             s.read.parquet(f"{d}/documents.parquet"), id_col="doc_id", n=2, threshold_pct=60
         ),
+        # Zipfian corpus: the prefix filter prunes like on real text
+        "dedup_jaccard_zipf": lambda s, d: dedup_ops.ngram_jaccard_pairs(
+            s.read.parquet(zipf_path), id_col="doc_id", n=2, threshold_pct=60
+        ),
+        "minhash_lsh_zipf": lambda s, d: dedup_ops.minhash_lsh_pairs(
+            s.read.parquet(zipf_path), id_col="doc_id", n_hashes=16, bands=4
+        ),
+        "dedup_embedding_ivf": Q.q_dedup_embedding_ivf,
         "text_quality": Q.q_text_quality,
         "similarity_topk": Q.q_similarity_topk,
         "ogr_summary": Q.q_ogr_summary,

@@ -133,22 +133,33 @@ def halo_apply(
     out_cols = out_cols or ["payload"]
     T, h = tile, halo
 
-    msgs = [
-        tiled.select(
-            (F.col("ty") + dty).alias("ty"), (F.col("tx") + dtx).alias("tx"),
-            F.lit(kind).alias("kind"), F.expr(expr).alias("part"),
+    # ONE projection emits all 9 messages per tile (center + 8 strips)
+    # via explode — the tile payload is computed exactly once however
+    # the upstream lineage is built (a 9-way union would recompute an
+    # unpersisted source 9 times).
+    msg_structs = [
+        F.struct(
+            F.lit("c").alias("kind"), F.lit(0).alias("dty"),
+            F.lit(0).alias("dtx"), F.col("payload").alias("part"),
+        )
+    ] + [
+        F.struct(
+            F.lit(kind).alias("kind"), F.lit(dty).alias("dty"),
+            F.lit(dtx).alias("dtx"), F.expr(expr).alias("part"),
         )
         for kind, dty, dtx, expr in _strip_exprs(T, h)
     ]
-    center = tiled.select(
-        "ty", "tx", F.lit("c").alias("kind"), F.col("payload").alias("part")
-    )
-    allm = center
-    for m in msgs:
-        allm = allm.unionByName(m)
-    allm = allm.filter(
-        (F.col("ty") >= 0) & (F.col("ty") < nty)
-        & (F.col("tx") >= 0) & (F.col("tx") < ntx)
+    allm = (
+        tiled.select("ty", "tx", F.explode(F.array(*msg_structs)).alias("m"))
+        .select(
+            (F.col("ty") + F.col("m.dty")).alias("ty"),
+            (F.col("tx") + F.col("m.dtx")).alias("tx"),
+            F.col("m.kind").alias("kind"), F.col("m.part").alias("part"),
+        )
+        .filter(
+            (F.col("ty") >= 0) & (F.col("ty") < nty)
+            & (F.col("tx") >= 0) & (F.col("tx") < ntx)
+        )
     )
 
     P = T + 2 * h

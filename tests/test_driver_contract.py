@@ -34,8 +34,9 @@ def test_contract_shape():
     assert len(qs) >= 25
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
-    # only approximate-by-design ops may omit an oracle
-    assert set(qs) - set(oracles) == {"similarity_ivf"}
+    # every registered query carries an exact DuckDB oracle (since r2
+    # even the IVF paths do — the bucketing is deterministic)
+    assert set(qs) - set(oracles) == set()
 
 
 def test_entry_smoke(spark):
