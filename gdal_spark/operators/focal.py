@@ -262,6 +262,122 @@ def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFr
     )
 
 
+def footprint_rings(pixels: DataFrame, *, width: int, valid,
+                    tile: int = 64) -> DataFrame:
+    """Footprint RING-OUTLINE geometry (apps/gdal_footprint_lib.cpp
+    emits polygons, not bboxes): per valid-mask component, the traced
+    pixel-edge boundary rings — outer ring plus hole rings.
+
+    Plan: CCL labels (raster.label_pixels), then per-pixel boundary
+    edges from 4 shifted self-joins (an edge exists where the
+    neighbor is absent or in another component), then ONE groupBy per
+    component traces the directed edge cycles in an Arrow-batched
+    applyInPandas and merges collinear runs. Edge orientation keeps
+    the component interior on a fixed side, so outer rings and holes
+    come out as separate cycles directly.
+
+    Returns (label, ring_idx, nv, xs, ys, area) — ring closed, area =
+    |shoelace|/2 in pixel units."""
+    import numpy as np
+    import pandas as pd
+
+    from .raster import label_pixels
+
+    mask = pixels.withColumn(
+        "value", F.when(F.col("value") == valid, F.lit(1)).otherwise(F.lit(0))
+    )
+    lab = label_pixels(mask, width=width, tile=tile).filter(F.col("value") == 1) \
+        .select("px", "py", "comp")
+    nbr = lab.select(F.col("px").alias("nx"), F.col("py").alias("ny"),
+                     F.col("comp").alias("ncomp"))
+
+    edges = None
+    # (dx, dy, edge endpoints when the (dx,dy) neighbor is not ours)
+    for dx, dy, x1, y1, x2, y2 in (
+        (0, -1, "px", "py", "px + 1", "py"),            # top: L -> R
+        (1, 0, "px + 1", "py", "px + 1", "py + 1"),     # right: T -> B
+        (0, 1, "px + 1", "py + 1", "px", "py + 1"),     # bottom: R -> L
+        (-1, 0, "px", "py + 1", "px", "py"),            # left: B -> T
+    ):
+        e = (
+            lab.join(
+                nbr,
+                (F.col("nx") == F.col("px") + dx)
+                & (F.col("ny") == F.col("py") + dy)
+                & (F.col("ncomp") == F.col("comp")),
+                "left_anti",
+            )
+            .select(
+                "comp",
+                F.expr(x1).alias("x1"), F.expr(y1).alias("y1"),
+                F.expr(x2).alias("x2"), F.expr(y2).alias("y2"),
+            )
+        )
+        edges = e if edges is None else edges.unionByName(e)
+
+    schema = ("label bigint, ring_idx int, nv int, "
+              "xs array<double>, ys array<double>, area double")
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(pdf["comp"].iloc[0])
+        # successor map: start vertex -> list of (end vertex)
+        succ: dict = {}
+        for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
+            succ.setdefault((int(x1), int(y1)), []).append((int(x2), int(y2)))
+        rows = []
+        ring_idx = 0
+        while succ:
+            start = min(succ.keys())
+            ring = [start]
+            prev = None
+            cur = start
+            while True:
+                outs = succ[cur]
+                if len(outs) == 1 or prev is None:
+                    nxt = outs.pop()
+                else:
+                    # diagonal-touch vertex: prefer the sharpest LEFT
+                    # turn relative to the incoming direction, keeping
+                    # each cycle maximally tight (GDAL's polygonizer
+                    # separates diagonal-touching parts the same way)
+                    din = (cur[0] - prev[0], cur[1] - prev[1])
+                    best = None
+                    for cand in outs:
+                        dout = (cand[0] - cur[0], cand[1] - cur[1])
+                        crossz = din[0] * dout[1] - din[1] * dout[0]
+                        key = (crossz, -(din[0] * dout[0] + din[1] * dout[1]))
+                        if best is None or key < best[0]:
+                            best = (key, cand)
+                    nxt = best[1]
+                    outs.remove(nxt)
+                if not outs:
+                    del succ[cur]
+                if nxt == start:
+                    break
+                ring.append(nxt)
+                prev, cur = cur, nxt
+            # merge collinear runs (axis-aligned: drop middle points)
+            out = []
+            n = len(ring)
+            for i in range(n):
+                a, b, c = ring[i - 1], ring[i], ring[(i + 1) % n]
+                if (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0]) != 0:
+                    out.append(b)
+            arr = np.array(out + [out[0]], dtype=np.float64)
+            area = 0.5 * abs(float(np.sum(
+                arr[:-1, 0] * arr[1:, 1] - arr[1:, 0] * arr[:-1, 1])))
+            rows.append({
+                "label": comp, "ring_idx": ring_idx, "nv": len(out),
+                "xs": arr[:, 0].tolist(), "ys": arr[:, 1].tolist(),
+                "area": area,
+            })
+            ring_idx += 1
+        return pd.DataFrame(rows, columns=["label", "ring_idx", "nv",
+                                           "xs", "ys", "area"])
+
+    return edges.groupBy("comp").applyInPandas(lambda p: trace(p), schema)
+
+
 def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
              obs_height: float = 2.0, height: int | None = None) -> DataFrame:
     """Viewshed (alg/viewshed/viewshed.cpp semantics, uniform-ray

@@ -120,6 +120,40 @@ def overview_reduce(band: DataFrame, alg: str = "average") -> DataFrame:
             )
         )
         return out
+    elif alg in ("mode", "med", "q1", "q3", "rms"):
+        # order-statistic family (GDALResampleAlg GRA_Mode/Med/Q1/Q3/
+        # RMS, alg/gdalwarper.h:37-67). Deterministic rules over the
+        # sorted 2x2 child list vs:
+        #   mode: most frequent value, ties -> SMALLEST value (the
+        #         reference's tie order is first-encountered, which is
+        #         scan-order-dependent — we pin a total order instead);
+        #   med:  mean of the two middle values;
+        #   q1/q3: nearest-rank floor((n-1)*q) on the sorted list;
+        #   rms:  sqrt(sum(v^2)/n) (exact int squares, one IEEE sqrt).
+        srt = parent.agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        n = F.size("vs")
+        if alg == "mode":
+            val = F.expr(
+                "element_at(array_sort(transform(array_distinct(vs), d -> "
+                "struct(-size(filter(vs, v -> v = d)) as negcnt, d as v))), 1).v"
+            ).cast("double")
+        elif alg == "med":
+            lo = F.element_at("vs", ((n + 1) / 2).cast("int"))
+            hi = F.element_at("vs", (n / 2 + 1).cast("int"))
+            val = (lo + hi).cast("double") / 2.0
+        elif alg == "q1":
+            val = F.element_at("vs", (((n - 1) / 4).cast("int") + 1)).cast("double")
+        elif alg == "q3":
+            val = F.element_at("vs", (((n - 1) * 3 / 4).cast("int") + 1)).cast("double")
+        else:  # rms
+            # double fold (v^2 at 2^62 overflows int64); order pinned
+            # by the sorted list so the sum is engine-deterministic
+            val = F.sqrt(
+                F.expr(
+                    "aggregate(vs, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+                ) / n.cast("double")
+            )
+        out = srt.select("gx", "gy", val.alias("value"))
     else:
         raise ValueError(f"unknown resampling alg: {alg}")
     return out

@@ -949,6 +949,50 @@ FROM px GROUP BY 1, 2
 """
 
 
+def q_overview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic resampling kernels (GRA_Mode/Med/Q1/Q3/RMS,
+    alg/gdalwarper.h:37-67) in one overview pass: mode (ties ->
+    smallest, a pinned total order), median, nearest-rank quartiles,
+    RMS — all from the sorted 2x2 child list, pure JVM."""
+    band = raster.synth_band(spark, zoom=3, tile_px=16)  # 128x128
+    outs = None
+    for alg in ("mode", "med", "q1", "q3", "rms"):
+        o = raster.overview_reduce(band, alg=alg).withColumnRenamed("value", alg)
+        outs = o if outs is None else outs.join(o, ["gx", "gy"])
+    # rms is ~2^31-scale; 3dp rounding sits far above the double ulp
+    # at that magnitude (6dp would be ulp-unstable)
+    return outs.select(
+        "gx", "gy", "mode", "med", "q1", "q3", F.round("rms", 3).alias("rms")
+    )
+
+
+def sql_overview_stats() -> str:
+    W = 128
+    kids = ", ".join(
+        _band_val_sql(f"(2 * gy + {dy}) * {W} + 2 * gx + {dx}")
+        for dy in (0, 1) for dx in (0, 1)
+    )
+    return f"""
+WITH pp AS (SELECT r.range % {W // 2} AS gx, r.range // {W // 2} AS gy FROM range({(W // 2) ** 2}) r),
+v AS (SELECT gx, gy, list_sort([{kids}]) AS vs FROM pp),
+m AS (
+  SELECT gx, gy, vs,
+         (list_sort(list_transform(list_distinct(vs), d ->
+            {{'negcnt': -len(list_filter(vs, x -> x = d)), 'v': d}})))[1].v AS mode_v
+  FROM v
+)
+SELECT gx, gy,
+       CAST(mode_v AS DOUBLE) AS mode,
+       CAST(vs[2] + vs[3] AS DOUBLE) / 2.0 AS med,
+       CAST(vs[1] AS DOUBLE) AS q1,
+       CAST(vs[3] AS DOUBLE) AS q3,
+       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(vs, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                 (a, b) -> a + b) / 4.0), 3) AS rms
+FROM m
+"""
+
+
 def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector->raster burn with MERGE_ALG=ADD (gdalrasterize.cpp:800-817):
     pixel-center PIP then per-pixel sum of (poly_id+1)."""
@@ -1189,6 +1233,41 @@ SELECT i, j, count(*) AS cnt, min(_v) AS vmin, max(_v) AS vmax,
                    (a, b) -> a + b) / count(*) AS avg_dist,
        (list(_v ORDER BY _d2, pid))[1] AS nearest_v
 FROM filt GROUP BY 1, 2
+"""
+
+
+def q_footprint_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint ring-OUTLINE geometry (gdal_footprint emits polygons,
+    apps/gdal_footprint_lib.cpp): traced pixel-edge boundary rings per
+    valid component. The checkerboard fixture's components are
+    axis-aligned blocks, so every ring is an analytically-known
+    rectangle; non-rectangular shapes (L, donut holes, degree-2
+    vertices) are pinned in tests/test_footprint_rings.py."""
+    from .operators import focal
+
+    px = raster.synth_raster(spark, width=96, height=96, block=24, n_values=2)
+    rings = focal.footprint_rings(px, width=96, valid=1, tile=32)
+    return rings.select(
+        "label", "ring_idx", "nv", "area",
+        F.array_min("xs").alias("minx"), F.array_min("ys").alias("miny"),
+        F.array_max("xs").alias("maxx"), F.array_max("ys").alias("maxy"),
+    )
+
+
+def sql_footprint_rings() -> str:
+    # blocks are 24x24 on a 96x96 raster (exact tiling); valid blocks
+    # have (bx + by) % 2 == 1; label = min pixel id = top-left pid
+    return """
+WITH b AS (
+  SELECT a.range AS bx, c.range AS by_
+  FROM range(4) a CROSS JOIN range(4) c
+  WHERE (a.range + c.range) % 2 = 1
+)
+SELECT (by_ * 24) * 96 + bx * 24 AS label,
+       0 AS ring_idx, 4 AS nv, CAST(576 AS DOUBLE) AS area,
+       CAST(bx * 24 AS DOUBLE) AS minx, CAST(by_ * 24 AS DOUBLE) AS miny,
+       CAST(bx * 24 + 24 AS DOUBLE) AS maxx, CAST(by_ * 24 + 24 AS DOUBLE) AS maxy
+FROM b
 """
 
 
@@ -2497,6 +2576,7 @@ QUERIES = {
     "reproject_roundtrip": q_reproject_roundtrip,
     "reproject_utm": q_reproject_utm,
     "overview_avg": q_overview_avg,
+    "overview_stats": q_overview_stats,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
     "raster_sieve": q_raster_sieve,
@@ -2519,6 +2599,7 @@ QUERIES = {
     "explode_make_valid": q_explode_make_valid,
     "raster_reclassify": q_raster_reclassify,
     "fill_nodata": q_fill_nodata,
+    "footprint_rings": q_footprint_rings,
     "geom_area": q_geom_area,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -2564,6 +2645,7 @@ ORACLES = {
     "reproject_roundtrip": sql_reproject_roundtrip,
     "reproject_utm": sql_reproject_utm,
     "overview_avg": sql_overview_avg,
+    "overview_stats": sql_overview_stats,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
     "raster_sieve": sql_raster_sieve,
@@ -2588,6 +2670,7 @@ ORACLES = {
     "explode_make_valid": sql_explode_make_valid,
     "raster_reclassify": sql_raster_reclassify,
     "fill_nodata": sql_fill_nodata,
+    "footprint_rings": sql_footprint_rings,
     "events_buckets": sql_events_buckets,
     "ogr_summary": sql_ogr_summary,
     "ogr_distinct": sql_ogr_distinct,
