@@ -50,6 +50,22 @@ def boolean_rings(pairs: DataFrame, *, ops=("intersection", "union")) -> DataFra
     return pairs.groupBy("pair_id").applyInPandas(lambda p: run(p), RING_SCHEMA)
 
 
+def update_rings(pairs: DataFrame) -> DataFrame:
+    """OGRLayer::Update (ogr/ogrlayer.cpp:5148): the input layer with
+    method-layer geometry stamped over it — per pair, the rings of
+    difference(A, B) plus B's own ring. Composes the Greiner-Hormann
+    difference with a passthrough of the method geometry."""
+    diff = boolean_rings(pairs, ops=("difference",))
+    b_rings = pairs.select(
+        "pair_id", F.lit("b").alias("op"), F.lit(0).alias("ring_idx"),
+        F.lit(False).alias("is_hole"),
+        F.expr("concat(xs_b, array(element_at(xs_b, 1)))").alias("xs"),
+        F.expr("concat(ys_b, array(element_at(ys_b, 1)))").alias("ys"),
+        F.lit(0.0).alias("area"),
+    )
+    return diff.unionByName(b_rings)
+
+
 def ring_vertex_set(rings: DataFrame, decimals: int = 9) -> DataFrame:
     """Distinct rounded ring vertices per (pair_id, op) — the
     orientation-free contract the SQL oracle reproduces closed-form:

@@ -459,7 +459,7 @@ def q_boolean_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_geom.ring_vertex_set(rings, decimals=9)
 
 
-def sql_boolean_geometry() -> str:
+def _l_pair_ctes() -> str:
     hx = lambda s: derive.hash01_sql("s_suppkey", s)
     params = f"""
 SELECT s_suppkey AS pid,
@@ -482,7 +482,7 @@ FROM supplier"""
     vyb = ("CASE j WHEN 0 THEN by_ WHEN 1 THEN by_ WHEN 2 THEN by_ + hb * 0.45 "
            "WHEN 3 THEN by_ + hb * 0.45 WHEN 4 THEN by_ + hb ELSE by_ + hb END")
     return f"""
-WITH k0 AS ({params}),
+k0 AS ({params}),
 k AS (
   SELECT pid, ax, ay, w, h, wb, hb,
          ax + w * fbx AS bx, ay + h * fby AS by_
@@ -545,7 +545,12 @@ st AS (
          (SELECT inside FROM pipb WHERE pipb.pid = k.pid AND pipb.j = 0) AS b_in_a
   FROM k LEFT JOIN (SELECT pid, count(*) AS n FROM crossings GROUP BY 1) c
     ON c.pid = k.pid
-),
+)"""
+
+
+def sql_boolean_geometry() -> str:
+    return f"""
+WITH {_l_pair_ctes().strip()},
 iverts AS (
   SELECT p.pid, p.x, p.y FROM pipa p JOIN st ON st.pid = p.pid
    WHERE st.ncross > 0 AND p.inside = 1
@@ -585,6 +590,46 @@ uverts AS (
 SELECT DISTINCT pid AS pair_id, 'i' AS op, round(x, 9) AS vx, round(y, 9) AS vy FROM iverts
 UNION
 SELECT DISTINCT pid AS pair_id, 'u' AS op, round(x, 9) AS vx, round(y, 9) AS vy FROM uverts
+"""
+
+
+def q_boolean_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-algebra Update (ogrlayer.cpp:5148): A updated by B =
+    difference(A, B) rings + B's geometry, reported as the ring vertex
+    set (difference arcs: A-verts outside B, B-verts inside A,
+    crossings — plus all of B)."""
+    from .operators import boolean_geom
+
+    pairs = _l_pairs(spark, sf_dir)
+    rings = boolean_geom.update_rings(pairs)
+    return boolean_geom.ring_vertex_set(
+        rings.drop("op").withColumn("op", F.lit("up")), decimals=9
+    )
+
+
+def sql_boolean_update() -> str:
+    return f"""
+WITH {_l_pair_ctes().strip()},
+dverts AS (
+  SELECT p.pid, p.x, p.y FROM pipa p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 0
+  UNION ALL
+  SELECT p.pid, p.x, p.y FROM pipb p JOIN st ON st.pid = p.pid
+   WHERE st.ncross > 0 AND p.inside = 1
+  UNION ALL
+  SELECT c.pid, c.x, c.y FROM crossings c
+  UNION ALL
+  -- no crossings: B inside A -> diff = A with B-hole (all A verts;
+  -- B verts arrive via the passthrough); disjoint -> all A verts;
+  -- A inside B -> diff empty
+  SELECT v.pid, v.x, v.y FROM va v JOIN st ON st.pid = v.pid
+   WHERE st.ncross = 0 AND st.a_in_b = 0
+  UNION ALL
+  -- the method layer's own ring, always present
+  SELECT v.pid, v.x, v.y FROM vb v
+)
+SELECT DISTINCT pid AS pair_id, 'up' AS op, round(x, 9) AS vx, round(y, 9) AS vy
+FROM dverts
 """
 
 
@@ -2571,6 +2616,7 @@ QUERIES = {
     "layer_algebra_areas": q_layer_algebra_areas,
     "boolean_areas_nonconvex": q_boolean_areas,
     "boolean_geometry": q_boolean_geometry,
+    "boolean_update": q_boolean_update,
     "span_invariant": q_span_invariant,
     "knn": q_knn,
     "reproject_roundtrip": q_reproject_roundtrip,
@@ -2640,6 +2686,7 @@ ORACLES = {
     "layer_algebra_areas": sql_layer_algebra_areas,
     "boolean_areas_nonconvex": sql_boolean_areas,
     "boolean_geometry": sql_boolean_geometry,
+    "boolean_update": sql_boolean_update,
     "span_invariant": sql_span_invariant,
     "knn": sql_knn,
     "reproject_roundtrip": sql_reproject_roundtrip,
