@@ -88,9 +88,11 @@ def geo_query(ulx_src, uly_src, xres, yres, w, h,
     return (rx, ry, rxsize, rysize), (wx, wy, wxsize, wysize)
 
 
-def tile_details(tz: int, tile_size: int):
+def tile_details(tz: int, tile_size: int, querysize: int | None = None):
     """Per-base-tile read/write windows for the fixture source — the
-    get_tile_details analog. Returns list of dicts."""
+    get_tile_details analog. querysize defaults to tile_size (the
+    'near' path); the average path passes 4*tile_size
+    (gdal2tiles.py:2210). Returns list of dicts."""
     ulx, uly, xres = src_geotransform()
     lrx = ulx + SRC_W * xres
     lry = uly - SRC_H * xres
@@ -104,7 +106,7 @@ def tile_details(tz: int, tile_size: int):
             (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
                 ulx, uly, xres, -xres, SRC_W, SRC_H,
                 float(b[0]), float(b[3]), float(b[2]), float(b[1]),
-                querysize=tile_size,
+                querysize=querysize or tile_size,
             )
             if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
                 continue
@@ -128,24 +130,36 @@ def src_pixels(spark: SparkSession) -> DataFrame:
     )
 
 
-def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16) -> DataFrame:
+def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
+               resampling: str = "near") -> DataFrame:
     """Base tiles at `tz` as (tz, tx, ty, pos, value) pixel rows:
     dest-pixel -> source-pixel nearest map (exact closed form), then
-    ONE equi-join against the source pixel table."""
-    params = tile_details(tz, tile_size)
+    ONE equi-join against the source pixel table.
+
+    resampling='near': query grid == tile grid (gdal2tiles near path).
+    resampling='average': the DEFAULT gdal2tiles path — nearest
+    ReadRaster into a 4x-supersampled query grid (querysize = 4 *
+    tile_size, gdal2tiles.py:2210), then scale_query_to_tile's
+    average shrink; value = sum(16 subpixels)/16.0 with unwritten
+    subpixels contributing 0 (the MEM buffer's zero init). The /16 is
+    a power-of-two division, so values stay engine-exact."""
+    qs_factor = 1 if resampling == "near" else 4
+    if resampling not in ("near", "average"):
+        raise ValueError(f"unsupported resampling: {resampling}")
+    qs = tile_size * qs_factor
+    params = tile_details(tz, tile_size, querysize=qs)
     pdf = spark.createDataFrame(
         [(d["tz"], d["tx"], d["ty"], d["rx"], d["ry"], d["rxsize"], d["rysize"],
           d["wx"], d["wy"], d["wxsize"], d["wysize"]) for d in params],
         "tz int, tx bigint, ty bigint, rx bigint, ry bigint, rxsize bigint, "
         "rysize bigint, wx bigint, wy bigint, wxsize bigint, wysize bigint",
     )
-    ts2 = tile_size * tile_size
     dest = (
         pdf.crossJoin(F.broadcast(
-            spark.range(ts2).select(F.col("id").alias("pos"))
+            spark.range(qs * qs).select(F.col("id").alias("pos"))
         ))
-        .withColumn("px", F.col("pos") % tile_size)
-        .withColumn("py", (F.col("pos") / tile_size).cast("bigint"))
+        .withColumn("px", F.col("pos") % qs)
+        .withColumn("py", (F.col("pos") / qs).cast("bigint"))
         .filter(
             (F.col("px") >= F.col("wx")) & (F.col("px") < F.col("wx") + F.col("wxsize"))
             & (F.col("py") >= F.col("wy")) & (F.col("py") < F.col("wy") + F.col("wysize"))
@@ -166,7 +180,21 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16) -> Data
         "sy", F.floor(F.least(F.greatest(syf, F.lit(0.0)), F.lit(float(SRC_H - 1)))).cast("bigint")
     )
     src = src_pixels(spark)
-    return dest.join(src, ["sx", "sy"]).select("tz", "tx", "ty", "pos", "value")
+    qpx = dest.join(src, ["sx", "sy"]).select("tz", "tx", "ty", "pos", "px", "py", "value")
+    if resampling == "near":
+        return qpx.select("tz", "tx", "ty", "pos", "value")
+    # average: 4x4 query subpixels -> one dest pixel, sum/16 (missing
+    # subpixels were zero-initialized in the reference's MEM buffer)
+    f = qs_factor
+    return (
+        qpx.select(
+            "tz", "tx", "ty", "value",
+            (((F.col("py") / f).cast("bigint")) * tile_size
+             + (F.col("px") / f).cast("bigint")).alias("pos"),
+        )
+        .groupBy("tz", "tx", "ty", "pos")
+        .agg((F.sum("value") / F.lit(float(f * f))).alias("value"))
+    )
 
 
 def tile_checksums(tiles: DataFrame, tile_size: int) -> DataFrame:
@@ -208,11 +236,13 @@ def overview_tiles(base: DataFrame, *, tz: int, tile_size: int) -> DataFrame:
 
 # --------------------------------------------------------------- SQL twin
 
-def sql_ctes(tz: int = 2, tile_size: int = 16) -> str:
+def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None) -> str:
     """DuckDB replication: tminmax + geo_query + nearest map, all in
     closed form (trunc() = the C int() truncation; floor for the
-    clamped non-negative sample coords)."""
+    clamped non-negative sample coords). `base` rows are in QUERY-grid
+    positions (pos over querysize^2; == tile positions for near)."""
     ts = tile_size
+    qs = querysize or tile_size
     w, h = SRC_W, SRC_H
     M31, A = derive.M31, derive.A
     # every geotransform constant is computed ONCE in Python and
@@ -267,11 +297,11 @@ gqx AS (
               THEN rxs0 - CAST(trunc(rxs0 * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
               ELSE rxs0 END AS rxs1,
          CASE WHEN rx0 < 0
-              THEN CAST(trunc({ts} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
+              THEN CAST(trunc({qs} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
               ELSE 0 END AS wx,
          CASE WHEN rx0 < 0
-              THEN {ts} - CAST(trunc({ts} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
-              ELSE {ts} END AS wxs1
+              THEN {qs} - CAST(trunc({qs} * (CAST(abs(rx0) AS DOUBLE) / rxs0)) AS BIGINT)
+              ELSE {qs} END AS wxs1
   FROM gq0
 ),
 gqx2 AS (
@@ -289,11 +319,11 @@ gqy AS (
               THEN rys0 - CAST(trunc(rys0 * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
               ELSE rys0 END AS rys1,
          CASE WHEN ry0 < 0
-              THEN CAST(trunc({ts} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
+              THEN CAST(trunc({qs} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
               ELSE 0 END AS wy,
          CASE WHEN ry0 < 0
-              THEN {ts} - CAST(trunc({ts} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
-              ELSE {ts} END AS wys1
+              THEN {qs} - CAST(trunc({qs} * (CAST(abs(ry0) AS DOUBLE) / rys0)) AS BIGINT)
+              ELSE {qs} END AS wys1
   FROM gqx2
 ),
 gq AS (
@@ -305,15 +335,15 @@ gq AS (
   FROM gqy
 ),
 dest AS (
-  SELECT g.*, p.range % {ts} AS px, p.range // {ts} AS py,
+  SELECT g.*, p.range % {qs} AS px, p.range // {qs} AS py,
          p.range AS pos
-  FROM gq g CROSS JOIN range({ts * ts}) p
+  FROM gq g CROSS JOIN range({qs * qs}) p
   WHERE g.rxsize > 0 AND g.rysize > 0 AND g.wxsize > 0 AND g.wysize > 0
-    AND p.range % {ts} >= g.wx AND p.range % {ts} < g.wx + g.wxsize
-    AND p.range // {ts} >= g.wy AND p.range // {ts} < g.wy + g.wysize
+    AND p.range % {qs} >= g.wx AND p.range % {qs} < g.wx + g.wxsize
+    AND p.range // {qs} >= g.wy AND p.range // {qs} < g.wy + g.wysize
 ),
 mapped AS (
-  SELECT tx, ty, pos,
+  SELECT tx, ty, pos, px, py,
     CAST(floor(least(greatest(
       ((0.5 * (CAST(rxsize AS DOUBLE) / CAST(wxsize AS DOUBLE)) + rx) + 1e-10)
         + CAST(px - wx AS DOUBLE) * (CAST(rxsize AS DOUBLE) / CAST(wxsize AS DOUBLE)),
@@ -325,6 +355,6 @@ mapped AS (
   FROM dest
 ),
 base AS (
-  SELECT {tz} AS tz, m.tx, m.ty, m.pos, s.value
+  SELECT {tz} AS tz, m.tx, m.ty, m.pos, m.px, m.py, s.value
   FROM mapped m JOIN src s ON s.sx = m.sx AND s.sy = m.sy
 )"""

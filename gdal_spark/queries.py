@@ -162,6 +162,41 @@ SELECT * FROM chk2 UNION ALL SELECT * FROM chk1
 """
 
 
+def q_base_tiles_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles DEFAULT (average) base-tile path: 4x-supersampled
+    nearest query grid (querysize = 4*tile_size, gdal2tiles.py:2210)
+    shrunk by exact 4x4 block average (scale_query_to_tile). Checksums
+    over value*16 (the exact integer subpixel sums)."""
+    from .operators import base_tiles as BT
+
+    base = BT.base_tiles(spark, tz=2, tile_size=16, resampling="average")
+    qsum = F.round(F.col("value") * 16).cast("bigint")
+    return base.groupBy("tz", "tx", "ty").agg(
+        (F.sum((F.lit(1) + F.col("pos")) * qsum) % BT.CHECKSUM_P)
+        .alias("checksum"),
+        F.count("*").alias("n_px"),
+    )
+
+
+def sql_base_tiles_avg() -> str:
+    from .operators import base_tiles as BT
+
+    ctes = BT.sql_ctes(tz=2, tile_size=16, querysize=64).strip()
+    P = BT.CHECKSUM_P
+    return f"""
+WITH {ctes},
+avg0 AS (
+  SELECT tz, tx, ty, (py // 4) * 16 + (px // 4) AS pos,
+         CAST(sum(value) AS BIGINT) AS qsum
+  FROM base GROUP BY 1, 2, 3, 4
+)
+SELECT tz, tx, ty,
+       CAST(sum((1 + pos) * qsum) % {P} AS BIGINT) AS checksum,
+       count(*) AS n_px
+FROM avg0 GROUP BY 1, 2, 3
+"""
+
+
 def q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile assignment in the EPSG:4326 geodetic profile
     (gdal2tiles.py:534-629 GlobalGeodetic, tmscompatible 2:1 grid):
@@ -2604,6 +2639,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "tile_assign_geodetic": q_tile_assign_geodetic,
     "base_tiles": q_base_tiles,
+    "base_tiles_avg": q_base_tiles_avg,
     "pyramid_counts": q_pyramid_counts,
     "spatial_join": q_spatial_join,
     "spatial_join_wkb": q_spatial_join_wkb,
@@ -2674,6 +2710,7 @@ ORACLES = {
     "tile_assign": sql_tile_assign,
     "tile_assign_geodetic": sql_tile_assign_geodetic,
     "base_tiles": sql_base_tiles,
+    "base_tiles_avg": sql_base_tiles_avg,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
