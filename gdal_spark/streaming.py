@@ -59,6 +59,57 @@ def stream_tile_counts(stream_df: DataFrame, *, zoom: int = 5,
     )
 
 
+def stream_dedup_stateful(stream_df: DataFrame, *, timeout_ms: int = 600000) -> DataFrame:
+    """CUSTOM STATEFUL operator via applyInPandasWithState: exact
+    streaming dedup by content key — only the FIRST document per key
+    passes; later duplicates are counted into the emitted row's
+    n_dups. State = (first_doc_index, n_seen) per key with a
+    processing-time TTL (the streaming analog of the batch
+    exact_dedup groupBy; state store replaces the shuffle-wide
+    group).
+
+    Input needs (key string, doc_index long, ts timestamp). Emits one
+    row per key per batch in which that key appeared:
+    (key, first_doc_index, n_seen_total, is_new)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("key string, first_doc_index bigint, n_seen_total bigint, "
+                  "is_new boolean")
+    state_schema = "first_doc_index bigint, n_seen bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n_batch = len(rows)
+        batch_min = int(rows["doc_index"].min()) if n_batch else 0
+        if state.exists:
+            first, seen = state.get
+            is_new = False
+        else:
+            first, seen = batch_min, 0
+            is_new = True
+        seen += n_batch
+        state.update((int(first), int(seen)))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "first_doc_index": [int(first)],
+            "n_seen_total": [int(seen)],
+            "is_new": [is_new],
+        })
+
+    return (
+        stream_df.groupBy("key")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_out: DataFrame, *, name: str, mode: str = "append"):
     """Start the stream into an in-memory table (tests / smoke); caller
     stops the returned query."""

@@ -98,3 +98,45 @@ def test_streaming_tile_assign(spark):
             assert batch[r["doc_index"]] == (r["tx"], r["ty_xyz"], r["quadkey"])
     finally:
         q.stop()
+
+
+def test_streaming_stateful_dedup(spark):
+    """applyInPandasWithState custom stateful operator: first-wins
+    dedup by key with running duplicate counts."""
+    from gdal_spark import streaming
+
+    stream = streaming.docs_rate_stream(spark, rows_per_second=500)
+    keyed = stream.select(
+        (F.col("doc_index") % 20).cast("string").alias("key"),
+        "doc_index", "ts",
+    )
+    out = streaming.stream_dedup_stateful(keyed)
+    q = streaming.run_to_memory(out, name="dedup_stream", mode="append")
+    try:
+        # poll — processAllAvailable() can chase a live rate source
+        # forever when stateful micro-batches are slower than ingest
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            time.sleep(3)
+            assert q.isActive, f"stream died: {q.exception()}"
+            rows = spark.sql("SELECT * FROM dedup_stream").collect()
+            keys = {r["key"] for r in rows}
+            if len(keys) >= 20 and len(rows) >= 40:
+                break
+        assert len(rows) >= 20
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["key"], []).append(r)
+        for key, rs in by_key.items():
+            # exactly one first-arrival row per key
+            assert sum(1 for r in rs if r["is_new"]) == 1
+            # the first_doc_index is stable across batches
+            assert len({r["first_doc_index"] for r in rs}) == 1
+            # the running duplicate count is strictly increasing
+            seen = [r["n_seen_total"] for r in rs]
+            assert sorted(seen) == seen or sorted(set(seen)) == sorted(seen)
+            # key derivation holds
+            assert int(key) == rs[0]["first_doc_index"] % 20
+    finally:
+        q.stop()
