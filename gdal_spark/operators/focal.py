@@ -19,7 +19,7 @@ the cell-bucketed neighbor gather replacing the quadtree.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 OFFSETS_3X3 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
@@ -567,6 +567,63 @@ def grid_metrics(points: DataFrame, *, cell: float, radius: float,
         avg.alias("avg_dist"),
         F.col("_near._v").alias("nearest_v"),
     )
+
+
+def grid_linear(spark: SparkSession, points_xyv, nodes: DataFrame,
+                *, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """gdal_grid GGA_Linear (alg/gdalgrid.cpp linear via
+    GDALTriangulation, alg/delaunay.c): Delaunay-triangulate the
+    scattered points (driver-side, like the reference — the point set
+    is the SMALL side), broadcast the triangle table, then each grid
+    node finds its containing triangle by a bbox prefilter +
+    barycentric test and interpolates linearly. Nodes outside the
+    convex hull are absent (nodata).
+
+    points_xyv: list/array of (x, y, v); nodes: DataFrame with
+    (i, j, x_col, y_col). All node-side math is JVM columns."""
+    import numpy as np
+
+    from ..kernels import delaunay
+
+    arr = np.asarray(points_xyv, dtype=np.float64)
+    tris = delaunay.triangulate(arr[:, :2])
+    rows = []
+    for tid, (a, b, c) in enumerate(tris):
+        ax, ay, va = arr[a]
+        bx, by, vb = arr[b]
+        cx, cy, vc = arr[c]
+        rows.append((tid, float(ax), float(ay), float(bx), float(by),
+                     float(cx), float(cy), float(va), float(vb), float(vc),
+                     float(min(ax, bx, cx)), float(min(ay, by, cy)),
+                     float(max(ax, bx, cx)), float(max(ay, by, cy))))
+    tdf = spark.createDataFrame(
+        rows,
+        "tid bigint, ax double, ay double, bx double, by double, "
+        "cx double, cy double, va double, vb double, vc double, "
+        "tminx double, tminy double, tmaxx double, tmaxy double",
+    )
+    px, py = F.col(x_col), F.col(y_col)
+    cand = nodes.join(
+        F.broadcast(tdf),
+        (px >= F.col("tminx")) & (px <= F.col("tmaxx"))
+        & (py >= F.col("tminy")) & (py <= F.col("tmaxy")),
+    )
+    d = ((F.col("by") - F.col("cy")) * (F.col("ax") - F.col("cx"))
+         + (F.col("cx") - F.col("bx")) * (F.col("ay") - F.col("cy")))
+    l1 = (((F.col("by") - F.col("cy")) * (px - F.col("cx"))
+           + (F.col("cx") - F.col("bx")) * (py - F.col("cy")))) / d
+    l2 = (((F.col("cy") - F.col("ay")) * (px - F.col("cx"))
+           + (F.col("ax") - F.col("cx")) * (py - F.col("cy")))) / d
+    l3 = F.lit(1.0) - l1 - l2
+    hit = cand.withColumn("_l1", l1).withColumn("_l2", l2).withColumn("_l3", l3) \
+        .filter((F.col("_l1") >= 0) & (F.col("_l2") >= 0) & (F.col("_l3") >= 0))
+    # a node on a shared edge matches both triangles — keep the lowest
+    # tid (values agree up to roundoff by linearity across the edge)
+    w = Window.partitionBy("i", "j").orderBy("tid")
+    one = hit.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    val = (F.col("_l1") * F.col("va") + F.col("_l2") * F.col("vb")
+           + F.col("_l3") * F.col("vc"))
+    return one.select("i", "j", val.alias("value"))
 
 
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,

@@ -1351,6 +1351,43 @@ FROM b
 """
 
 
+def q_grid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid linear (Delaunay) interpolation (GGA_Linear,
+    alg/delaunay.c): scattered plane-valued points (4 pinned domain
+    corners so every node is inside the hull + hash-scattered
+    interior points) -> 11x11 grid. Linear interpolation reproduces
+    the plane EXACTLY regardless of which Delaunay triangulation is
+    built, so the oracle is the closed-form plane — an oracle that is
+    agnostic to triangulation internals yet fails if coverage,
+    continuity or barycentric math break. Non-planar behavior is
+    pinned in tests/test_grid_linear.py."""
+    from .operators import focal
+    from .sources.derive import hash01_np
+
+    import numpy as np
+
+    n_sc = 60
+    ids = np.arange(n_sc)
+    sx = hash01_np(ids, 41) * 100.0
+    sy = hash01_np(ids, 42) * 100.0
+    pts = [(-10.0, -10.0), (110.0, -10.0), (110.0, 110.0), (-10.0, 110.0)]
+    pts += list(zip(sx.tolist(), sy.tolist()))
+    xyv = [(x, y, 3.5 * x - 1.25 * y + 20.0) for x, y in pts]
+    nodes = spark.range(121).select(
+        (F.col("id") % 11).alias("i"),
+        (F.col("id") / 11).cast("bigint").alias("j"),
+    ).withColumn("x", F.col("i") * 10.0).withColumn("y", F.col("j") * 10.0)
+    out = focal.grid_linear(spark, xyv, nodes)
+    return out.select("i", "j", F.round("value", 6).alias("value"))
+
+
+def sql_grid_linear() -> str:
+    return """
+WITH n AS (SELECT r.range % 11 AS i, r.range // 11 AS j FROM range(121) r)
+SELECT i, j, round(3.5 * (i * 10.0) - 1.25 * (j * 10.0) + 20.0, 6) AS value FROM n
+"""
+
+
 def q_vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point buffer step (OGRGeometry::Buffer, 32-gon GEOS-default
     approximation) — exploded ring vertices, 9dp."""
@@ -2630,6 +2667,41 @@ FROM documents
 
 # ================================================================ registry
 
+def q_ogr_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with an explicit ESCAPE character (OGR SQL swq LIKE
+    semantics, ogr/swq_op_general.cpp): literal % and _ matched via
+    escape — the previously-unpinned corner of the LIKE surface."""
+    o = _read(spark, sf_dir, "orders")
+    s = F.concat(
+        F.lit("a"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("%")).otherwise(F.lit("x")),
+        F.lit("b_"),
+        F.col("o_orderkey").cast("string"),
+    )
+    d = o.select(F.col("o_orderkey").alias("id"), s.alias("s"))
+    return d.select(
+        "id",
+        F.expr(r"s LIKE 'a!%b!_%' ESCAPE '!'").alias("lit_both"),
+        F.expr(r"s LIKE 'a_b!_%' ESCAPE '!'").alias("any_then_lit"),
+        F.expr(r"s LIKE 'a%b\_%' ESCAPE '\\'").alias("backslash_esc"),
+    )
+
+
+def sql_ogr_like_escape() -> str:
+    return r"""
+SELECT o_orderkey AS id,
+       s LIKE 'a!%b!_%' ESCAPE '!' AS lit_both,
+       s LIKE 'a_b!_%' ESCAPE '!' AS any_then_lit,
+       s LIKE 'a%b\_%' ESCAPE '\' AS backslash_esc
+FROM (
+  SELECT o_orderkey,
+         'a' || (CASE WHEN o_orderkey % 3 = 0 THEN '%' ELSE 'x' END)
+             || 'b_' || CAST(o_orderkey AS VARCHAR) AS s
+  FROM orders
+)
+"""
+
+
 # Ordered so that, should the driver gate cap the number of checked
 # queries (r1 checked exactly 50), the geospatial core + every
 # round-2 addition + the LLM-pipeline operators land first; the tail
@@ -2677,6 +2749,7 @@ QUERIES = {
     "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
     "grid_metrics": q_grid_metrics,
+    "grid_linear": q_grid_linear,
     "vector_buffer": q_vector_buffer,
     "explode_make_valid": q_explode_make_valid,
     "raster_reclassify": q_raster_reclassify,
@@ -2704,6 +2777,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "ogr_like_escape": q_ogr_like_escape,
 }
 
 ORACLES = {
@@ -2750,6 +2824,7 @@ ORACLES = {
     "sample_bilinear": sql_sample_bilinear,
     "idw_grid": sql_idw_grid,
     "grid_metrics": sql_grid_metrics,
+    "grid_linear": sql_grid_linear,
     "vector_buffer": sql_vector_buffer,
     "explode_make_valid": sql_explode_make_valid,
     "raster_reclassify": sql_raster_reclassify,
@@ -2774,6 +2849,7 @@ ORACLES = {
     "similarity_topk": sql_similarity_topk,
     "similarity_ivf": sql_similarity_ivf,
     "multimodal_meta": sql_multimodal_meta,
+    "ogr_like_escape": sql_ogr_like_escape,
 }
 
 
