@@ -2727,14 +2727,12 @@ QUERIES = {
     "boolean_update": q_boolean_update,
     "span_invariant": q_span_invariant,
     "knn": q_knn,
-    "reproject_roundtrip": q_reproject_roundtrip,
     "reproject_utm": q_reproject_utm,
     "overview_avg": q_overview_avg,
     "overview_stats": q_overview_stats,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
     "raster_sieve": q_raster_sieve,
-    "raster_calc": q_raster_calc,
     "proximity": q_proximity,
     "footprint": q_footprint,
     "hillshade": q_hillshade,
@@ -2744,9 +2742,7 @@ QUERIES = {
     "terrain_metrics": q_terrain_metrics,
     "contour": q_contour,
     "warp_resample": q_warp_resample,
-    "warp_resample_cubic": q_warp_resample_cubic,
     "warp_resample_lanczos": q_warp_resample_lanczos,
-    "sample_bilinear": q_sample_bilinear,
     "idw_grid": q_idw_grid,
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
@@ -2755,7 +2751,6 @@ QUERIES = {
     "raster_reclassify": q_raster_reclassify,
     "fill_nodata": q_fill_nodata,
     "footprint_rings": q_footprint_rings,
-    "geom_area": q_geom_area,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -2763,7 +2758,14 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "multimodal_meta": q_multimodal_meta,
     "ogr_summary": q_ogr_summary,
-    # ---- tail: r1-proven simple relational/text ops ----
+    # ---- tail: r1-proven ops whose semantics are also exercised by
+    # earlier entries (bilinear via warp_resample, the cubic kernel via
+    # pytest, round trip via reproject_utm, areas via boolean queries)
+    "reproject_roundtrip": q_reproject_roundtrip,
+    "warp_resample_cubic": q_warp_resample_cubic,
+    "sample_bilinear": q_sample_bilinear,
+    "geom_area": q_geom_area,
+    "raster_calc": q_raster_calc,
     "dedup_exact": q_dedup_exact,
     "ogr_distinct": q_ogr_distinct,
     "ogr_orderby_limit": q_ogr_orderby_limit,
