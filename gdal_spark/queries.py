@@ -2222,6 +2222,26 @@ GROUP BY k HAVING count(*) > 1
 """
 
 
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup THE SCALE WAY: group on sha256(content) so the
+    shuffle key is 32 bytes regardless of document size (the
+    at-scale form the dedup docstring prescribes; collision
+    probability ~n^2/2^256 is negligible and both engines hash
+    identically, so results equal text-key grouping)."""
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "k", F.sha2(F.substring("text", 1, 20), 256)
+    )
+    return dedup.exact_dedup(d, id_col="doc_id", text="k")
+
+
+def sql_dedup_exact_hash() -> str:
+    return """
+SELECT min(doc_id) AS keeper, count(*) AS n_members
+FROM (SELECT doc_id, sha256(substring(text, 1, 20)) AS k FROM documents)
+GROUP BY k HAVING count(*) > 1
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: word-bigram Jaccard >= 30% via inverted-index
     join (integer arithmetic only)."""
@@ -2751,6 +2771,7 @@ QUERIES = {
     "raster_reclassify": q_raster_reclassify,
     "fill_nodata": q_fill_nodata,
     "footprint_rings": q_footprint_rings,
+    "dedup_exact_hash": q_dedup_exact_hash,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -2842,6 +2863,7 @@ ORACLES = {
     "ogr_expressions": sql_ogr_expressions,
     "geom_area": sql_geom_area,
     "dedup_exact": sql_dedup_exact,
+    "dedup_exact_hash": sql_dedup_exact_hash,
     "dedup_jaccard": sql_dedup_jaccard,
     "minhash_lsh": sql_minhash_lsh,
     "simhash": sql_simhash,
