@@ -303,6 +303,72 @@ def terrain_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int) -> DataFra
 LANCZOS_A = 3
 
 
+def sample_cubic_tiles(tiled: DataFrame, points: DataFrame, *,
+                       tile: int, width: int, height: int,
+                       x_col: str = "px", y_col: str = "py",
+                       id_col: str = "sid") -> DataFrame:
+    """4x4 cubic-convolution sampling (a = -0.5,
+    alg/gdalresamplingkernels.h CubicKernel) on the tile model —
+    replaces the per-pixel path's 16 shifted equi-joins with one
+    halo-2 assembly + one point shuffle; weight and fold order match
+    focal.sample_cubic / the SQL oracle exactly."""
+    T = tile
+    h = 2
+    nty = height // T
+    ntx = width // T
+
+    padded = halo_apply(
+        tiled, lambda p, ty, tx: {"padded": p}, tile=T, nty=nty, ntx=ntx,
+        halo=h, boundary="clamp", out_cols=["padded"],
+    )
+    fx = F.least(F.greatest(F.col(x_col), F.lit(0.5)), F.lit(width - 0.5)) - 0.5
+    fy = F.least(F.greatest(F.col(y_col), F.lit(0.5)), F.lit(height - 0.5)) - 0.5
+    pts = points.select(F.col(id_col), fx.alias("_fx"), fy.alias("_fy")) \
+        .withColumn("_x0", F.least(F.floor("_fx"), F.lit(width - 2)).cast("bigint")) \
+        .withColumn("_y0", F.least(F.floor("_fy"), F.lit(height - 2)).cast("bigint")) \
+        .withColumn("ty", (F.col("_y0") / T).cast("bigint")) \
+        .withColumn("tx", (F.col("_x0") / T).cast("bigint"))
+    joined = pts.join(padded, ["ty", "tx"])
+    P = T + 2 * h
+
+    def cw(d: np.ndarray) -> np.ndarray:
+        # same piecewise op order as focal.cubic_weight_sql
+        inner = (1.5 * d * d * d) - (2.5 * d * d) + 1.0
+        outer = (-0.5 * d * d * d) + (2.5 * d * d) - (4.0 * d) + 2.0
+        return np.where(d <= 1.0, inner, outer)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ty = int(pdf["ty"].iloc[0])
+        tx = int(pdf["tx"].iloc[0])
+        terr = np.asarray(pdf["padded"].iloc[0], dtype=np.float64).reshape(P, P)
+        fxv = pdf["_fx"].to_numpy(dtype=np.float64)
+        fyv = pdf["_fy"].to_numpy(dtype=np.float64)
+        x0 = pdf["_x0"].to_numpy(dtype=np.int64)
+        y0 = pdf["_y0"].to_numpy(dtype=np.int64)
+        txv = fxv - x0
+        tyv = fyv - y0
+        lx0 = x0 - tx * T + h
+        ly0 = y0 - ty * T + h
+        taps = (-1, 0, 1, 2)
+        wx = [cw(np.abs(txv - i)) for i in taps]
+        wy = [cw(np.abs(tyv - j)) for j in taps]
+        total = None
+        for j, wyj in zip(taps, wy):
+            ry = np.clip(ly0 + j, 0, P - 1)
+            row = None
+            for i, wxi in zip(taps, wx):
+                rx = np.clip(lx0 + i, 0, P - 1)
+                t = terr[ry, rx] * wxi
+                row = t if row is None else row + t
+            term = row * wyj
+            total = term if total is None else total + term
+        return pd.DataFrame({id_col: pdf[id_col], "value": total})
+
+    return joined.groupBy("ty", "tx").applyInPandas(
+        lambda p: run(p), f"{id_col} bigint, value double"
+    )
+
+
 def sample_lanczos_tiles(tiled: DataFrame, points: DataFrame, *,
                          tile: int, width: int, height: int,
                          x_col: str = "px", y_col: str = "py",

@@ -1739,8 +1739,10 @@ FROM p
 
 def q_warp_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same warp as warp_resample but with the 4x4 cubic-convolution
-    kernel (a=-0.5, alg/gdalresamplingkernels.h)."""
-    from .operators import focal
+    kernel (a=-0.5, alg/gdalresamplingkernels.h), sampled on the
+    tile-array model (halo-2 padded tiles — one shuffle, not 16
+    shifted joins)."""
+    from .operators import tile_raster
 
     band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32 mercator px
     W, D = 32, 24
@@ -1757,7 +1759,10 @@ def q_warp_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
     py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
     pts = d.select("did", px.alias("px"), py.alias("py"))
-    out = focal.sample_cubic(band, pts, width=W, height=W, id_col="did")
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.sample_cubic_tiles(
+        tiles, pts, tile=8, width=W, height=W, id_col="did"
+    )
     # normalized like warp_resample (see comment there)
     return out.select(
         (F.col("did") % D).alias("dx"),
