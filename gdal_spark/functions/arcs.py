@@ -62,6 +62,46 @@ def arc_angles(center, p0, p1, p2) -> tuple[float, float]:
     return a0, a1
 
 
+COMPOUND_PART_SCHEMA = (
+    "array<struct<kind:string, xs:array<double>, ys:array<double>, "
+    "cx:double, cy:double, r:double, a0:double, a1:double>>"
+)
+
+
+def assemble_compound_cols(df: DataFrame, *, parts: str = "parts",
+                           step_deg: float = DEFAULT_STEP_DEG) -> DataFrame:
+    """CompoundCurve -> LineString assembly
+    (OGRCompoundCurve::CurveToLine via curveToLineString,
+    ogr/ogrcompoundcurve.cpp / ogrgeometryfactory.cpp): each component
+    ('L' line with explicit vertices, 'A' arc by center/radius/angles)
+    linearizes, and consecutive components chain with the shared
+    junction vertex emitted once. Entirely JVM higher-order functions
+    — one codegen'd projection, no UDF.
+
+    `parts` column type: COMPOUND_PART_SCHEMA; adds (xs, ys)."""
+    step = math.radians(step_deg)
+    n = f"greatest(CAST(ceil(abs(p.a1 - p.a0) / {step!r}) AS INT), 1)"
+    vx = (
+        f"CASE WHEN p.kind = 'L' THEN p.xs ELSE "
+        f"transform(sequence(0, {n}), k -> p.cx + p.r * cos(p.a0 + (p.a1 - p.a0) "
+        f"* CAST(k AS DOUBLE) / CAST({n} AS DOUBLE))) END"
+    )
+    vy = (
+        f"CASE WHEN p.kind = 'L' THEN p.ys ELSE "
+        f"transform(sequence(0, {n}), k -> p.cy + p.r * sin(p.a0 + (p.a1 - p.a0) "
+        f"* CAST(k AS DOUBLE) / CAST({n} AS DOUBLE))) END"
+    )
+
+    def chain(vexpr: str) -> str:
+        return (
+            f"flatten(transform({parts}, (p, i) -> "
+            f"if(i = 0, {vexpr}, slice({vexpr}, 2, size({vexpr}) - 1))))"
+        )
+
+    return df.withColumn("xs", F.expr(chain(vx))) \
+             .withColumn("ys", F.expr(chain(vy)))
+
+
 def linearize_arc_cols(df: DataFrame, *, step_deg: float = DEFAULT_STEP_DEG,
                        cx: str = "cx", cy: str = "cy", r: str = "r",
                        a0: str = "a0", a1: str = "a1") -> DataFrame:

@@ -1388,6 +1388,100 @@ SELECT i, j, round(3.5 * (i * 10.0) - 1.25 * (j * 10.0) + 20.0, 6) AS value FROM
 """
 
 
+def q_compound_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompoundCurve assembly (line + arc + line chained, junction
+    vertices emitted once — OGRCompoundCurve::CurveToLine at the
+    4-degree default step). Arc endpoints are derived from the SAME
+    center/radius/angle formulas on both sides, so junctions match
+    exactly; exploded vertices rounded 9dp (trig ulp)."""
+    from .functions import arcs as AR
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    cx = F.lit(-100.0) + F.lit(200.0) * docs.hash01_col(i, 51)
+    cy = F.lit(-60.0) + F.lit(120.0) * docs.hash01_col(i, 52)
+    r = F.lit(1.0) + F.lit(4.0) * docs.hash01_col(i, 53)
+    a0 = F.lit(6.283185307179586) * docs.hash01_col(i, 54)
+    a1 = a0 + F.lit(0.5) + F.lit(2.0) * docs.hash01_col(i, 55)
+    p1x, p1y = cx + r * F.cos(a0), cy + r * F.sin(a0)
+    p2x, p2y = cx + r * F.cos(a1), cy + r * F.sin(a1)
+    part_l1 = F.struct(
+        F.lit("L").alias("kind"),
+        F.array(p1x - F.lit(3.0), p1x).alias("xs"),
+        F.array(p1y - F.lit(2.0), p1y).alias("ys"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"), F.lit(0.0).alias("r"),
+        F.lit(0.0).alias("a0"), F.lit(0.0).alias("a1"),
+    )
+    part_a = F.struct(
+        F.lit("A").alias("kind"),
+        F.array().cast("array<double>").alias("xs"),
+        F.array().cast("array<double>").alias("ys"),
+        cx.alias("cx"), cy.alias("cy"), r.alias("r"),
+        a0.alias("a0"), a1.alias("a1"),
+    )
+    part_l2 = F.struct(
+        F.lit("L").alias("kind"),
+        F.array(p2x, p2x + F.lit(2.5)).alias("xs"),
+        F.array(p2y, p2y + F.lit(1.5)).alias("ys"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"), F.lit(0.0).alias("r"),
+        F.lit(0.0).alias("a0"), F.lit(0.0).alias("a1"),
+    )
+    d = s.select(i.alias("id"), F.array(part_l1, part_a, part_l2).alias("parts"))
+    out = AR.assemble_compound_cols(d)
+    return out.select(
+        "id", F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "_p")
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_compound_curve() -> str:
+    import math as _m
+
+    step = repr(_m.radians(4.0))
+    h = lambda s: derive.hash01_sql("s_suppkey", s)
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -100.0 + 200.0 * ({h(51)}) AS cx,
+         -60.0 + 120.0 * ({h(52)}) AS cy,
+         1.0 + 4.0 * ({h(53)}) AS r,
+         6.283185307179586 * ({h(54)}) AS a0,
+         2.0 * ({h(55)}) AS sw
+  FROM supplier
+),
+k2 AS (SELECT *, (a0 + 0.5) + sw AS a1 FROM k),
+g AS (
+  SELECT id, cx, cy, r, a0, a1,
+         cx + r * cos(a0) AS p1x, cy + r * sin(a0) AS p1y,
+         cx + r * cos(a1) AS p2x, cy + r * sin(a1) AS p2y,
+         greatest(CAST(ceil(abs(a1 - a0) / {step}) AS INT), 1) AS n
+  FROM k2
+),
+v AS (
+  SELECT id,
+         list_concat(
+           [p1x - 3.0, p1x],
+           list_concat(
+             list_transform(range(1, n + 1), kk ->
+               cx + r * cos(a0 + (a1 - a0) * CAST(kk AS DOUBLE) / CAST(n AS DOUBLE))),
+             [p2x + 2.5])) AS xs,
+         list_concat(
+           [p1y - 2.0, p1y],
+           list_concat(
+             list_transform(range(1, n + 1), kk ->
+               cy + r * sin(a0 + (a1 - a0) * CAST(kk AS DOUBLE) / CAST(n AS DOUBLE))),
+             [p2y + 1.5])) AS ys
+  FROM g
+)
+SELECT id, CAST(generate_subscripts(xs, 1) - 1 AS BIGINT) AS k,
+       round(unnest(xs), 9) AS vx, round(unnest(ys), 9) AS vy
+FROM v
+"""
+
+
 def q_vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point buffer step (OGRGeometry::Buffer, 32-gon GEOS-default
     approximation) — exploded ring vertices, 9dp."""
@@ -2772,6 +2866,7 @@ QUERIES = {
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
     "vector_buffer": q_vector_buffer,
+    "compound_curve": q_compound_curve,
     "explode_make_valid": q_explode_make_valid,
     "raster_reclassify": q_raster_reclassify,
     "fill_nodata": q_fill_nodata,
@@ -2854,6 +2949,7 @@ ORACLES = {
     "grid_metrics": sql_grid_metrics,
     "grid_linear": sql_grid_linear,
     "vector_buffer": sql_vector_buffer,
+    "compound_curve": sql_compound_curve,
     "explode_make_valid": sql_explode_make_valid,
     "raster_reclassify": sql_raster_reclassify,
     "fill_nodata": sql_fill_nodata,
