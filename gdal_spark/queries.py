@@ -730,11 +730,15 @@ def q_layer_algebra_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _rect_layer(spark, sf_dir, "supplier", "s_suppkey", 21, 22, 30.0, 20.0, res=4)
     b = _rect_layer(spark, sf_dir, "customer", "c_custkey", 23, 24, 25.0, 15.0, res=4)
     inter = polygon_intersection(a, b, res=4)
+    # 4dp: the engine computes clip areas by the shoelace of the
+    # clipped ring while the oracle uses the closed rectangle form —
+    # algebraically equal, ~1e-12 apart in floats; 6dp flipped ~1 row
+    # in 4e5 at sf0.1
     return inter.select(
         "id_a", "id_b",
-        F.round("area", 6).alias("area_i"),
-        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - F.col("area"), 6).alias("area_u"),
-        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - 2 * F.col("area"), 6).alias("area_sd"),
+        F.round("area", 4).alias("area_i"),
+        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - F.col("area"), 4).alias("area_u"),
+        F.round(F.lit(30.0 * 20.0) + F.lit(25.0 * 15.0) - 2 * F.col("area"), 4).alias("area_sd"),
     )
 
 
@@ -756,9 +760,9 @@ i AS (
   SELECT id_a, id_b, (ix1 - ix0) * (iy1 - iy0) AS area
   FROM p WHERE ix1 > ix0 AND iy1 > iy0
 )
-SELECT id_a, id_b, round(area, 6) AS area_i,
-       round(600.0 + 375.0 - area, 6) AS area_u,
-       round(600.0 + 375.0 - 2 * area, 6) AS area_sd
+SELECT id_a, id_b, round(area, 4) AS area_i,
+       round(600.0 + 375.0 - area, 4) AS area_u,
+       round(600.0 + 375.0 - 2 * area, 4) AS area_sd
 FROM i
 """
 
@@ -788,11 +792,14 @@ def q_boolean_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _l_layer(spark, sf_dir, "supplier", "s_suppkey", 31, 32)
     b = _l_layer(spark, sf_dir, "customer", "c_custkey", 33, 34)
     out = boolean_areas_general(a, b, res=4)
+    # 4dp: triangle-soup area sums vs the oracle's rectangle algebra
+    # differ at the ~1e-12 level (and the engine's per-pair float sum
+    # order is plan-dependent); 6dp flipped ~1 row in 3e5 at sf0.1
     return out.select(
         "id_a", "id_b",
-        F.round("area_i", 6).alias("area_i"),
-        F.round("area_u", 6).alias("area_u"),
-        F.round("area_sd", 6).alias("area_sd"),
+        F.round("area_i", 4).alias("area_i"),
+        F.round("area_u", 4).alias("area_u"),
+        F.round("area_sd", 4).alias("area_sd"),
     )
 
 
@@ -828,9 +835,9 @@ inter AS (
                   THEN (ix1 - ix0) * (iy1 - iy0) ELSE 0.0 END) AS ai
   FROM pair GROUP BY 1, 2
 )
-SELECT id_a, id_b, round(ai, 6) AS area_i,
-       round(160.0 + 160.0 - ai, 6) AS area_u,
-       round(160.0 + 160.0 - 2 * ai, 6) AS area_sd
+SELECT id_a, id_b, round(ai, 4) AS area_i,
+       round(160.0 + 160.0 - ai, 4) AS area_u,
+       round(160.0 + 160.0 - 2 * ai, 4) AS area_sd
 FROM inter WHERE ai > 0.0
 """
 
