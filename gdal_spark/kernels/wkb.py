@@ -102,32 +102,57 @@ def _u32(buf: bytes, off: int, bo: str) -> int:
     return struct.unpack_from(bo + "I", buf, off)[0]
 
 
+def _base_type_and_dims(gtype: int) -> tuple[int, int]:
+    """Resolve Z/M variants to (base 2-D type, coords per vertex).
+    Supports BOTH conventions the reference reads
+    (ogr/ogrgeometry.cpp importFromWkb / ogr_core.h:543-573):
+    - ISO WKB: +1000 Z, +2000 M, +3000 ZM;
+    - legacy 99-402 ("EWKB-style"): 0x80000000 flag = Z."""
+    dims = 2
+    if gtype & 0x80000000:
+        gtype &= 0x7FFFFFFF
+        dims = 3
+    block = gtype // 1000
+    if block == 1:          # Z
+        dims = 3
+    elif block == 2:        # M
+        dims = 3
+    elif block == 3:        # ZM
+        dims = 4
+    return gtype % 1000, dims
+
+
 def decode(buf: bytes, off: int = 0):
-    """Parse one WKB geometry -> dict {type, ...}, supporting both byte
-    orders (flag 0/1, ogr_core.h:614-618). Rings/coords come back as
-    (n, 2) float64 arrays decoded with a single frombuffer each."""
+    """Parse one WKB geometry -> dict {type, dims, ...}, supporting
+    both byte orders (flag 0/1, ogr_core.h:614-618) and Z/M/ZM
+    variants (coords beyond XY are parsed and returned in the
+    trailing columns of the coordinate arrays). Rings/coords come
+    back as (n, dims) float64 arrays, one frombuffer each."""
     order = buf[off]
     bo = "<" if order == _LE else ">"
     dt = np.dtype(np.float64).newbyteorder(bo)
-    gtype = _u32(buf, off + 1, bo)
+    raw_type = _u32(buf, off + 1, bo)
+    gtype, d = _base_type_and_dims(raw_type)
     p = off + 5
     if gtype == POINT:
-        xy = np.frombuffer(buf, dtype=dt, count=2, offset=p).reshape(1, 2)
-        return {"type": POINT, "xy": xy.astype(np.float64), "end": p + 16}
+        xy = np.frombuffer(buf, dtype=dt, count=d, offset=p).reshape(1, d)
+        return {"type": POINT, "dims": d, "xy": xy.astype(np.float64),
+                "end": p + 8 * d}
     if gtype == LINESTRING:
         n = _u32(buf, p, bo)
-        xy = np.frombuffer(buf, dtype=dt, count=2 * n, offset=p + 4).reshape(n, 2)
-        return {"type": LINESTRING, "xy": xy.astype(np.float64), "end": p + 4 + 16 * n}
+        xy = np.frombuffer(buf, dtype=dt, count=d * n, offset=p + 4).reshape(n, d)
+        return {"type": LINESTRING, "dims": d, "xy": xy.astype(np.float64),
+                "end": p + 4 + 8 * d * n}
     if gtype == POLYGON:
         nr = _u32(buf, p, bo)
         p += 4
         rings = []
         for _ in range(nr):
             n = _u32(buf, p, bo)
-            xy = np.frombuffer(buf, dtype=dt, count=2 * n, offset=p + 4).reshape(n, 2)
+            xy = np.frombuffer(buf, dtype=dt, count=d * n, offset=p + 4).reshape(n, d)
             rings.append(xy.astype(np.float64))
-            p += 4 + 16 * n
-        return {"type": POLYGON, "rings": rings, "end": p}
+            p += 4 + 8 * d * n
+        return {"type": POLYGON, "dims": d, "rings": rings, "end": p}
     if gtype == MULTIPOLYGON:
         np_ = _u32(buf, p, bo)
         p += 4
@@ -138,17 +163,26 @@ def decode(buf: bytes, off: int = 0):
                 raise ValueError("multipolygon member is not a polygon")
             polys.append(g["rings"])
             p = g["end"]
-        return {"type": MULTIPOLYGON, "polys": polys, "end": p}
-    raise ValueError(f"unsupported WKB geometry type {gtype}")
+        return {"type": MULTIPOLYGON, "dims": d, "polys": polys, "end": p}
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def encode_point_z(x: float, y: float, z: float, iso: bool = True) -> bytes:
+    """3-D point: ISO (+1000) or legacy 0x80000000-flag encoding."""
+    t = POINT + 1000 if iso else POINT | 0x80000000
+    return struct.pack("<BIddd", _LE, t, x, y, z)
 
 
 def decode_multipolygon(buf: bytes) -> list[list[np.ndarray]]:
-    """-> list of polygons, each a list of rings (outer first). A plain
-    Polygon promotes to a 1-element MultiPolygon (the reference's
+    """-> list of polygons, each a list of XY rings (outer first; Z/M
+    coords dropped — the planar-operation convention). A plain Polygon
+    promotes to a 1-element MultiPolygon (the reference's
     OGRGeometryFactory::forceToMultiPolygon convention)."""
     g = decode(buf)
     if g["type"] == MULTIPOLYGON:
-        return g["polys"]
-    if g["type"] == POLYGON:
-        return [g["rings"]]
-    raise ValueError(f"expected (multi)polygon, got type {g['type']}")
+        polys = g["polys"]
+    elif g["type"] == POLYGON:
+        polys = [g["rings"]]
+    else:
+        raise ValueError(f"expected (multi)polygon, got type {g['type']}")
+    return [[r[:, :2] for r in rings] for rings in polys]

@@ -527,6 +527,80 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
     )
 
 
+def mosaic(bands: list[DataFrame], *, rule: str = "last") -> DataFrame:
+    """Raster mosaic (`gdal raster mosaic` pipeline step / gdalbuildvrt
+    overlap semantics): overlapping inputs resolve per pixel by
+    - 'last':  the highest-priority input wins (VRT order — later
+               sources paint over earlier ones),
+    - 'first': the first input wins,
+    - 'mean':  average of all inputs covering the pixel (exact
+               int-sum / count).
+    Inputs are (gx, gy, value) tables; one groupBy, no Python."""
+    tagged = None
+    for k, b in enumerate(bands):
+        t = b.select("gx", "gy", F.col("value").cast("bigint").alias("value"),
+                     F.lit(k).alias("_src"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    g = tagged.groupBy("gx", "gy")
+    if rule == "last":
+        out = g.agg(F.max(F.struct("_src", "value")).alias("_m")) \
+            .select("gx", "gy", F.col("_m.value").cast("double").alias("value"))
+    elif rule == "first":
+        out = g.agg(F.min(F.struct("_src", "value")).alias("_m")) \
+            .select("gx", "gy", F.col("_m.value").cast("double").alias("value"))
+    elif rule == "mean":
+        out = g.agg((F.sum("value").cast("double") / F.count("*")).alias("value")) \
+            .select("gx", "gy", "value")
+    else:
+        raise ValueError(f"unknown mosaic rule: {rule}")
+    return out
+
+
+def stack_bands(bands: list[DataFrame]) -> DataFrame:
+    """Band stack (`gdal raster stack`): align bands on (gx, gy) into
+    one array<double> values column (band order preserved). Inner
+    join — pixels must exist in every band (the stack contract)."""
+    out = None
+    for k, b in enumerate(bands):
+        t = b.select("gx", "gy", F.col("value").cast("double").alias(f"_b{k}"))
+        out = t if out is None else out.join(t, ["gx", "gy"])
+    cols = [F.col(f"_b{k}") for k in range(len(bands))]
+    return out.select("gx", "gy", F.array(*cols).alias("values"))
+
+
+def resize_nearest(band: DataFrame, *, src_w: int, src_h: int,
+                   dst_w: int, dst_h: int) -> DataFrame:
+    """Raster resize (`gdal raster resize`, nearest): dest pixel ->
+    src pixel by the rasterio nearest rule (int(clamp((i+0.5)*inc +
+    EPS, 0, size-1)), gcore/rasterio.cpp:774) — a projection + one
+    equi-join on the source key, same shape as base_tiles."""
+    spark = band.sparkSession
+    incx = float(src_w) / float(dst_w)
+    incy = float(src_h) / float(dst_h)
+    dest = spark.range(dst_w * dst_h).select(
+        (F.col("id") % dst_w).alias("dx"),
+        (F.col("id") / dst_w).cast("bigint").alias("dy"),
+    )
+    sxf = (F.lit(0.5) * F.lit(incx) + F.lit(1e-10)) + F.col("dx").cast("double") * F.lit(incx)
+    syf = (F.lit(0.5) * F.lit(incy) + F.lit(1e-10)) + F.col("dy").cast("double") * F.lit(incy)
+    dest = dest.withColumn(
+        "gx", F.floor(F.least(F.greatest(sxf, F.lit(0.0)), F.lit(float(src_w - 1)))).cast("bigint")
+    ).withColumn(
+        "gy", F.floor(F.least(F.greatest(syf, F.lit(0.0)), F.lit(float(src_h - 1)))).cast("bigint")
+    )
+    return dest.join(band.select("gx", "gy", "value"), ["gx", "gy"]) \
+        .select("dx", "dy", "value")
+
+
+def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
+    """Raster scale/unscale (`gdal raster scale`; GDALRasterBand
+    GetScale/GetOffset semantics): value * gain + offset as pure
+    column math."""
+    return band.withColumn(
+        "value", F.col("value").cast("double") * F.lit(gain) + F.lit(offset)
+    )
+
+
 def reclassify(band: DataFrame, breaks: list[tuple[int, int, int]],
                default: int | None = None) -> DataFrame:
     """Raster reclassify (the `gdal raster reclassify` pipeline step /

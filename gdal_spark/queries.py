@@ -1621,6 +1621,89 @@ FROM px
 """
 
 
+SALT_BAND2 = 401
+
+
+def _band2(spark: SparkSession) -> DataFrame:
+    """Second synthetic band (different salt), covering gx >= 16 only —
+    the partial-overlap mosaic input."""
+    M31A, AA = M31, A
+    pid = F.col("id")
+    h1 = (pid % M31A) * AA + F.lit(SALT_BAND2)
+    val = ((h1 % M31A) * AA + F.lit(SALT_BAND2 * 7 + 13)) % M31A
+    return (
+        spark.range(32 * 32)
+        .select((F.col("id") % 32).alias("gx"),
+                (F.col("id") / 32).cast("bigint").alias("gy"),
+                val.alias("value"))
+        .filter(F.col("gx") >= 16)
+    )
+
+
+def _band2_val_sql(pid_expr: str) -> str:
+    s = SALT_BAND2
+    return (
+        f"(((({pid_expr}) % {M31}) * {A} + {s}) % {M31} * {A} + {s * 7 + 13}) % {M31}"
+    )
+
+
+def q_raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster mosaic (gdalbuildvrt overlap semantics): base band +
+    a partially-overlapping second band; 'last' (later source paints
+    over) and 'mean' rules side by side."""
+    a = raster.synth_band(spark, zoom=2, tile_px=8).select("gx", "gy", "value")
+    b = _band2(spark)
+    last = raster.mosaic([a, b], rule="last").withColumnRenamed("value", "v_last")
+    mean = raster.mosaic([a, b], rule="mean").withColumnRenamed("value", "v_mean")
+    return last.join(mean, ["gx", "gy"])
+
+
+def sql_raster_mosaic() -> str:
+    va = _band_val_sql("gy * 32 + gx")
+    vb = _band2_val_sql("gy * 32 + gx")
+    return f"""
+WITH px AS (SELECT r.range % 32 AS gx, r.range // 32 AS gy FROM range(1024) r)
+SELECT gx, gy,
+       CAST(CASE WHEN gx >= 16 THEN ({vb}) ELSE ({va}) END AS DOUBLE) AS v_last,
+       CASE WHEN gx >= 16
+            THEN CAST(({va}) + ({vb}) AS DOUBLE) / 2
+            ELSE CAST(({va}) AS DOUBLE) END AS v_mean
+FROM px
+"""
+
+
+def q_raster_stack_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band stack + nearest resize + scale in one pipeline
+    (gdal raster stack/resize/scale steps): two bands stacked to an
+    array column, the 32x32 grid resized to 20x20 (rasterio nearest
+    rule), values scaled v*0.5 + 10 (exact: power-of-two gain)."""
+    a = raster.synth_band(spark, zoom=2, tile_px=8).select("gx", "gy", "value")
+    b = _band2(spark)
+    b_full = a.select("gx", "gy").join(b, ["gx", "gy"], "left") \
+        .select("gx", "gy", F.coalesce("value", F.lit(0)).alias("value"))
+    stacked = raster.stack_bands([a, b_full])
+    flat = stacked.select(
+        "gx", "gy", F.element_at("values", 1).alias("value"),
+        F.element_at("values", 2).alias("v2"),
+    )
+    rs = raster.resize_nearest(flat.select("gx", "gy", "value"),
+                               src_w=32, src_h=32, dst_w=20, dst_h=20)
+    out = raster.scale_values(rs, gain=0.5, offset=10.0)
+    return out.select("dx", "dy", "value")
+
+
+def sql_raster_stack_resize() -> str:
+    # dest -> src by the nearest rule with inc = 32/20 = 1.6
+    sx = "CAST(floor(least(greatest((0.5 * 1.6 + 1e-10) + CAST(dx AS DOUBLE) * 1.6, 0.0), 31.0)) AS BIGINT)"
+    sy = "CAST(floor(least(greatest((0.5 * 1.6 + 1e-10) + CAST(dy AS DOUBLE) * 1.6, 0.0), 31.0)) AS BIGINT)"
+    va = _band_val_sql("sy * 32 + sx")
+    return f"""
+WITH d AS (SELECT r.range % 20 AS dx, r.range // 20 AS dy FROM range(400) r),
+m AS (SELECT dx, dy, {sx} AS sx, {sy} AS sy FROM d)
+SELECT dx, dy, CAST(({va}) AS DOUBLE) * 0.5 + 10.0 AS value FROM m
+"""
+
+
 def q_fill_nodata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-nodata (GDALFillNodata re-derived as a bounded-window
     inverse-distance fill): ~20% of the band punched to nodata, filled
@@ -2876,6 +2959,8 @@ QUERIES = {
     "compound_curve": q_compound_curve,
     "explode_make_valid": q_explode_make_valid,
     "raster_reclassify": q_raster_reclassify,
+    "raster_mosaic": q_raster_mosaic,
+    "raster_stack_resize": q_raster_stack_resize,
     "fill_nodata": q_fill_nodata,
     "footprint_rings": q_footprint_rings,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -2959,6 +3044,8 @@ ORACLES = {
     "compound_curve": sql_compound_curve,
     "explode_make_valid": sql_explode_make_valid,
     "raster_reclassify": sql_raster_reclassify,
+    "raster_mosaic": sql_raster_mosaic,
+    "raster_stack_resize": sql_raster_stack_resize,
     "fill_nodata": sql_fill_nodata,
     "footprint_rings": sql_footprint_rings,
     "events_buckets": sql_events_buckets,

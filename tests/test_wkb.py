@@ -78,3 +78,25 @@ def test_countries64_mp_fixture_shape():
     for rings in polys:
         hit |= point_in_polygon(np.array([cx]), np.array([cy]), rings)
     assert hit[0]  # center = island interior
+
+
+def test_z_and_m_variants():
+    # ISO +1000 Z point
+    b_iso = wkb.encode_point_z(1.5, -2.25, 7.0, iso=True)
+    g = wkb.decode(b_iso)
+    assert g["type"] == wkb.POINT and g["dims"] == 3
+    assert g["xy"][0].tolist() == [1.5, -2.25, 7.0]
+    # legacy 0x80000000-flag Z point
+    b_old = wkb.encode_point_z(3.0, 4.0, 5.0, iso=False)
+    g2 = wkb.decode(b_old)
+    assert g2["type"] == wkb.POINT and g2["dims"] == 3
+    assert g2["xy"][0].tolist() == [3.0, 4.0, 5.0]
+    # ZM polygon ring decodes with 4 coords, XY recovered for planar ops
+    ring = np.array([[0, 0, 1, 9], [4, 0, 1, 9], [4, 4, 1, 9], [0, 0, 1, 9]], float)
+    buf = (struct.pack("<BII", 1, wkb.POLYGON + 3000, 1)
+           + struct.pack("<I", 4) + ring.tobytes())
+    g3 = wkb.decode(buf)
+    assert g3["dims"] == 4 and g3["rings"][0].shape == (4, 4)
+    polys = wkb.decode_multipolygon(buf)
+    assert polys[0][0].shape == (4, 2)
+    assert (polys[0][0] == ring[:, :2]).all()
