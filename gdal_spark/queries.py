@@ -2955,12 +2955,8 @@ QUERIES = {
     "idw_grid": q_idw_grid,
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
-    "vector_buffer": q_vector_buffer,
-    "compound_curve": q_compound_curve,
-    "explode_make_valid": q_explode_make_valid,
     "raster_reclassify": q_raster_reclassify,
     "raster_mosaic": q_raster_mosaic,
-    "raster_stack_resize": q_raster_stack_resize,
     "fill_nodata": q_fill_nodata,
     "footprint_rings": q_footprint_rings,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -2971,6 +2967,10 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "multimodal_meta": q_multimodal_meta,
     "ogr_summary": q_ogr_summary,
+    "vector_buffer": q_vector_buffer,
+    "compound_curve": q_compound_curve,
+    "explode_make_valid": q_explode_make_valid,
+    "raster_stack_resize": q_raster_stack_resize,
     # ---- tail: r1-proven ops whose semantics are also exercised by
     # earlier entries (bilinear via warp_resample, the cubic kernel via
     # pytest, round trip via reproject_utm, areas via boolean queries)
