@@ -116,6 +116,57 @@ def tile_details(tz: int, tile_size: int, querysize: int | None = None):
     return out
 
 
+def geodetic_src_geotransform():
+    """EPSG:4326 source fixture: same 37x29 off-grid raster, in
+    degrees (world = 360 wide, source res = world/256 — an exact
+    power-of-two fraction so the nearest increments stay IEEE-exact)."""
+    xres = 360.0 / 256.0
+    ulx = -180.0 + SRC_OFF_X * xres
+    uly = 90.0 - SRC_OFF_Y * xres
+    return ulx, uly, xres
+
+
+def geodetic_tile_details(tz: int, tile_size: int,
+                          querysize: int | None = None):
+    """Per-tile windows in the GlobalGeodetic (tmscompatible 2:1)
+    profile (gdal2tiles.py:534-629): res = (180/ts)/2^z, TileBounds
+    (tx*ts*res - 180, ty*ts*res - 90, ...), ceil-1 LonLatToTile for
+    the tminmax. geo_query itself is profile-agnostic."""
+    ulx, uly, xres = geodetic_src_geotransform()
+    lrx = ulx + SRC_W * xres
+    lry = uly - SRC_H * xres
+    res = (180.0 / tile_size) / float(2**tz)
+    nx, ny = 2 * 2**tz, 2**tz
+
+    def tile_of(lon, lat):
+        px = (180.0 + lon) / res
+        py = (90.0 + lat) / res
+        tx = int(np.ceil(px / float(tile_size)) - 1)
+        ty = int(np.ceil(py / float(tile_size)) - 1)
+        return tx, ty
+
+    tminx, tminy = tile_of(ulx, lry)
+    tmaxx, tmaxy = tile_of(lrx, uly)
+    tminx, tmaxx = max(tminx, 0), min(tmaxx, nx - 1)
+    tminy, tmaxy = max(tminy, 0), min(tmaxy, ny - 1)
+    out = []
+    for ty in range(tminy, tmaxy + 1):
+        for tx in range(tminx, tmaxx + 1):
+            b = (tx * tile_size * res - 180.0, ty * tile_size * res - 90.0,
+                 (tx + 1) * tile_size * res - 180.0,
+                 (ty + 1) * tile_size * res - 90.0)
+            (rx, ry, rxs, rys), (wx, wy, wxs, wys) = geo_query(
+                ulx, uly, xres, -xres, SRC_W, SRC_H,
+                b[0], b[3], b[2], b[1], querysize=querysize or tile_size,
+            )
+            if rxs <= 0 or rys <= 0 or wxs <= 0 or wys <= 0:
+                continue
+            out.append(dict(tz=tz, tx=tx, ty=ty, rx=rx, ry=ry,
+                            rxsize=rxs, rysize=rys,
+                            wx=wx, wy=wy, wxsize=wxs, wysize=wys))
+    return out
+
+
 def src_pixels(spark: SparkSession) -> DataFrame:
     """Deterministic source band (sx, sy, value) — LCG of the source
     pixel id, twin of the SQL band CTE."""
@@ -131,7 +182,7 @@ def src_pixels(spark: SparkSession) -> DataFrame:
 
 
 def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
-               resampling: str = "near") -> DataFrame:
+               resampling: str = "near", profile: str = "mercator") -> DataFrame:
     """Base tiles at `tz` as (tz, tx, ty, pos, value) pixel rows:
     dest-pixel -> source-pixel nearest map (exact closed form), then
     ONE equi-join against the source pixel table.
@@ -147,7 +198,12 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
     if resampling not in ("near", "average"):
         raise ValueError(f"unsupported resampling: {resampling}")
     qs = tile_size * qs_factor
-    params = tile_details(tz, tile_size, querysize=qs)
+    if profile == "mercator":
+        params = tile_details(tz, tile_size, querysize=qs)
+    elif profile == "geodetic":
+        params = geodetic_tile_details(tz, tile_size, querysize=qs)
+    else:
+        raise ValueError(f"unknown profile: {profile}")
     pdf = spark.createDataFrame(
         [(d["tz"], d["tx"], d["ty"], d["rx"], d["ry"], d["rxsize"], d["rysize"],
           d["wx"], d["wy"], d["wxsize"], d["wysize"]) for d in params],
@@ -236,7 +292,8 @@ def overview_tiles(base: DataFrame, *, tz: int, tile_size: int) -> DataFrame:
 
 # --------------------------------------------------------------- SQL twin
 
-def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None) -> str:
+def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None,
+             profile: str = "mercator") -> str:
     """DuckDB replication: tminmax + geo_query + nearest map, all in
     closed form (trunc() = the C int() truncation; floor for the
     clamped non-negative sample coords). `base` rows are in QUERY-grid
@@ -248,20 +305,28 @@ def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None) -> 
     # every geotransform constant is computed ONCE in Python and
     # embedded as a float literal — the engine's tile_details consumes
     # the identical doubles, so the int() truncations cannot diverge
-    os_ = repr(float(mercator.ORIGIN_SHIFT))
-    ulx_f, uly_f, xres_f = src_geotransform()
+    if profile == "mercator":
+        ulx_f, uly_f, xres_f = src_geotransform()
+        res = repr(float(mercator.resolution(tz, ts)))
+        ox = repr(float(mercator.ORIGIN_SHIFT))   # tile-x origin offset
+        oy = repr(float(mercator.ORIGIN_SHIFT))   # tile-y origin offset
+        nx, ny = 2**tz, 2**tz
+    else:  # geodetic 2:1 profile
+        ulx_f, uly_f, xres_f = geodetic_src_geotransform()
+        res = repr(float((180.0 / ts) / float(2**tz)))
+        ox, oy = "180.0", "90.0"
+        nx, ny = 2 * 2**tz, 2**tz
     xres = repr(float(xres_f))
     ulx = repr(float(ulx_f))
     uly = repr(float(uly_f))
     lrx = repr(float(ulx_f + SRC_W * xres_f))
     lry = repr(float(uly_f - SRC_H * xres_f))
-    res = repr(float(mercator.resolution(tz, ts)))
 
-    def m2t(mexpr: str) -> str:
-        # MetersToPixels + PixelsToTile(ceil - 1), then int() clamp
-        px = f"(({mexpr}) + {os_}) / {res}"
+    def m2t(mexpr: str, o: str, lim: int) -> str:
+        # coords -> pixels -> PixelsToTile(ceil - 1), then clamp
+        px = f"(({mexpr}) + {o}) / {res}"
         t = f"CAST(ceil(({px}) / CAST({ts} AS DOUBLE)) - 1 AS BIGINT)"
-        return f"least(greatest({t}, 0), {2**tz - 1})"
+        return f"least(greatest({t}, 0), {lim})"
 
     val = (
         f"(((sy * {w} + sx) % {M31}) * {A} + {SALT_SRC}) % {M31} * {A} "
@@ -274,20 +339,20 @@ src AS (
   FROM range({w * h}) r
 ),
 tminmax AS (
-  SELECT {m2t(ulx)} AS tminx, {m2t(lry)} AS tminy,
-         {m2t(lrx)} AS tmaxx, {m2t(uly)} AS tmaxy
+  SELECT {m2t(ulx, ox, nx - 1)} AS tminx, {m2t(lry, oy, ny - 1)} AS tminy,
+         {m2t(lrx, ox, nx - 1)} AS tmaxx, {m2t(uly, oy, ny - 1)} AS tmaxy
 ),
 tiles0 AS (
   SELECT CAST(a.range AS BIGINT) AS tx, CAST(b.range AS BIGINT) AS ty
-  FROM range({2**tz}) a CROSS JOIN range({2**tz}) b, tminmax
+  FROM range({nx}) a CROSS JOIN range({ny}) b, tminmax
   WHERE a.range BETWEEN tminx AND tmaxx AND b.range BETWEEN tminy AND tmaxy
 ),
 gq0 AS (
   SELECT tx, ty,
-         CAST(trunc(((tx * {ts} * {res} - {os_}) - {ulx}) / {xres} + 0.001) AS BIGINT) AS rx0,
-         CAST(trunc((((ty + 1) * {ts} * {res} - {os_}) - {uly}) / (-{xres}) + 0.001) AS BIGINT) AS ry0,
-         greatest(1, CAST(trunc((((tx + 1) * {ts} * {res} - {os_}) - (tx * {ts} * {res} - {os_})) / {xres} + 0.5) AS BIGINT)) AS rxs0,
-         greatest(1, CAST(trunc(((ty * {ts} * {res} - {os_}) - ((ty + 1) * {ts} * {res} - {os_})) / (-{xres}) + 0.5) AS BIGINT)) AS rys0
+         CAST(trunc(((tx * {ts} * {res} - {ox}) - {ulx}) / {xres} + 0.001) AS BIGINT) AS rx0,
+         CAST(trunc((((ty + 1) * {ts} * {res} - {oy}) - {uly}) / (-{xres}) + 0.001) AS BIGINT) AS ry0,
+         greatest(1, CAST(trunc((((tx + 1) * {ts} * {res} - {ox}) - (tx * {ts} * {res} - {ox})) / {xres} + 0.5) AS BIGINT)) AS rxs0,
+         greatest(1, CAST(trunc(((ty * {ts} * {res} - {oy}) - ((ty + 1) * {ts} * {res} - {oy})) / (-{xres}) + 0.5) AS BIGINT)) AS rys0
   FROM tiles0
 ),
 gqx AS (

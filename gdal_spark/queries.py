@@ -197,6 +197,30 @@ FROM avg0 GROUP BY 1, 2, 3
 """
 
 
+def q_base_tiles_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base tiles in the GEODETIC (EPSG:4326 2:1) profile — the second
+    of gdal2tiles' two global profiles, end to end: degree-space
+    TileBounds/tminmax, same geo_query + nearest machinery, checksum
+    grid."""
+    from .operators import base_tiles as BT
+
+    base = BT.base_tiles(spark, tz=2, tile_size=16, profile="geodetic")
+    return BT.tile_checksums(base, 16)
+
+
+def sql_base_tiles_geodetic() -> str:
+    from .operators import base_tiles as BT
+
+    ctes = BT.sql_ctes(tz=2, tile_size=16, profile="geodetic").strip()
+    P = BT.CHECKSUM_P
+    return f"""
+WITH {ctes}
+SELECT tz, tx, ty, CAST(sum((1 + pos) * value) % {P} AS BIGINT) AS checksum,
+       count(*) AS n_px
+FROM base GROUP BY 1, 2, 3
+"""
+
+
 def q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile assignment in the EPSG:4326 geodetic profile
     (gdal2tiles.py:534-629 GlobalGeodetic, tmscompatible 2:1 grid):
@@ -2921,6 +2945,7 @@ QUERIES = {
     "tile_assign_geodetic": q_tile_assign_geodetic,
     "base_tiles": q_base_tiles,
     "base_tiles_avg": q_base_tiles_avg,
+    "base_tiles_geodetic": q_base_tiles_geodetic,
     "pyramid_counts": q_pyramid_counts,
     "spatial_join": q_spatial_join,
     "spatial_join_wkb": q_spatial_join_wkb,
@@ -2956,7 +2981,6 @@ QUERIES = {
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
     "raster_reclassify": q_raster_reclassify,
-    "raster_mosaic": q_raster_mosaic,
     "fill_nodata": q_fill_nodata,
     "footprint_rings": q_footprint_rings,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -2967,6 +2991,7 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "multimodal_meta": q_multimodal_meta,
     "ogr_summary": q_ogr_summary,
+    "raster_mosaic": q_raster_mosaic,
     "vector_buffer": q_vector_buffer,
     "compound_curve": q_compound_curve,
     "explode_make_valid": q_explode_make_valid,
@@ -3000,6 +3025,7 @@ ORACLES = {
     "tile_assign_geodetic": sql_tile_assign_geodetic,
     "base_tiles": sql_base_tiles,
     "base_tiles_avg": sql_base_tiles_avg,
+    "base_tiles_geodetic": sql_base_tiles_geodetic,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
