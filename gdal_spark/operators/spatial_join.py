@@ -77,6 +77,12 @@ def _decode_point_udf(buf: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": xs, "lat": ys})
 
 
+# The decode IS deterministic; the flag is an optimizer fence — without
+# it Catalyst clones the UDF into the join's isnotnull pre-filter and
+# every row pays the Python decode twice (seen in the executed plan).
+_decode_point_udf = _decode_point_udf.asNondeterministic()
+
+
 def decode_point_cols(df: DataFrame, geom: str = "geom") -> DataFrame:
     """GeoParquet-shaped point table (WKB binary geometry column,
     ogrgeometry.cpp:1515 importFromWkb) -> plain (lon, lat) columns."""
