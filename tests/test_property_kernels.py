@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark.kernels import tmerc, wkb
+from gdal_spark.kernels.clip_poly import clip_pair, ring_area, rings_area
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e15, max_value=1e15)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=50))
+def test_wkb_point_roundtrip_any_floats(pts):
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    bufs = wkb.encode_points(xs, ys)
+    x2, y2 = wkb.decode_points_batch(bufs)
+    assert (x2 == xs).all() and (y2 == ys).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.floats(min_value=-5, max_value=5),
+                          st.floats(min_value=-5, max_value=5)),
+                min_size=3, max_size=12))
+def test_wkb_polygon_roundtrip(ring):
+    arr = np.array(ring + [ring[0]], dtype=np.float64)
+    buf = wkb.encode_polygon([arr])
+    g = wkb.decode(buf)
+    assert g["type"] == wkb.POLYGON
+    assert (g["rings"][0] == arr).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=0.01, max_value=5.99),
+       st.floats(min_value=-79.9, max_value=83.9))
+def test_tmerc_roundtrip_property(lon, lat):
+    e, n = tmerc.utm_forward(np.array([lon]), np.array([lat]), 31)
+    lon2, lat2 = tmerc.utm_inverse(e, n, 31)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_clip_pair_identities(seed):
+    """Inclusion-exclusion across the three boolean ops on random
+    convex-hull pairs (generic position by randomness)."""
+    rng = np.random.default_rng(seed)
+
+    def hull():
+        p = rng.random((10, 2)) * 10
+        p2 = sorted(map(tuple, p))
+
+        def half(pp):
+            h = []
+            for q in pp:
+                while len(h) >= 2 and (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1]) \
+                        - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0]) <= 0:
+                    h.pop()
+                h.append(q)
+            return h
+        return np.array(half(p2)[:-1] + half(p2[::-1])[:-1], float)
+
+    A, B = hull(), hull()
+    if len(A) < 3 or len(B) < 3:
+        return
+    aa = ring_area(np.vstack([A, A[:1]]))
+    ab = ring_area(np.vstack([B, B[:1]]))
+    ai = rings_area(clip_pair(A, B, "intersection"))
+    au = rings_area(clip_pair(A, B, "union"))
+    ad = rings_area(clip_pair(A, B, "difference"))
+    assert abs(au - (aa + ab - ai)) < 1e-8 * max(1.0, aa + ab)
+    assert abs(ad - (aa - ai)) < 1e-8 * max(1.0, aa)
+    assert -1e-12 <= ai <= min(aa, ab) + 1e-8
