@@ -62,13 +62,16 @@ def knn_join(
     lim = 2**res - 1
 
     pcx, pcy = _cell_xy(F.col(lon), F.col(lat), res)
+    # persisted: every round probes this projection; without the cache
+    # each round re-scans the source and recomputes the mercator/cell
+    # math (measured as the dominant per-round cost at small SF)
     pts = points.select(
         F.col(point_id).alias("_pid"),
         TF.merc_mx(F.col(lon)).alias("_pmx"),
         TF.merc_my(F.col(lat)).alias("_pmy"),
         pcx.alias("_pcx"),
         pcy.alias("_pcy"),
-    )
+    ).persist()
     qcx, qcy = _cell_xy(F.col(lon), F.col(lat), res)
     pending = queries.select(
         F.col(query_id).alias("_qid"),
