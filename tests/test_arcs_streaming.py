@@ -140,3 +140,37 @@ def test_streaming_stateful_dedup(spark):
             assert int(key) == rs[0]["first_doc_index"] % 20
     finally:
         q.stop()
+
+
+def test_curvepolygon_ring_assembly(spark):
+    """CurvePolygon exterior ring = a CLOSED compound curve (line +
+    arc + line back to the start): assembly yields a closed ring whose
+    area matches the analytic value."""
+    from gdal_spark.functions import arcs as AR
+    from pyspark.sql import functions as F
+
+    # unit half-circle arc from (1,0) through (0,1) to (-1,0), then a
+    # line closing along the x axis back to (1,0)
+    part_a = F.struct(
+        F.lit("A").alias("kind"),
+        F.array().cast("array<double>").alias("xs"),
+        F.array().cast("array<double>").alias("ys"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"), F.lit(1.0).alias("r"),
+        F.lit(0.0).alias("a0"), F.lit(math.pi).alias("a1"),
+    )
+    part_l = F.struct(
+        F.lit("L").alias("kind"),
+        F.array(F.lit(-1.0), F.lit(1.0)).alias("xs"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("ys"),
+        F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"), F.lit(0.0).alias("r"),
+        F.lit(0.0).alias("a0"), F.lit(0.0).alias("a1"),
+    )
+    d = spark.range(1).select(F.array(part_a, part_l).alias("parts"))
+    row = AR.assemble_compound_cols(d).collect()[0]
+    xs, ys = np.array(row["xs"]), np.array(row["ys"])
+    # closed ring: ends where it starts
+    assert (xs[0], ys[0]) == (1.0, 0.0)
+    assert (xs[-1], ys[-1]) == (1.0, 0.0)
+    # shoelace area ~ half-disc (4-degree linearization error bound)
+    area = 0.5 * abs(float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])))
+    assert abs(area - math.pi / 2) < 2e-3
