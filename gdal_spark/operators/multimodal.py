@@ -63,6 +63,55 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = (
+    "doc_id bigint, media_ref string, frame_idx int, frame_off bigint, "
+    "frame_len int, frame_checksum bigint"
+)
+
+
+def frame_sample(df: DataFrame, *, every_k: int = 4,
+                 frame_bytes: int = 16) -> DataFrame:
+    """Video frame-sampling plumbing: treat the payload as a sequence
+    of fixed-size frames (the stub's stand-in for a real container
+    demuxer) and emit every k-th frame's (offset, length, checksum) —
+    one row per sampled frame, rows fan out inside the same Arrow
+    batch. A real deployment swaps the slicing for libav keyframe
+    extraction behind the identical row contract; the partitioning,
+    batch shape and fan-out — the parts Spark owns — are real.
+
+    Non-video payloads (magic != VID0) produce no rows, like a demuxer
+    rejecting a non-container input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, refs, fidx, foff, flen, fsum = [], [], [], [], [], []
+            for did, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                         pdf["payload"]):
+                if payload[:4] != b"VID0":
+                    continue
+                body = payload[4:]
+                n_frames = len(body) // frame_bytes
+                for fi in range(0, n_frames, every_k):
+                    off = 4 + fi * frame_bytes
+                    chunk = payload[off:off + frame_bytes]
+                    ids.append(did)
+                    refs.append(ref)
+                    fidx.append(fi)
+                    foff.append(off)
+                    flen.append(len(chunk))
+                    fsum.append(int(np.frombuffer(chunk, dtype=np.uint8)
+                                    .astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "media_ref": refs,
+                "frame_idx": pd.array(fidx, dtype="int32"),
+                "frame_off": foff,
+                "frame_len": pd.array(flen, dtype="int32"),
+                "frame_checksum": fsum,
+            })
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_media_meta(df: DataFrame) -> DataFrame:
     """mapInPandas feature-extraction stage: one Arrow batch in, one
     metadata row per media out. The batch loop is the real scale

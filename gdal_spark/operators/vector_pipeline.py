@@ -220,6 +220,68 @@ def buffer_points(df: DataFrame, dist, *, n_seg: int = 32,
              .drop("_bd")
 
 
+def buffer_convex(df: DataFrame, dist, *, quadrant_segments: int = 8,
+                  xs: str = "xs", ys: str = "ys",
+                  id_keep: list[str] | None = None) -> DataFrame:
+    """Positive buffer of CONVEX polygons (OGRGeometry::Buffer via
+    GEOS BufferOp, default 8 quadrant segments): each edge offsets
+    outward by `dist` and consecutive edges join with a round (arc)
+    corner stepped at pi/(2*quadrant_segments). Output ring = the
+    concatenated corner arcs (straight edges are implicit between
+    consecutive arc endpoints). Input rings must be convex; CW input
+    is re-oriented CCW. Non-convex buffering (Minkowski with reflex
+    vertices) is out of scope — the reference delegates it to GEOS.
+
+    Arrow-batched per-feature kernel; `dist` may be a column name."""
+    import numpy as np
+    import pandas as pd
+
+    step = 3.141592653589793 / (2.0 * quadrant_segments)
+    dist_col = dist if isinstance(dist, str) else None
+    dist_val = None if dist_col else float(dist)
+    keep = id_keep or [c for c in df.columns if c not in (xs, ys)]
+    schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in keep
+    ) + f", {xs} array<double>, {ys} array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            oxs, oys = [], []
+            for ridx, row in pdf.iterrows():
+                vx = np.asarray(row[xs], dtype=np.float64)
+                vy = np.asarray(row[ys], dtype=np.float64)
+                d = float(row[dist_col]) if dist_col else dist_val
+                if vx[0] == vx[-1] and vy[0] == vy[-1]:
+                    vx, vy = vx[:-1], vy[:-1]
+                # enforce CCW
+                s2 = float(np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy))
+                if s2 < 0:
+                    vx, vy = vx[::-1], vy[::-1]
+                n = len(vx)
+                outx, outy = [], []
+                for i in range(n):
+                    pex, pey = vx[i] - vx[i - 1], vy[i] - vy[i - 1]
+                    nex, ney = vx[(i + 1) % n] - vx[i], vy[(i + 1) % n] - vy[i]
+                    t1 = np.arctan2(pey, pex) - 1.5707963267948966
+                    t2 = np.arctan2(ney, nex) - 1.5707963267948966
+                    while t2 < t1:
+                        t2 = t2 + 6.283185307179586
+                    dtheta = t2 - t1
+                    nst = max(1, int(np.ceil(dtheta / step - 1e-9)))
+                    for k in range(nst + 1):
+                        th = t1 + (dtheta * k) / nst
+                        outx.append(vx[i] + d * np.cos(th))
+                        outy.append(vy[i] + d * np.sin(th))
+                oxs.append(outx)
+                oys.append(outy)
+            out = pdf[keep].copy()
+            out[xs] = oxs
+            out[ys] = oys
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def explode_parts(df: DataFrame, parts: str = "parts") -> DataFrame:
     """ogr2ogr -explodecollections / pipeline explode-collections
     (apps/gdalalg_vector_pipeline.cpp step registry): one row per

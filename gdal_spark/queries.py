@@ -1419,6 +1419,63 @@ SELECT i, j, round(3.5 * (i * 10.0) - 1.25 * (j * 10.0) + 20.0, 6) AS value FROM
 """
 
 
+def q_polygon_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVEX polygon buffer (GEOS BufferOp semantics, 8 quadrant
+    segments): offset edges + round corner arcs. Rect fixture -> the
+    corner angles are exact multiples of pi/2 in both engines, so the
+    only cross-engine wobble is cos/sin ulp, absorbed at 9dp."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(-160.0) + F.lit(300.0) * docs.hash01_col(i, 61)
+    y0 = F.lit(-70.0) + F.lit(120.0) * docs.hash01_col(i, 62)
+    w = F.lit(6.0) + F.lit(4.0) * docs.hash01_col(i, 63)
+    h = F.lit(5.0) + F.lit(3.0) * docs.hash01_col(i, 64)
+    d = s.select(
+        i.alias("id"),
+        F.array(x0, x0 + w, x0 + w, x0).alias("xs"),
+        F.array(y0, y0, y0 + h, y0 + h).alias("ys"),
+        (F.lit(1.0) + docs.hash01_col(i, 65)).alias("bd"),
+    )
+    buf = VP.buffer_convex(d, "bd", quadrant_segments=8)
+    return buf.select(
+        "id", F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "_p")
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_polygon_buffer() -> str:
+    hs = lambda s: derive.hash01_sql("s_suppkey", s)
+    # corner c (0=BL,1=BR,2=TR,3=TL): center + arc from -pi + c*pi/2
+    cxs = ("CASE c WHEN 0 THEN x0 WHEN 1 THEN x0 + w WHEN 2 THEN x0 + w ELSE x0 END")
+    cys = ("CASE c WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0 + h ELSE y0 + h END")
+    th = "(-pi() + c * (pi() / 2)) + ((pi() / 2) * j) / 8"
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -160.0 + 300.0 * ({hs(61)}) AS x0,
+         -70.0 + 120.0 * ({hs(62)}) AS y0,
+         6.0 + 4.0 * ({hs(63)}) AS w,
+         5.0 + 3.0 * ({hs(64)}) AS h,
+         1.0 + ({hs(65)}) AS bd
+  FROM supplier
+),
+e AS (
+  SELECT id, x0, y0, w, h, bd,
+         CAST(cc.range AS BIGINT) AS c, CAST(jj.range AS BIGINT) AS j
+  FROM k CROSS JOIN range(4) cc CROSS JOIN range(9) jj
+)
+SELECT id, c * 9 + j AS k,
+       round(({cxs}) + bd * cos({th}), 9) AS vx,
+       round(({cys}) + bd * sin({th}), 9) AS vy
+FROM e
+"""
+
+
 def q_compound_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CompoundCurve assembly (line + arc + line chained, junction
     vertices emitted once — OGRCompoundCurve::CurveToLine at the
@@ -2873,6 +2930,39 @@ SELECT qid AS query_id, cid AS neighbor_id, rnk FROM r WHERE rnk <= 5
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (build-brief multimodal op):
+    VID0 payloads sliced into 16-byte frames, every 4th sampled —
+    (doc_id, frame_idx, offset, length, checksum) rows fanned out
+    inside the Arrow batch; non-video docs emit nothing."""
+    d = _read(spark, sf_dir, "documents")
+    m = multimodal.attach_media(d, id_col="doc_id")
+    return multimodal.frame_sample(m, every_k=4, frame_bytes=16)
+
+
+def sql_frame_sample() -> str:
+    chunk = "substring(text, fi * 16 + 1, 16)"
+    csum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({chunk}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, text, CAST(ff.range AS INT) AS fi
+  FROM v CROSS JOIN range(0, 1000, 4) ff
+  WHERE ff.range < length(text) // 16
+)
+SELECT doc_id, 'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       fi AS frame_idx,
+       CAST(4 + fi * 16 AS BIGINT) AS frame_off,
+       16 AS frame_len,
+       {csum} AS frame_checksum
+FROM f
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synth payloads + Arrow-batched metadata
     extraction (decode stub)."""
@@ -2991,8 +3081,10 @@ QUERIES = {
     "similarity_ivf": q_similarity_ivf,
     "multimodal_meta": q_multimodal_meta,
     "ogr_summary": q_ogr_summary,
+    "frame_sample": q_frame_sample,
     "raster_mosaic": q_raster_mosaic,
     "vector_buffer": q_vector_buffer,
+    "polygon_buffer": q_polygon_buffer,
     "compound_curve": q_compound_curve,
     "explode_make_valid": q_explode_make_valid,
     "raster_stack_resize": q_raster_stack_resize,
@@ -3067,6 +3159,7 @@ ORACLES = {
     "grid_metrics": sql_grid_metrics,
     "grid_linear": sql_grid_linear,
     "vector_buffer": sql_vector_buffer,
+    "polygon_buffer": sql_polygon_buffer,
     "compound_curve": sql_compound_curve,
     "explode_make_valid": sql_explode_make_valid,
     "raster_reclassify": sql_raster_reclassify,
@@ -3094,6 +3187,7 @@ ORACLES = {
     "similarity_topk": sql_similarity_topk,
     "similarity_ivf": sql_similarity_ivf,
     "multimodal_meta": sql_multimodal_meta,
+    "frame_sample": sql_frame_sample,
     "ogr_like_escape": sql_ogr_like_escape,
 }
 

@@ -144,3 +144,27 @@ def test_first_match_join_semantics(spark):
     assert rows[1] == (50, "b")      # FIRST by fid, not insertion
     assert rows[2] == (7, "c")
     assert rows[3] == (None, None)   # left row preserved
+
+
+def test_buffer_convex_area_identity(spark):
+    """Buffered convex polygon area = A + perimeter*d + pi*d^2 (exact
+    Minkowski identity, approached as quadrant segments grow)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gdal_spark.operators.vector_pipeline import buffer_convex
+
+    ang = 2 * np.pi * np.arange(6) / 6
+    vx = (3 + 2 * np.cos(ang + 0.3)).tolist()
+    vy = (4 + 2 * np.sin(ang + 0.3)).tolist()
+    df = spark.createDataFrame([(1, vx, vy, 1.5)],
+                               "id bigint, xs array<double>, ys array<double>, bd double")
+    row = buffer_convex(df, "bd", quadrant_segments=32).collect()[0]
+    bx, by = np.array(row["xs"]), np.array(row["ys"])
+    ring = np.column_stack([np.append(bx, bx[0]), np.append(by, by[0])])
+    area = 0.5 * abs(float(np.sum(ring[:-1, 0] * ring[1:, 1]
+                                  - ring[1:, 0] * ring[:-1, 1])))
+    a0 = 0.5 * abs(float(np.sum(np.array(vx) * np.roll(vy, -1)
+                                - np.roll(vx, -1) * np.array(vy))))
+    per = float(np.sum(np.hypot(np.diff(vx + [vx[0]]), np.diff(vy + [vy[0]]))))
+    expected = a0 + per * 1.5 + np.pi * 1.5 ** 2
+    assert abs(area - expected) / expected < 2e-3  # qs=32 chordal error
