@@ -194,8 +194,16 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
     average shrink; value = sum(16 subpixels)/16.0 with unwritten
     subpixels contributing 0 (the MEM buffer's zero init). The /16 is
     a power-of-two division, so values stay engine-exact."""
-    qs_factor = 1 if resampling == "near" else 4
-    if resampling not in ("near", "average"):
+    if resampling == "near":
+        qs_factor = 1
+    elif resampling == "bilinear":
+        # gdal2tiles bilinear: querysize = 2 * tile_size
+        # (gdal2tiles.py:2225); the exact factor-2 bilinear shrink has
+        # all sample weights 0.25 — the 2x2 block mean
+        qs_factor = 2
+    elif resampling == "average":
+        qs_factor = 4
+    else:
         raise ValueError(f"unsupported resampling: {resampling}")
     qs = tile_size * qs_factor
     if profile == "mercator":
@@ -239,8 +247,9 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
     qpx = dest.join(src, ["sx", "sy"]).select("tz", "tx", "ty", "pos", "px", "py", "value")
     if resampling == "near":
         return qpx.select("tz", "tx", "ty", "pos", "value")
-    # average: 4x4 query subpixels -> one dest pixel, sum/16 (missing
-    # subpixels were zero-initialized in the reference's MEM buffer)
+    # average/bilinear: f x f query subpixels -> one dest pixel,
+    # sum/f^2 (missing subpixels were zero-initialized in the
+    # reference's MEM buffer)
     f = qs_factor
     return (
         qpx.select(

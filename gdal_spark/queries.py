@@ -197,6 +197,41 @@ FROM avg0 GROUP BY 1, 2, 3
 """
 
 
+def q_base_tiles_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles BILINEAR base-tile path (querysize = 2*tile_size,
+    gdal2tiles.py:2225; the exact factor-2 shrink has uniform 0.25
+    weights = the 2x2 block mean). Checksums over value*4 (exact
+    integer subpixel sums)."""
+    from .operators import base_tiles as BT
+
+    base = BT.base_tiles(spark, tz=2, tile_size=16, resampling="bilinear")
+    qsum = F.round(F.col("value") * 4).cast("bigint")
+    return base.groupBy("tz", "tx", "ty").agg(
+        (F.sum((F.lit(1) + F.col("pos")) * qsum) % BT.CHECKSUM_P)
+        .alias("checksum"),
+        F.count("*").alias("n_px"),
+    )
+
+
+def sql_base_tiles_bilinear() -> str:
+    from .operators import base_tiles as BT
+
+    ctes = BT.sql_ctes(tz=2, tile_size=16, querysize=32).strip()
+    P = BT.CHECKSUM_P
+    return f"""
+WITH {ctes},
+avg0 AS (
+  SELECT tz, tx, ty, (py // 2) * 16 + (px // 2) AS pos,
+         CAST(sum(value) AS BIGINT) AS qsum
+  FROM base GROUP BY 1, 2, 3, 4
+)
+SELECT tz, tx, ty,
+       CAST(sum((1 + pos) * qsum) % {P} AS BIGINT) AS checksum,
+       count(*) AS n_px
+FROM avg0 GROUP BY 1, 2, 3
+"""
+
+
 def q_base_tiles_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base tiles in the GEODETIC (EPSG:4326 2:1) profile — the second
     of gdal2tiles' two global profiles, end to end: degree-space
@@ -3036,6 +3071,7 @@ QUERIES = {
     "base_tiles": q_base_tiles,
     "base_tiles_avg": q_base_tiles_avg,
     "base_tiles_geodetic": q_base_tiles_geodetic,
+    "base_tiles_bilinear": q_base_tiles_bilinear,
     "pyramid_counts": q_pyramid_counts,
     "spatial_join": q_spatial_join,
     "spatial_join_wkb": q_spatial_join_wkb,
@@ -3118,6 +3154,7 @@ ORACLES = {
     "base_tiles": sql_base_tiles,
     "base_tiles_avg": sql_base_tiles_avg,
     "base_tiles_geodetic": sql_base_tiles_geodetic,
+    "base_tiles_bilinear": sql_base_tiles_bilinear,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
