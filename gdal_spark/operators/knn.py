@@ -89,6 +89,11 @@ def knn_join(
     s = 1
     prev_s = 0
     rounds = 0
+    # persisted frames released at the end (topk feeds `results`, so
+    # per-round topk caches must live until the output is materialized)
+    _topks: list[DataFrame] = []
+    _prev_pending: DataFrame | None = None
+    _prev_carried: DataFrame | None = None
     while rounds < max_rounds:
         rounds += 1
         # ONLY the new annulus: cells with Chebyshev distance in
@@ -152,6 +157,15 @@ def knn_join(
         carried = topk.join(F.broadcast(done_ids), "_qid", "left_anti").persist()
         # materialize the loop state so each round's work runs once
         n_pending = pending.count()
+        # the count() barrier materialized this round's pending (and
+        # cached topk, from which the new carried derives) — the
+        # previous round's pending/carried caches are now dead weight
+        _topks.append(topk)
+        if _prev_pending is not None:
+            _prev_pending.unpersist()
+        if _prev_carried is not None:
+            _prev_carried.unpersist()
+        _prev_pending, _prev_carried = pending, carried
         if n_pending == 0:
             break
         prev_s = s
@@ -162,4 +176,15 @@ def knn_join(
         F.col("_pid").alias(point_id),
         F.col("_rank").alias("rank"),
     )
+    # materialize the (small: |queries| x k rows) result so every
+    # intermediate cache can be dropped NOW — without this, repeated
+    # knn_join calls accumulate executor storage blocks unboundedly
+    out = out.localCheckpoint(eager=True)
+    for t in _topks:
+        t.unpersist()
+    if _prev_pending is not None:
+        _prev_pending.unpersist()
+    if _prev_carried is not None:
+        _prev_carried.unpersist()
+    pts.unpersist()
     return out

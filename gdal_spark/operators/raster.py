@@ -641,7 +641,12 @@ def fill_nodata(band: DataFrame, *, nodata, max_dist: int = 3) -> DataFrame:
         .select(
             (F.col("gx") + F.col("_dx")).alias("tgx"),
             (F.col("gy") + F.col("_dy")).alias("tgy"),
-            (F.col("gy") * 100000 + F.col("gx")).alias("_spid"),
+            # (gy, gx) struct key, not gy*W+gx: no width assumption, so
+            # the documented engine-exact fold order holds for rasters
+            # of any dimensions (a linearized key would collide past
+            # its hardcoded width)
+            F.col("gy").alias("_sy"),
+            F.col("gx").alias("_sx"),
             (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")).alias("_d2"),
             F.col("value").alias("_v"),
         )
@@ -650,7 +655,7 @@ def fill_nodata(band: DataFrame, *, nodata, max_dist: int = 3) -> DataFrame:
         served, (F.col("gx") == F.col("tgx")) & (F.col("gy") == F.col("tgy"))
     )
     agg = cand.groupBy("gx", "gy").agg(
-        F.sort_array(F.collect_list(F.struct("_spid", "_d2", "_v"))).alias("pts")
+        F.sort_array(F.collect_list(F.struct("_sy", "_sx", "_d2", "_v"))).alias("pts")
     )
     num = F.expr("aggregate(pts, 0D, (a, s) -> a + s._v / CAST(s._d2 AS DOUBLE))")
     den = F.expr("aggregate(pts, 0D, (a, s) -> a + 1.0 / CAST(s._d2 AS DOUBLE))")

@@ -56,6 +56,10 @@ def summary(df: DataFrame, col: str) -> DataFrame:
     result exactly and is bit-identical across engines; float columns
     get tolerance parity (SURVEY.md §2.4)."""
     c = F.col(col)
+    # moments in DECIMAL(38,0): exact far past int64, and Spark decimal
+    # aggregation yields NULL (not a silent wrap) on overflow — which
+    # the guard below turns into a loud error instead of a wrong stddev
+    cd = c.cast("decimal(38,0)")
     agg = df.agg(
         F.count(c).alias("cnt"),
         F.countDistinct(c).alias("cnt_distinct"),
@@ -63,16 +67,27 @@ def summary(df: DataFrame, col: str) -> DataFrame:
         F.max(c).alias("max_v"),
         F.sum(c).alias("sum_v"),
         F.avg(c).alias("avg_v"),
-        F.sum(c * c).alias("_s2"),
+        F.sum(cd).alias("_s1"),
+        F.sum(cd * cd).alias("_s2"),
     )
     n = F.col("cnt")
-    m = n * F.col("_s2") - F.col("sum_v") * F.col("sum_v")
+    m = (n.cast("decimal(38,0)") * F.col("_s2")
+         - F.col("_s1") * F.col("_s1"))
+    overflow = (n > 0) & m.isNull()
+    err = F.raise_error(F.lit(
+        "summary(): integer second moment exceeds DECIMAL(38) — "
+        "cast the column to double for tolerance-parity stats"
+    ))
     return agg.select(
         "cnt", "cnt_distinct", "min_v", "max_v", "sum_v", "avg_v",
-        F.sqrt(m.cast("double") / (n * n).cast("double")).alias("stddev_pop_v"),
-        F.when(n > 1,
-               F.sqrt(m.cast("double") / (n * (n - 1)).cast("double")))
-        .alias("stddev_samp_v"),
+        F.when(overflow, err)
+        .otherwise(F.sqrt(m.cast("double") / (n * n).cast("double")))
+        .alias("stddev_pop_v"),
+        F.when(overflow, err)
+        .otherwise(
+            F.when(n > 1,
+                   F.sqrt(m.cast("double") / (n * (n - 1)).cast("double")))
+        ).alias("stddev_samp_v"),
     )
 
 

@@ -1847,18 +1847,18 @@ offs AS (
 ),
 served AS (
   SELECT v.gx + o.dx AS tgx, v.gy + o.dy AS tgy,
-         v.gy * 100000 + v.gx AS spid,
+         v.gy AS sy, v.gx AS sx,
          o.dx * o.dx + o.dy * o.dy AS d2, v.value AS vv
   FROM valid v CROSS JOIN offs o
 ),
 cand AS (
-  SELECT h.gx, h.gy, s.spid, s.d2, s.vv
+  SELECT h.gx, h.gy, s.sy, s.sx, s.d2, s.vv
   FROM holes h JOIN served s ON s.tgx = h.gx AND s.tgy = h.gy
 ),
 filled AS (
   SELECT gx, gy,
-    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(vv / CAST(d2 AS DOUBLE) ORDER BY spid)), (a, b) -> a + b)
-    / list_reduce(list_prepend(CAST(0 AS DOUBLE), list(1.0 / CAST(d2 AS DOUBLE) ORDER BY spid)), (a, b) -> a + b)
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(vv / CAST(d2 AS DOUBLE) ORDER BY sy, sx)), (a, b) -> a + b)
+    / list_reduce(list_prepend(CAST(0 AS DOUBLE), list(1.0 / CAST(d2 AS DOUBLE) ORDER BY sy, sx)), (a, b) -> a + b)
     AS value
   FROM cand GROUP BY 1, 2
 )
