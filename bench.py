@@ -158,8 +158,28 @@ def main() -> None:
         out = tile_raster.slope_tiles(tiles, tile=128, nty=8, ntx=8)
         return out.select("ty", "tx", F.xxhash64("slope_deg").alias("h"))
 
+    def bench_bigpoly(strategy):
+        # 4096-vertex rings (VERDICT r2: the 64-vertex cover can't see
+        # ring-transfer amplification). 'broadcast' rides the
+        # broadcast-dict PIP (8 bytes/candidate into Arrow);
+        # 'shuffle' keeps rings-in-row (2*8*4096 = 64 KiB/candidate) —
+        # the delta between the two timings is the transfer cost the
+        # dict path removes.
+        def run(s, d):
+            dense = polygons.countries64_dense_cover(s, res=6, nv=4096)
+            # repartition: a bare limit() collapses the no-shuffle
+            # broadcast path to one task, which would bench task-count,
+            # not ring transfer
+            pts = s.read.parquet(doc_path).limit(100_000).repartition(cpus)
+            return spatial_join_points_in_polygons(
+                pts, dense, res=6, strategy=strategy, keep_point_cols=["doc_id"]
+            )
+        return run
+
     per_query = {
         "tile_assign": Q.q_tile_assign,
+        "spatial_join_bigpoly": bench_bigpoly("broadcast"),
+        "spatial_join_bigpoly_rowrings": bench_bigpoly("shuffle"),
         "pyramid_counts": Q.q_pyramid_counts,
         "spatial_join": Q.q_spatial_join,
         "spatial_join_wkb": Q.q_spatial_join_wkb,

@@ -20,6 +20,18 @@ Join strategy:
   are replicated n_salt times — explicit skew handling when one cell
   holds a disproportionate share of points (FIXTURES F3 skew case).
 
+Ring transfer: for the broadcast/salted strategies the polygon
+coordinate arrays are NOT join columns — each candidate row carries
+only poly_id through Arrow, and the exact-stage UDF resolves rings
+from a sparkContext.broadcast({poly_id: ring ndarray}) dict that
+crosses to each executor ONCE. With real layers (10^4-10^5 vertices
+per ring) x millions of candidates per cell, rings-as-columns would
+multiply the UDF input volume by orders of magnitude; the broadcast
+dict makes exact-stage transfer 8 bytes/row regardless of polygon
+complexity. The 'shuffle' strategy (cover too big to broadcast at
+all) keeps the rings-in-row form — there a driver-side dict is the
+thing that doesn't scale.
+
 The 3-stage short-circuit order (bbox reject → envelope accept → exact)
 is preserved: envelope compare happens before the pandas UDF, and the
 UDF re-checks the envelope before ray casting (cheap, keeps parity with
@@ -41,8 +53,9 @@ from ..kernels.pip import point_in_ring
 @F.pandas_udf(T.BooleanType())
 def _pip_udf(x: pd.Series, y: pd.Series, poly_id: pd.Series,
              xs: pd.Series, ys: pd.Series) -> pd.Series:
-    """Exact stage: group the Arrow batch by polygon, run the vectorized
-    ray-cast once per polygon (numpy broadcast over that group's points)."""
+    """Exact stage, rings-in-row form (shuffle strategy only): group the
+    Arrow batch by polygon, run the vectorized ray-cast once per polygon
+    (numpy broadcast over that group's points)."""
     out = np.zeros(len(x), dtype=bool)
     if len(x) == 0:
         return pd.Series(out)
@@ -58,6 +71,48 @@ def _pip_udf(x: pd.Series, y: pd.Series, poly_id: pd.Series,
         ])
         out[idx] = point_in_ring(xv[idx], yv[idx], ring)
     return pd.Series(out)
+
+
+def _rings_broadcast(cover: DataFrame):
+    """Collect the polygon layer's rings ONCE on the driver and ship
+    them as a spark broadcast {poly_id: (n, 2) float64 ndarray}.
+
+    This is the dimension side of a broadcast join — collecting it is
+    exactly as legitimate as F.broadcast(cover), and it removes the
+    per-candidate-row ring copy from the Arrow transfer (the scale
+    cliff: ring bytes x candidate rows)."""
+    rows = cover.select("poly_id", "xs", "ys").dropDuplicates(["poly_id"]).collect()
+    rings = {
+        int(r["poly_id"]): np.column_stack([
+            np.asarray(r["xs"], dtype=np.float64),
+            np.asarray(r["ys"], dtype=np.float64),
+        ])
+        for r in rows
+    }
+    return cover.sparkSession.sparkContext.broadcast(rings)
+
+
+def _pip_dict_udf(rings_bc):
+    """Exact stage, broadcast-dict form: the UDF receives only
+    (x, y, poly_id) — 24 bytes/row through Arrow — and resolves ring
+    geometry from the executor-local broadcast (ogrlinearring.cpp
+    crossing rule, identical math to _pip_udf)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(x: pd.Series, y: pd.Series, poly_id: pd.Series) -> pd.Series:
+        rings = rings_bc.value
+        out = np.zeros(len(x), dtype=bool)
+        if len(x) == 0:
+            return pd.Series(out)
+        xv = x.to_numpy(dtype=np.float64)
+        yv = y.to_numpy(dtype=np.float64)
+        pid = poly_id.to_numpy()
+        for p in pd.unique(pid):
+            idx = np.nonzero(pid == p)[0]
+            out[idx] = point_in_ring(xv[idx], yv[idx], rings[int(p)])
+        return pd.Series(out)
+
+    return pip
 
 
 def assign_cell(df: DataFrame, lon: str = "lon", lat: str = "lat",
@@ -95,10 +150,11 @@ def decode_point_cols(df: DataFrame, geom: str = "geom") -> DataFrame:
 @F.pandas_udf(T.BooleanType())
 def _pip_wkb_udf(x: pd.Series, y: pd.Series, poly_id: pd.Series,
                  wkb_col: pd.Series) -> pd.Series:
-    """Exact PIP against WKB MultiPolygons (holes + multi-part): decode
-    each distinct polygon ONCE per Arrow batch, then run the vectorized
-    crossing rule per part (outer ring minus holes, OR across parts —
-    OGRPolygon/OGRMultiPolygon containment semantics)."""
+    """Exact PIP against WKB MultiPolygons, rings-in-row form (shuffle
+    strategy only): decode each distinct polygon ONCE per Arrow batch,
+    then run the vectorized crossing rule per part (outer ring minus
+    holes, OR across parts — OGRPolygon/OGRMultiPolygon containment
+    semantics)."""
     from ..kernels import wkb as wkb_mod
     from ..kernels.pip import point_in_polygon
 
@@ -116,6 +172,45 @@ def _pip_wkb_udf(x: pd.Series, y: pd.Series, poly_id: pd.Series,
             hit |= point_in_polygon(xv[idx], yv[idx], rings)
         out[idx] = hit
     return pd.Series(out)
+
+
+def _wkb_polys_broadcast(cover: DataFrame, wkb_col: str = "wkb"):
+    """Decode every distinct polygon's WKB ONCE on the driver and ship
+    the decoded ring sets as a broadcast {poly_id: [rings, ...]} —
+    executors never see WKB bytes or re-decode per batch."""
+    from ..kernels import wkb as wkb_mod
+
+    rows = cover.select("poly_id", wkb_col).dropDuplicates(["poly_id"]).collect()
+    polys = {
+        int(r["poly_id"]): wkb_mod.decode_multipolygon(bytes(r[wkb_col]))
+        for r in rows
+    }
+    return cover.sparkSession.sparkContext.broadcast(polys)
+
+
+def _pip_wkb_dict_udf(polys_bc):
+    """Exact WKB-multipolygon PIP, broadcast-dict form: (x, y, poly_id)
+    through Arrow; decoded parts resolved executor-side."""
+    from ..kernels.pip import point_in_polygon
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(x: pd.Series, y: pd.Series, poly_id: pd.Series) -> pd.Series:
+        polys_by_id = polys_bc.value
+        out = np.zeros(len(x), dtype=bool)
+        if len(x) == 0:
+            return pd.Series(out)
+        xv = x.to_numpy(dtype=np.float64)
+        yv = y.to_numpy(dtype=np.float64)
+        pid = poly_id.to_numpy()
+        for p in pd.unique(pid):
+            idx = np.nonzero(pid == p)[0]
+            hit = np.zeros(idx.shape[0], dtype=bool)
+            for rings in polys_by_id[int(p)]:
+                hit |= point_in_polygon(xv[idx], yv[idx], rings)
+            out[idx] = hit
+        return pd.Series(out)
+
+    return pip
 
 
 def spatial_join_wkb(
@@ -140,15 +235,22 @@ def spatial_join_wkb(
     pts = assign_cell(pts, "lon", "lat", res)
     if strategy == "shuffle":
         joined = pts.join(cover, "cell")
+        pip_pred = _pip_wkb_udf(
+            F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("wkb")
+        )
     else:
-        joined = pts.join(F.broadcast(cover), "cell")
+        # broadcast-dict form: WKB decoded once on the driver, rings
+        # cross to each executor once; candidates carry only poly_id
+        polys_bc = _wkb_polys_broadcast(cover, "wkb")
+        joined = pts.join(F.broadcast(cover.drop("wkb")), "cell")
+        pip_pred = _pip_wkb_dict_udf(polys_bc)(
+            F.col("lon"), F.col("lat"), F.col("poly_id")
+        )
     env = (
         (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
         & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
     )
-    exact = joined.filter(env).filter(
-        _pip_wkb_udf(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("wkb"))
-    )
+    exact = joined.filter(env).filter(pip_pred)
     keep = keep_point_cols or [c for c in points.columns if c != geom]
     return exact.select(*keep, "poly_id")
 
@@ -425,6 +527,20 @@ def spatial_join_points_in_polygons(
     """
     pts = assign_cell(points, lon, lat, res)
 
+    if strategy == "shuffle":
+        cov = cover
+        pip_pred = _pip_udf(
+            F.col(lon), F.col(lat), F.col("poly_id"), F.col("xs"), F.col("ys")
+        )
+    else:
+        # broadcast-dict form: candidates carry only poly_id into the
+        # Arrow exact stage; rings cross to each executor once
+        rings_bc = _rings_broadcast(cover)
+        cov = cover.drop("xs", "ys")
+        pip_pred = _pip_dict_udf(rings_bc)(
+            F.col(lon), F.col(lat), F.col("poly_id")
+        )
+
     if strategy == "salted":
         hot = hot_cells or []
         pts = pts.withColumn(
@@ -432,7 +548,7 @@ def spatial_join_points_in_polygons(
             F.when(F.col("cell").isin(hot), F.abs(F.xxhash64(lon, lat)) % n_salt)
             .otherwise(F.lit(0)),
         )
-        salted_cov = cover.withColumn(
+        salted_cov = cov.withColumn(
             "salt",
             F.explode(
                 F.when(F.col("cell").isin(hot), F.sequence(F.lit(0), F.lit(n_salt - 1)))
@@ -441,18 +557,16 @@ def spatial_join_points_in_polygons(
         )
         joined = pts.join(F.broadcast(salted_cov), ["cell", "salt"])
     elif strategy == "shuffle":
-        joined = pts.join(cover, "cell")
+        joined = pts.join(cov, "cell")
     else:
-        joined = pts.join(F.broadcast(cover), "cell")
+        joined = pts.join(F.broadcast(cov), "cell")
 
     # envelope stage — JVM-side short circuit before any Python runs
     env = (
         (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
         & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy"))
     )
-    exact = joined.filter(env).filter(
-        _pip_udf(F.col(lon), F.col(lat), F.col("poly_id"), F.col("xs"), F.col("ys"))
-    )
+    exact = joined.filter(env).filter(pip_pred)
     keep = keep_point_cols or [c for c in points.columns]
     keep_poly = keep_poly_cols or ["poly_id"]
     return exact.select(*keep, *keep_poly)

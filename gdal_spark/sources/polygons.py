@@ -78,6 +78,28 @@ def countries64_cover(spark: SparkSession, res: int, skew_poly0: bool = False) -
     return cov_df.join(spark.createDataFrame(pdf, schema=POLY_SCHEMA), "poly_id")
 
 
+def countries64_dense_cover(spark: SparkSession, res: int, nv: int = 4096) -> DataFrame:
+    """Bench fixture: the countries64 ellipse boundaries sampled at `nv`
+    vertices per ring (~real-country ring sizes, vs the 64-vertex
+    canonical layer). Exists to measure the exact-stage Arrow transfer:
+    with rings-as-columns each surviving candidate row would carry
+    2*8*nv bytes into the PIP UDF; the broadcast-dict path carries 8.
+    Same join/plan shape as countries64_cover."""
+    rows = []
+    for p in range(derive.NPOLY):
+        ring = scaled_ring_np(p, 1.0, nv_override=nv)
+        rows.append({
+            "poly_id": p,
+            "xs": ring[:, 0].tolist(), "ys": ring[:, 1].tolist(),
+            "minx": float(ring[:, 0].min()), "miny": float(ring[:, 1].min()),
+            "maxx": float(ring[:, 0].max()), "maxy": float(ring[:, 1].max()),
+        })
+    pdf = pd.DataFrame(rows)
+    cov = polygon_cover_pdf(pdf, res)
+    cov_df = spark.createDataFrame(cov, schema="poly_id bigint, cell bigint")
+    return cov_df.join(spark.createDataFrame(pdf, schema=POLY_SCHEMA), "poly_id")
+
+
 # --------------------------------------------------- WKB multipolygon layer
 
 # ring scale factors (shared float literals with the SQL oracle): each
