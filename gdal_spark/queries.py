@@ -3060,101 +3060,519 @@ FROM (
 """
 
 
-# Ordered so that, should the driver gate cap the number of checked
-# queries (r1 checked exactly 50), the geospatial core + every
-# round-2 addition + the LLM-pipeline operators land first; the tail
-# entries are the simple relational/text ops already proven green in
-# CORRECTNESS_r01 and pinned by pytest.
+# ===================================================== compound suites
+#
+# The driver gate checks at most 50 queries per round; r2 left 27 of
+# 77 registry entries unchecked (VERDICT r3 item 1). Related queries
+# whose semantics were individually proven in r1/r2 are therefore
+# UNIONED into compound "suite" entries: each sub-query keeps its own
+# q_*/sql_* definition (reused verbatim), and both engines conform the
+# sub-results to a shared (tag, s1..sN string, d1..dM double) schema
+# before a UNION ALL. int->double casts are exact (< 2^53 values);
+# string slots are untouched; null padding is NULL on both sides —
+# so a suite hash-matches iff every member hash-matches, and the whole
+# registry fits the gate every round.
+
+def _conform(df: DataFrame, tag: str, strcols: list[str],
+             numcols: list[str], n_str: int, n_num: int) -> DataFrame:
+    cols = [F.lit(tag).alias("tag")]
+    for k in range(n_str):
+        c = (F.col(strcols[k]).cast("string") if k < len(strcols)
+             else F.lit(None).cast("string"))
+        cols.append(c.alias(f"s{k + 1}"))
+    for k in range(n_num):
+        c = (F.col(numcols[k]).cast("double") if k < len(numcols)
+             else F.lit(None).cast("double"))
+        cols.append(c.alias(f"d{k + 1}"))
+    return df.select(*cols)
+
+
+def _suite(parts, n_str: int, n_num: int) -> DataFrame:
+    out = None
+    for tag, df, strcols, numcols in parts:
+        c = _conform(df, tag, strcols, numcols, n_str, n_num)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def _conform_sql(tag: str, subsql: str, strcols: list[str],
+                 numcols: list[str], n_str: int, n_num: int) -> str:
+    sel = [f"'{tag}' AS tag"]
+    for k in range(n_str):
+        e = (f"CAST({strcols[k]} AS VARCHAR)" if k < len(strcols)
+             else "CAST(NULL AS VARCHAR)")
+        sel.append(f"{e} AS s{k + 1}")
+    for k in range(n_num):
+        e = (f"CAST({numcols[k]} AS DOUBLE)" if k < len(numcols)
+             else "CAST(NULL AS DOUBLE)")
+        sel.append(f"{e} AS d{k + 1}")
+    return "SELECT " + ", ".join(sel) + f" FROM (\n{subsql}\n)"
+
+
+def _suite_sql(parts, n_str: int, n_num: int) -> str:
+    return "\nUNION ALL\n".join(
+        _conform_sql(tag, sql, strcols, numcols, n_str, n_num)
+        for tag, sql, strcols, numcols in parts
+    )
+
+
+_OGR_SQL_PARTS = [
+    ("distinct", ["val"], []),
+    ("orderby", [], ["o_orderkey", "o_totalprice"]),
+    ("first_match", [], ["c_custkey", "first_orderkey", "first_total"]),
+    ("like_between", ["p_name"], ["p_partkey", "p_size"]),
+    ("union_all", ["name", "src"], ["acctbal"]),
+    ("expressions", ["name8", "seg_nat", "seg3"], ["c_custkey", "bal_floor", "keymod"]),
+    ("like_escape", [], ["id", "lit_both", "any_then_lit", "backslash_esc"]),
+    ("geom_area", [], ["poly_id", "area"]),
+]
+
+
+def q_ogr_sql_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL surface in one gate row: DISTINCT / ORDER BY+LIMIT+OFFSET
+    / first-match LEFT JOIN / LIKE+ILIKE+BETWEEN+IN / UNION ALL /
+    scalar expressions / LIKE ESCAPE / OGR_GEOM_AREA (each r1/r2-proven
+    individually; tags keep the sub-results disjoint)."""
+    subs = {
+        "distinct": q_ogr_distinct, "orderby": q_ogr_orderby_limit,
+        "first_match": q_ogr_first_match_join, "like_between": q_ogr_like_between,
+        "union_all": q_ogr_union_all, "expressions": q_ogr_expressions,
+        "like_escape": q_ogr_like_escape, "geom_area": q_geom_area,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _OGR_SQL_PARTS],
+        n_str=3, n_num=4,
+    )
+
+
+def sql_ogr_sql_suite() -> str:
+    subs = {
+        "distinct": sql_ogr_distinct, "orderby": sql_ogr_orderby_limit,
+        "first_match": sql_ogr_first_match_join, "like_between": sql_ogr_like_between,
+        "union_all": sql_ogr_union_all, "expressions": sql_ogr_expressions,
+        "like_escape": sql_ogr_like_escape, "geom_area": sql_geom_area,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _OGR_SQL_PARTS],
+        n_str=3, n_num=4,
+    )
+
+
+_TEXT_PARTS = [
+    ("bpe", [], ["id", "n_tokens_ws", "n_tokens_bpe", "bpe_to_ws_x100"]),
+    ("quality", [], ["id", "n_chars", "n_tokens", "n_uniq_tokens",
+                     "avg_token_len_x100", "stop_hits", "uniq_ratio_pct", "accepted"]),
+    ("lang", ["pred_lang"], ["id", "hits_en", "hits_de", "hits_fr", "hits_es"]),
+    ("fingerprint", [], ["id", "fp"]),
+]
+
+
+def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-pipeline surface in one gate row: BPE-ish token counts,
+    quality features + accept flag, stopword lang-id, rolling
+    fingerprint (r1-proven individually)."""
+    subs = {
+        "bpe": q_token_count_bpe, "quality": q_text_quality,
+        "lang": q_lang_id, "fingerprint": q_doc_fingerprint,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _TEXT_PARTS],
+        n_str=1, n_num=8,
+    )
+
+
+def sql_text_suite() -> str:
+    subs = {
+        "bpe": sql_token_count_bpe, "quality": sql_text_quality,
+        "lang": sql_lang_id, "fingerprint": sql_doc_fingerprint,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _TEXT_PARTS],
+        n_str=1, n_num=8,
+    )
+
+
+_TILE_ASSIGN_PARTS = [
+    ("mercator", ["quadkey"], ["id", "tx", "ty_xyz"]),
+    ("geodetic", [], ["id", "gtx", "gty_tms"]),
+]
+
+
+def q_tile_assign_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment in BOTH gdal2tiles global profiles (mercator z12
+    + quadkey; geodetic 2:1 z10) in one gate row."""
+    subs = {"mercator": q_tile_assign, "geodetic": q_tile_assign_geodetic}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _TILE_ASSIGN_PARTS],
+        n_str=1, n_num=3,
+    )
+
+
+def sql_tile_assign_suite() -> str:
+    subs = {"mercator": sql_tile_assign, "geodetic": sql_tile_assign_geodetic}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _TILE_ASSIGN_PARTS],
+        n_str=1, n_num=3,
+    )
+
+
+_BASE_TILE_COLS = ["tz", "tx", "ty", "checksum", "n_px"]
+_BASE_TILES_PARTS = [
+    ("near_plus_overview", [], _BASE_TILE_COLS),
+    ("average", [], _BASE_TILE_COLS),
+    ("geodetic", [], _BASE_TILE_COLS),
+    ("bilinear", [], _BASE_TILE_COLS),
+]
+
+
+def q_base_tiles_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles base-tile pipeline, all four r2-proven flavors in one
+    gate row: nearest (+one overview level), average (4x supersample),
+    geodetic profile, bilinear (2x querysize)."""
+    subs = {
+        "near_plus_overview": q_base_tiles, "average": q_base_tiles_avg,
+        "geodetic": q_base_tiles_geodetic, "bilinear": q_base_tiles_bilinear,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _BASE_TILES_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+def sql_base_tiles_suite() -> str:
+    subs = {
+        "near_plus_overview": sql_base_tiles, "average": sql_base_tiles_avg,
+        "geodetic": sql_base_tiles_geodetic, "bilinear": sql_base_tiles_bilinear,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _BASE_TILES_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+_REPROJECT_PARTS = [
+    ("merc_roundtrip", [], ["n", "n_ok"]),
+    ("utm31", [], ["id", "easting_mm", "northing_mm", "lon_rt", "lat_rt"]),
+]
+
+
+def q_reproject_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reprojection surface in one gate row: 4326<->3857 round-trip
+    error census + the Krueger-series 4326<->32631 forward/inverse
+    (the reference's own benchmark CRS pair)."""
+    subs = {"merc_roundtrip": q_reproject_roundtrip, "utm31": q_reproject_utm}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+def sql_reproject_suite() -> str:
+    subs = {"merc_roundtrip": sql_reproject_roundtrip, "utm31": sql_reproject_utm}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+_OVERVIEW_PARTS = [
+    ("average", [], ["gx", "gy", "value"]),
+    ("order_stats", [], ["gx", "gy", "mode", "med", "q1", "q3", "rms"]),
+]
+
+
+def q_overview_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview reduction in one gate row: 2x2 average + the
+    order-statistic kernels (mode/med/q1/q3/rms)."""
+    subs = {"average": q_overview_avg, "order_stats": q_overview_stats}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _OVERVIEW_PARTS],
+        n_str=0, n_num=7,
+    )
+
+
+def sql_overview_suite() -> str:
+    subs = {"average": sql_overview_avg, "order_stats": sql_overview_stats}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _OVERVIEW_PARTS],
+        n_str=0, n_num=7,
+    )
+
+
+_RASTER_UTIL_PARTS = [
+    ("sieve", [], ["px", "py", "value"]),
+    ("calc", [], ["gx", "gy", "value"]),
+    ("reclassify", [], ["gx", "gy", "value"]),
+    ("mosaic", [], ["gx", "gy", "v_last", "v_mean"]),
+    ("stack_resize", [], ["dx", "dy", "value"]),
+    ("fill_nodata", [], ["gx", "gy", "value"]),
+    ("pansharpen", [], ["gx", "gy", "b_red_sharp", "b_nir_sharp"]),
+]
+
+
+def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster utility surface in one gate row: sieve, gdal_calc,
+    reclassify, mosaic (last+mean), stack+resize+scale, fill-nodata,
+    weighted-Brovey pansharpen (each r1/r2-proven individually)."""
+    subs = {
+        "sieve": q_raster_sieve, "calc": q_raster_calc,
+        "reclassify": q_raster_reclassify, "mosaic": q_raster_mosaic,
+        "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
+        "pansharpen": q_pansharpen,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
+def sql_raster_utility_suite() -> str:
+    subs = {
+        "sieve": sql_raster_sieve, "calc": sql_raster_calc,
+        "reclassify": sql_raster_reclassify, "mosaic": sql_raster_mosaic,
+        "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
+        "pansharpen": sql_pansharpen,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
+_FOOTPRINT_PARTS = [
+    ("bbox", [], ["label", "minx", "miny", "maxx", "maxy", "n_pixels"]),
+    ("rings", [], ["label", "ring_idx", "nv", "area", "minx", "miny", "maxx", "maxy"]),
+]
+
+
+def q_footprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint in one gate row: component bboxes + traced pixel-edge
+    outline rings."""
+    subs = {"bbox": q_footprint, "rings": q_footprint_rings}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _FOOTPRINT_PARTS],
+        n_str=0, n_num=8,
+    )
+
+
+def sql_footprint_suite() -> str:
+    subs = {"bbox": sql_footprint, "rings": sql_footprint_rings}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _FOOTPRINT_PARTS],
+        n_str=0, n_num=8,
+    )
+
+
+_TERRAIN_PARTS = [
+    ("slope", [], ["gx", "gy", "slope_deg"]),
+    ("hillshade", [], ["gx", "gy", "shade"]),
+    ("tpi_tri_rough", [], ["gx", "gy", "tpi", "tri", "roughness"]),
+]
+
+
+def q_terrain_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem family on the tile-array (halo) model in one gate row:
+    Horn slope, hillshade, TPI/TRI/roughness."""
+    subs = {
+        "slope": q_focal_slope, "hillshade": q_hillshade,
+        "tpi_tri_rough": q_terrain_metrics,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _TERRAIN_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+def sql_terrain_suite() -> str:
+    subs = {
+        "slope": sql_focal_slope, "hillshade": sql_hillshade,
+        "tpi_tri_rough": sql_terrain_metrics,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _TERRAIN_PARTS],
+        n_str=0, n_num=5,
+    )
+
+
+_WARP_PARTS = [
+    ("bilinear", [], ["dx", "dy", "value"]),
+    ("cubic", [], ["dx", "dy", "value"]),
+    ("lanczos", [], ["dx", "dy", "value"]),
+    ("point_bilinear", [], ["sid", "value"]),
+]
+
+
+def q_warp_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp/resample kernel surface in one gate row: the
+    mercator->plate-carree warp with bilinear, cubic (a=-0.5) and
+    Lanczos-3 kernels, plus bilinear point sampling."""
+    subs = {
+        "bilinear": q_warp_resample, "cubic": q_warp_resample_cubic,
+        "lanczos": q_warp_resample_lanczos, "point_bilinear": q_sample_bilinear,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _WARP_PARTS],
+        n_str=0, n_num=3,
+    )
+
+
+def sql_warp_kernels_suite() -> str:
+    subs = {
+        "bilinear": sql_warp_resample, "cubic": sql_warp_resample_cubic,
+        "lanczos": sql_warp_resample_lanczos, "point_bilinear": sql_sample_bilinear,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _WARP_PARTS],
+        n_str=0, n_num=3,
+    )
+
+
+_GRID_PARTS = [
+    ("idw", [], ["i", "j", "value"]),
+    ("metrics", [], ["i", "j", "cnt", "vmin", "vmax", "vrange", "avg_dist", "nearest_v"]),
+    ("linear", [], ["i", "j", "value"]),
+]
+
+
+def q_grid_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid surface in one gate row: IDW, data metrics, Delaunay
+    linear interpolation."""
+    subs = {"idw": q_idw_grid, "metrics": q_grid_metrics, "linear": q_grid_linear}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _GRID_PARTS],
+        n_str=0, n_num=8,
+    )
+
+
+def sql_grid_suite() -> str:
+    subs = {"idw": sql_idw_grid, "metrics": sql_grid_metrics, "linear": sql_grid_linear}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _GRID_PARTS],
+        n_str=0, n_num=8,
+    )
+
+
+_VECTOR_PIPE_PARTS = [
+    ("point_buffer", [], ["id", "k", "vx", "vy"]),
+    ("polygon_buffer", [], ["id", "k", "vx", "vy"]),
+    ("compound_curve", [], ["id", "k", "vx", "vy"]),
+    ("explode_make_valid", [], ["id", "part_idx", "nv", "signed_area"]),
+]
+
+
+def q_vector_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr pipeline-step surface in one gate row: point buffer,
+    convex polygon buffer, CompoundCurve linearization,
+    explode-collections + make-valid."""
+    subs = {
+        "point_buffer": q_vector_buffer, "polygon_buffer": q_polygon_buffer,
+        "compound_curve": q_compound_curve, "explode_make_valid": q_explode_make_valid,
+    }
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
+def sql_vector_pipeline_suite() -> str:
+    subs = {
+        "point_buffer": sql_vector_buffer, "polygon_buffer": sql_polygon_buffer,
+        "compound_curve": sql_compound_curve, "explode_make_valid": sql_explode_make_valid,
+    }
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
+_DEDUP_EXACT_PARTS = [
+    ("text_key", [], ["keeper", "n_members"]),
+    ("sha256_key", [], ["keeper", "n_members"]),
+]
+
+
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup in one gate row: raw text-prefix key + the at-scale
+    sha256 32-byte shuffle key (identical groups)."""
+    subs = {"text_key": q_dedup_exact, "sha256_key": q_dedup_exact_hash}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _DEDUP_EXACT_PARTS],
+        n_str=0, n_num=2,
+    )
+
+
+def sql_dedup_exact_suite() -> str:
+    subs = {"text_key": sql_dedup_exact, "sha256_key": sql_dedup_exact_hash}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _DEDUP_EXACT_PARTS],
+        n_str=0, n_num=2,
+    )
+
+
+# Registry. <= 50 entries BY CONSTRUCTION so the driver's 50-slot
+# correctness gate re-verifies every entry every round (VERDICT r3
+# item 1); related proven queries ride in compound suites above. The
+# all-pairs dedup_embedding yardstick sits last — everything before it
+# is the scale-safe surface.
 QUERIES = {
-    "tile_assign": q_tile_assign,
-    "tile_assign_geodetic": q_tile_assign_geodetic,
-    "base_tiles": q_base_tiles,
-    "base_tiles_avg": q_base_tiles_avg,
-    "base_tiles_geodetic": q_base_tiles_geodetic,
-    "base_tiles_bilinear": q_base_tiles_bilinear,
+    # --- tiling core
+    "tile_assign_suite": q_tile_assign_suite,
+    "base_tiles_suite": q_base_tiles_suite,
     "pyramid_counts": q_pyramid_counts,
+    # --- spatial join / filter
     "spatial_join": q_spatial_join,
     "spatial_join_wkb": q_spatial_join_wkb,
     "spatial_join_skew": q_spatial_join_skew,
     "spatial_filter": q_spatial_filter,
     "spatial_erase": q_spatial_erase,
     "spatial_identity": q_spatial_identity,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    "span_invariant": q_span_invariant,
+    "knn": q_knn,
+    # --- layer algebra / boolean geometry
     "layer_algebra_areas": q_layer_algebra_areas,
     "boolean_areas_nonconvex": q_boolean_areas,
     "boolean_geometry": q_boolean_geometry,
     "boolean_update": q_boolean_update,
-    "span_invariant": q_span_invariant,
-    "knn": q_knn,
-    "reproject_utm": q_reproject_utm,
-    "overview_avg": q_overview_avg,
-    "overview_stats": q_overview_stats,
+    # --- reprojection
+    "reproject_suite": q_reproject_suite,
+    # --- raster
+    "overview_suite": q_overview_suite,
     "rasterize_add": q_rasterize_add,
     "polygonize": q_polygonize,
-    "raster_sieve": q_raster_sieve,
+    "raster_utility_suite": q_raster_utility_suite,
     "proximity": q_proximity,
-    "footprint": q_footprint,
-    "hillshade": q_hillshade,
+    "footprint_suite": q_footprint_suite,
+    "terrain_suite": q_terrain_suite,
     "viewshed": q_viewshed,
-    "pansharpen": q_pansharpen,
-    "focal_slope": q_focal_slope,
-    "terrain_metrics": q_terrain_metrics,
     "contour": q_contour,
-    "warp_resample": q_warp_resample,
-    "warp_resample_lanczos": q_warp_resample_lanczos,
-    "idw_grid": q_idw_grid,
-    "grid_metrics": q_grid_metrics,
-    "grid_linear": q_grid_linear,
-    "raster_reclassify": q_raster_reclassify,
-    "fill_nodata": q_fill_nodata,
-    "footprint_rings": q_footprint_rings,
-    "dedup_exact_hash": q_dedup_exact_hash,
+    "warp_kernels_suite": q_warp_kernels_suite,
+    "grid_suite": q_grid_suite,
+    # --- vector pipeline
+    "vector_pipeline_suite": q_vector_pipeline_suite,
+    # --- LLM-pipeline operators
+    "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "similarity_topk": q_similarity_topk,
     "similarity_ivf": q_similarity_ivf,
     "multimodal_meta": q_multimodal_meta,
-    "ogr_summary": q_ogr_summary,
     "frame_sample": q_frame_sample,
-    "raster_mosaic": q_raster_mosaic,
-    "vector_buffer": q_vector_buffer,
-    "polygon_buffer": q_polygon_buffer,
-    "compound_curve": q_compound_curve,
-    "explode_make_valid": q_explode_make_valid,
-    "raster_stack_resize": q_raster_stack_resize,
-    # ---- tail: r1-proven ops whose semantics are also exercised by
-    # earlier entries (bilinear via warp_resample, the cubic kernel via
-    # pytest, round trip via reproject_utm, areas via boolean queries)
-    "reproject_roundtrip": q_reproject_roundtrip,
-    "warp_resample_cubic": q_warp_resample_cubic,
-    "sample_bilinear": q_sample_bilinear,
-    "geom_area": q_geom_area,
-    "raster_calc": q_raster_calc,
-    "dedup_exact": q_dedup_exact,
-    "ogr_distinct": q_ogr_distinct,
-    "ogr_orderby_limit": q_ogr_orderby_limit,
-    "ogr_first_match_join": q_ogr_first_match_join,
-    "ogr_like_between": q_ogr_like_between,
-    "ogr_union_all": q_ogr_union_all,
-    "ogr_expressions": q_ogr_expressions,
+    # --- relational / text / events
+    "ogr_summary": q_ogr_summary,
+    "ogr_sql_suite": q_ogr_sql_suite,
+    "text_suite": q_text_suite,
     "events_json": q_events_json,
     "events_buckets": q_events_buckets,
-    "token_count_bpe": q_token_count_bpe,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "ogr_like_escape": q_ogr_like_escape,
+    # --- all-pairs yardstick (O(n^2) by design; the IVF twin above is
+    # the scale path — keep last)
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLES = {
-    "tile_assign": sql_tile_assign,
-    "tile_assign_geodetic": sql_tile_assign_geodetic,
-    "base_tiles": sql_base_tiles,
-    "base_tiles_avg": sql_base_tiles_avg,
-    "base_tiles_geodetic": sql_base_tiles_geodetic,
-    "base_tiles_bilinear": sql_base_tiles_bilinear,
+    "tile_assign_suite": sql_tile_assign_suite,
+    "base_tiles_suite": sql_base_tiles_suite,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
@@ -3162,70 +3580,40 @@ ORACLES = {
     "spatial_filter": sql_spatial_filter,
     "spatial_erase": sql_spatial_erase,
     "spatial_identity": sql_spatial_identity,
-    "dedup_embedding": sql_dedup_embedding,
-    "dedup_embedding_ivf": sql_dedup_embedding_ivf,
+    "span_invariant": sql_span_invariant,
+    "knn": sql_knn,
     "layer_algebra_areas": sql_layer_algebra_areas,
     "boolean_areas_nonconvex": sql_boolean_areas,
     "boolean_geometry": sql_boolean_geometry,
     "boolean_update": sql_boolean_update,
-    "span_invariant": sql_span_invariant,
-    "knn": sql_knn,
-    "reproject_roundtrip": sql_reproject_roundtrip,
-    "reproject_utm": sql_reproject_utm,
-    "overview_avg": sql_overview_avg,
-    "overview_stats": sql_overview_stats,
+    "reproject_suite": sql_reproject_suite,
+    "overview_suite": sql_overview_suite,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
-    "raster_sieve": sql_raster_sieve,
-    "raster_calc": sql_raster_calc,
+    "raster_utility_suite": sql_raster_utility_suite,
     "proximity": sql_proximity,
-    "footprint": sql_footprint,
-    "hillshade": sql_hillshade,
+    "footprint_suite": sql_footprint_suite,
+    "terrain_suite": sql_terrain_suite,
     "viewshed": sql_viewshed,
-    "pansharpen": sql_pansharpen,
-    "token_count_bpe": sql_token_count_bpe,
-    "events_json": sql_events_json,
-    "focal_slope": sql_focal_slope,
-    "terrain_metrics": sql_terrain_metrics,
     "contour": sql_contour,
-    "warp_resample": sql_warp_resample,
-    "warp_resample_cubic": sql_warp_resample_cubic,
-    "warp_resample_lanczos": sql_warp_resample_lanczos,
-    "sample_bilinear": sql_sample_bilinear,
-    "idw_grid": sql_idw_grid,
-    "grid_metrics": sql_grid_metrics,
-    "grid_linear": sql_grid_linear,
-    "vector_buffer": sql_vector_buffer,
-    "polygon_buffer": sql_polygon_buffer,
-    "compound_curve": sql_compound_curve,
-    "explode_make_valid": sql_explode_make_valid,
-    "raster_reclassify": sql_raster_reclassify,
-    "raster_mosaic": sql_raster_mosaic,
-    "raster_stack_resize": sql_raster_stack_resize,
-    "fill_nodata": sql_fill_nodata,
-    "footprint_rings": sql_footprint_rings,
-    "events_buckets": sql_events_buckets,
-    "ogr_summary": sql_ogr_summary,
-    "ogr_distinct": sql_ogr_distinct,
-    "ogr_orderby_limit": sql_ogr_orderby_limit,
-    "ogr_first_match_join": sql_ogr_first_match_join,
-    "ogr_like_between": sql_ogr_like_between,
-    "ogr_union_all": sql_ogr_union_all,
-    "ogr_expressions": sql_ogr_expressions,
-    "geom_area": sql_geom_area,
-    "dedup_exact": sql_dedup_exact,
-    "dedup_exact_hash": sql_dedup_exact_hash,
+    "warp_kernels_suite": sql_warp_kernels_suite,
+    "grid_suite": sql_grid_suite,
+    "vector_pipeline_suite": sql_vector_pipeline_suite,
+    "dedup_exact_suite": sql_dedup_exact_suite,
     "dedup_jaccard": sql_dedup_jaccard,
     "minhash_lsh": sql_minhash_lsh,
     "simhash": sql_simhash,
-    "text_quality": sql_text_quality,
-    "lang_id": sql_lang_id,
-    "doc_fingerprint": sql_doc_fingerprint,
+    "dedup_embedding_ivf": sql_dedup_embedding_ivf,
     "similarity_topk": sql_similarity_topk,
     "similarity_ivf": sql_similarity_ivf,
     "multimodal_meta": sql_multimodal_meta,
     "frame_sample": sql_frame_sample,
-    "ogr_like_escape": sql_ogr_like_escape,
+    "ogr_summary": sql_ogr_summary,
+    "ogr_sql_suite": sql_ogr_sql_suite,
+    "text_suite": sql_text_suite,
+    "events_json": sql_events_json,
+    "events_buckets": sql_events_buckets,
+    "dedup_embedding": sql_dedup_embedding,
 }
 
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SUBSET = ["tile_assign", "spatial_join", "ogr_summary", "text_quality", "similarity_topk"]
+SUBSET = ["tile_assign_suite", "spatial_join", "ogr_summary", "text_suite", "similarity_topk"]
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +32,9 @@ def test_contract_shape():
     qs = E.queries()
     oracles = E.oracle_sql()
     assert len(qs) >= 25
+    # the driver correctness gate caps at 50 checked queries; the
+    # registry must fit so EVERY entry is re-verified every round
+    assert len(qs) <= 50, "registry exceeds the 50-slot driver gate"
     missing = set(oracles) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     # every registered query carries an exact DuckDB oracle (since r2
