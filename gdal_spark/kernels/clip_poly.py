@@ -29,6 +29,13 @@ import numpy as np
 from .pip import point_in_ring
 
 
+class DegenerateGeometryError(ValueError):
+    """Input pair violates the generic-position contract (vertex-on-
+    edge / collinear overlap / shared vertex). Callers route such
+    pairs through clip_pair_robust (snap-rounding) or the
+    triangle-soup area path."""
+
+
 class _V:
     __slots__ = ("x", "y", "nxt", "prv", "neighbour", "inter", "entry",
                  "visited", "alpha")
@@ -230,7 +237,15 @@ def clip_pair(subject: np.ndarray, clip: np.ndarray, op: str = "intersection"):
             if cur is start or cur.neighbour is start:
                 break
             if cur.visited and cur is not start:
-                break
+                # re-entering a visited intersection before closing the
+                # ring can only happen when the generic-position
+                # contract is violated; emitting the partial ring would
+                # silently corrupt downstream areas/vertex sets
+                raise DegenerateGeometryError(
+                    "clip_pair: trace re-entered a visited intersection "
+                    "— input violates generic position; use "
+                    "clip_pair_robust or the area path"
+                )
         if len(ring) >= 3:
             rings.append(_close(ring))
     return rings
@@ -280,3 +295,95 @@ def rings_area(rings: list) -> float:
     """Total area of a traced ring set: outers minus holes."""
     return sum((-1.0 if hole else 1.0) * ring_area(r)
                for r, hole in classify_rings(rings))
+
+
+# ------------------------------------------------ snap-rounding (robust)
+
+def _snap(arr: np.ndarray, grid: float) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64) / grid) * grid
+
+
+def canon_ring(ring: np.ndarray, grid: float) -> np.ndarray | None:
+    """Canonicalize a traced ring on the snap grid: quantize vertices,
+    drop consecutive duplicates, drop vertices that lie BETWEEN their
+    collinear neighbours (crossing points that snapped onto an edge
+    interior), drop rings that collapse (<3 vertices or zero area).
+    Returns a CLOSED (m, 2) ndarray or None. All comparisons are exact:
+    snapped coordinates are grid multiples."""
+    q = _snap(np.asarray(ring, dtype=np.float64)[:-1], grid)
+    pts = []
+    for p in q:
+        if not pts or p[0] != pts[-1][0] or p[1] != pts[-1][1]:
+            pts.append((float(p[0]), float(p[1])))
+    while len(pts) > 1 and pts[0] == pts[-1]:
+        pts.pop()
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        keep = []
+        n = len(pts)
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            between = (min(a[0], c[0]) <= b[0] <= max(a[0], c[0])
+                       and min(a[1], c[1]) <= b[1] <= max(a[1], c[1]))
+            if cross == 0.0 and between:
+                changed = True
+            else:
+                keep.append(b)
+        pts = keep
+    if len(pts) < 3:
+        return None
+    closed = _close(pts)
+    if ring_area(closed) == 0.0:
+        return None
+    return closed
+
+
+def clip_pair_robust(subject: np.ndarray, clip: np.ndarray,
+                     op: str = "intersection", grid: float = 1.0):
+    """Fixed-precision (snap-rounding) boolean for pairs that may
+    violate generic position — shared edges, T-vertices, shared
+    corners, collinear overlaps.
+
+    Model (the fixed-precision semantics GEOS exposes via
+    GEOSGeom_setPrecision, which the reference reaches through
+    ogrgeometry.cpp:3924 MakeValid / SetPrecision): input coordinates
+    are quantized to `grid`; the result is the REGULARIZED boolean of
+    the closed regions, exact on that grid.
+
+    Mechanism: quantize both rings; restore generic position by
+    dilating the clip ring about its centroid by a sub-grid relative
+    epsilon (touching configurations become properly overlapping —
+    matching closed-region semantics: a shared edge merges under
+    union, a tangent point contributes no area); run the exact
+    Greiner-Hormann trace; snap traced vertices back to the grid and
+    canonicalize (canon_ring). Epsilon retries with a different
+    magnitude if the perturbed pair still trips the generic-position
+    guard; raises DegenerateGeometryError after the retry budget."""
+    A = _snap(np.asarray(subject, dtype=np.float64), grid)
+    B = _snap(np.asarray(clip, dtype=np.float64), grid)
+    Bo = B[:-1] if (B[0] == B[-1]).all() else B
+    cen = Bo.mean(axis=0)
+    # max vertex displacement is R*eps; keep it well under grid/2 so
+    # snapping the traced vertices recovers the exact grid result
+    R = float(np.max(np.abs(Bo - cen))) or 1.0
+    last_err: Exception | None = None
+    for attempt in range(4):
+        eps = grid / (64.0 * R) * (3.0 ** (-attempt))
+        Bp = cen + (B - cen) * (1.0 + eps)
+        try:
+            rings = clip_pair(A, Bp, op=op)
+        except DegenerateGeometryError as ex:  # still non-generic: retry
+            last_err = ex
+            continue
+        out = []
+        for r in rings:
+            c = canon_ring(r, grid)
+            if c is not None:
+                out.append(c)
+        return out
+    raise DegenerateGeometryError(
+        f"clip_pair_robust: no epsilon in the retry budget restored "
+        f"generic position ({last_err})"
+    )

@@ -17,7 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.clip_poly import classify_rings, clip_pair, ring_area
+from ..kernels.clip_poly import (classify_rings, clip_pair,
+                                 clip_pair_robust, ring_area, rings_area)
 
 RING_SCHEMA = (
     "pair_id bigint, op string, ring_idx int, is_hole boolean, "
@@ -64,6 +65,43 @@ def update_rings(pairs: DataFrame) -> DataFrame:
         F.lit(0.0).alias("area"),
     )
     return diff.unionByName(b_rings)
+
+
+DEGEN_SCHEMA = (
+    "pair_id bigint, area_i double, nv_i int, nr_i int, "
+    "area_u double, nv_u int, nr_u int"
+)
+
+
+def degenerate_metrics(pairs: DataFrame, *, grid: float = 1.0) -> DataFrame:
+    """Boolean metrics for pairs that may violate generic position
+    (shared edges, T-vertices, shared corners, collinear overlaps):
+    per pair, the snap-rounding clip (kernels.clip_poly.
+    clip_pair_robust — the fixed-precision model the reference reaches
+    via GEOS SetPrecision/MakeValid, ogrgeometry.cpp:3924) for
+    intersection and union; emits exact-on-grid areas + canonical
+    ring/vertex counts."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            A = np.column_stack([np.asarray(r["xs_a"]), np.asarray(r["ys_a"])])
+            B = np.column_stack([np.asarray(r["xs_b"]), np.asarray(r["ys_b"])])
+            ri = clip_pair_robust(A, B, "intersection", grid=grid)
+            ru = clip_pair_robust(A, B, "union", grid=grid)
+            rows.append({
+                "pair_id": int(r["pair_id"]),
+                "area_i": float(rings_area(ri)),
+                "nv_i": int(sum(len(x) - 1 for x in ri)),
+                "nr_i": len(ri),
+                "area_u": float(rings_area(ru)),
+                "nv_u": int(sum(len(x) - 1 for x in ru)),
+                "nr_u": len(ru),
+            })
+        cols = ["pair_id", "area_i", "nv_i", "nr_i", "area_u", "nv_u", "nr_u"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return pairs.groupBy("pair_id").applyInPandas(lambda p: run(p), DEGEN_SCHEMA)
 
 
 def ring_vertex_set(rings: DataFrame, decimals: int = 9) -> DataFrame:

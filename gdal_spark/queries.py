@@ -3060,6 +3060,78 @@ FROM (
 """
 
 
+def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean geometry on GENERIC-POSITION-VIOLATING pairs — the
+    shapes autotest/ogr/ogr_geom.py exercises against GEOS: shared
+    edges (cfg 0), T-vertices (cfg 1), shared corners (cfg 2),
+    collinear overlapping edges (cfg 3). Runs the snap-rounding
+    clip_pair_robust path (grid=1, integer fixture coordinates), so
+    areas and canonical ring/vertex counts are exact and the oracle is
+    closed-form per configuration. Reference: ogrgeometry.cpp:3924
+    MakeValid / GEOS fixed-precision boolean semantics."""
+    from .operators import boolean_geom
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(2.0) * F.floor(F.lit(50.0) * docs.hash01_col(i, 71))
+    y0 = F.lit(2.0) * F.floor(F.lit(35.0) * docs.hash01_col(i, 72))
+    w = F.lit(2.0) * (F.lit(1) + F.floor(F.lit(4.0) * docs.hash01_col(i, 73)))
+    h = F.lit(2.0) * (F.lit(1) + F.floor(F.lit(3.0) * docs.hash01_col(i, 74)))
+    cfg = (i % 4).cast("int")
+
+    def rect(ax0, ay0, ax1, ay1):
+        return (F.array(ax0, ax1, ax1, ax0), F.array(ay0, ay0, ay1, ay1))
+
+    xs_a, ys_a = rect(x0, y0, x0 + w, y0 + h)
+    bx = {}
+    bx[0] = rect(x0 + w, y0, x0 + w + w, y0 + h)
+    bx[1] = (F.array(x0 + w, x0 + w + F.lit(4.0), x0 + w + F.lit(4.0)),
+             F.array(y0 + h / 2, y0, y0 + h))
+    bx[2] = rect(x0 + w, y0 + h, x0 + w + F.lit(4.0), y0 + h + F.lit(4.0))
+    bx[3] = rect(x0 + w / 2, y0, x0 + w + w / 2, y0 + h)
+    xs_b = (F.when(cfg == 0, bx[0][0]).when(cfg == 1, bx[1][0])
+            .when(cfg == 2, bx[2][0]).otherwise(bx[3][0]))
+    ys_b = (F.when(cfg == 0, bx[0][1]).when(cfg == 1, bx[1][1])
+            .when(cfg == 2, bx[2][1]).otherwise(bx[3][1]))
+    pairs = s.select(
+        i.alias("pair_id"), cfg.alias("cfg"),
+        xs_a.alias("xs_a"), ys_a.alias("ys_a"),
+        xs_b.alias("xs_b"), ys_b.alias("ys_b"),
+    )
+    out = boolean_geom.degenerate_metrics(
+        pairs.select("pair_id", "xs_a", "ys_a", "xs_b", "ys_b"), grid=1.0
+    )
+    return out.join(pairs.select("pair_id", "cfg"), "pair_id").select(
+        "pair_id", "cfg", "area_i", "nv_i", "nr_i", "area_u", "nv_u", "nr_u"
+    )
+
+
+def sql_boolean_degenerate() -> str:
+    hx = lambda s: derive.hash01_sql("s_suppkey", s)
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS pair_id,
+         CAST(s_suppkey % 4 AS INTEGER) AS cfg,
+         2.0 * floor(50.0 * ({hx(71)})) AS x0,
+         2.0 * floor(35.0 * ({hx(72)})) AS y0,
+         2.0 * (1 + floor(4.0 * ({hx(73)}))) AS w,
+         2.0 * (1 + floor(3.0 * ({hx(74)}))) AS h
+  FROM supplier
+)
+SELECT pair_id, cfg,
+       CASE WHEN cfg = 3 THEN (w / 2) * h ELSE 0.0 END AS area_i,
+       CASE WHEN cfg = 3 THEN 4 ELSE 0 END AS nv_i,
+       CASE WHEN cfg = 3 THEN 1 ELSE 0 END AS nr_i,
+       CASE cfg WHEN 0 THEN 2 * (w * h)
+                WHEN 1 THEN w * h + 2 * h
+                WHEN 2 THEN w * h + 16.0
+                ELSE (w + w / 2) * h END AS area_u,
+       CASE cfg WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 8 ELSE 4 END AS nv_u,
+       1 AS nr_u
+FROM k
+"""
+
+
 # ===================================================== compound suites
 #
 # The driver gate checks at most 50 queries per round; r2 left 27 of
@@ -3533,6 +3605,7 @@ QUERIES = {
     "boolean_areas_nonconvex": q_boolean_areas,
     "boolean_geometry": q_boolean_geometry,
     "boolean_update": q_boolean_update,
+    "boolean_degenerate": q_boolean_degenerate,
     # --- reprojection
     "reproject_suite": q_reproject_suite,
     # --- raster
@@ -3586,6 +3659,7 @@ ORACLES = {
     "boolean_areas_nonconvex": sql_boolean_areas,
     "boolean_geometry": sql_boolean_geometry,
     "boolean_update": sql_boolean_update,
+    "boolean_degenerate": sql_boolean_degenerate,
     "reproject_suite": sql_reproject_suite,
     "overview_suite": sql_overview_suite,
     "rasterize_add": sql_rasterize_add,

@@ -89,3 +89,58 @@ def test_fuzz_vs_triangle_soup():
         ab = ring_area(np.vstack([B, B[:1]]))
         assert rings_area(clip_pair(A, B, "union")) == pytest.approx(
             aa + ab - sp, abs=1e-6)
+
+
+# ------------------------------------------- snap-rounding (robust path)
+
+from gdal_spark.kernels.clip_poly import (  # noqa: E402
+    DegenerateGeometryError, clip_pair_robust)
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def test_robust_shared_edge():
+    A, B = _rect(0, 0, 6, 4), _rect(6, 0, 12, 4)
+    ru = clip_pair_robust(A, B, "union")
+    assert len(ru) == 1 and len(ru[0]) - 1 == 4
+    assert rings_area(ru) == 48.0
+    assert clip_pair_robust(A, B, "intersection") == []
+
+
+def test_robust_t_vertex():
+    A = _rect(0, 0, 6, 4)
+    B = np.array([[6, 2], [9, 0], [9, 4], [6, 2]], float)
+    ru = clip_pair_robust(A, B, "union")
+    assert len(ru) == 1 and len(ru[0]) - 1 == 8
+    assert rings_area(ru) == 24.0 + 6.0  # rect 24 + triangle 0.5*4*3
+    assert clip_pair_robust(A, B, "intersection") == []
+
+
+def test_robust_shared_corner():
+    A, B = _rect(0, 0, 6, 4), _rect(6, 4, 10, 8)
+    ru = clip_pair_robust(A, B, "union")
+    assert len(ru) == 1 and len(ru[0]) - 1 == 8
+    assert rings_area(ru) == 40.0
+    assert clip_pair_robust(A, B, "intersection") == []
+
+
+def test_robust_collinear_overlap():
+    A, B = _rect(0, 0, 6, 4), _rect(3, 0, 9, 4)
+    ri = clip_pair_robust(A, B, "intersection")
+    assert rings_area(ri) == 12.0 and len(ri[0]) - 1 == 4
+    ru = clip_pair_robust(A, B, "union")
+    assert rings_area(ru) == 36.0 and len(ru[0]) - 1 == 4
+
+
+def test_robust_identical_rings():
+    A = _rect(0, 0, 6, 4)
+    assert rings_area(clip_pair_robust(A, _rect(0, 0, 6, 4), "union")) == 24.0
+    assert rings_area(clip_pair_robust(A, _rect(0, 0, 6, 4), "intersection")) == 24.0
+
+
+def test_robust_matches_plain_on_generic_pairs():
+    A, B = _rect(0, 0, 6, 4), _rect(3, 1, 9, 3)
+    assert rings_area(clip_pair_robust(A, B, "intersection")) == 6.0
+    assert rings_area(clip_pair_robust(A, B, "union")) == 30.0
