@@ -282,6 +282,87 @@ def buffer_convex(df: DataFrame, dist, *, quadrant_segments: int = 8,
     return df.mapInPandas(run, schema)
 
 
+def buffer_reflex(df: DataFrame, dist, *, quadrant_segments: int = 8,
+                  xs: str = "xs", ys: str = "ys",
+                  id_keep: list[str] | None = None) -> DataFrame:
+    """Positive buffer of SIMPLE polygons including reflex (non-convex)
+    vertices (OGRGeometry::Buffer / GEOS BufferOp round-join
+    semantics, ogr/ogrgeometry.cpp:4528): convex vertices join with a
+    round arc stepped at pi/(2*quadrant_segments) exactly as
+    buffer_convex; at a reflex vertex the two adjacent offset edges
+    meet at their intersection point (the local raw-offset-curve rule
+    GEOS's buffer builder applies before nesting cleanup).
+
+    Valid for `dist` below the polygon's local feature size (offset
+    curve locally simple — the global self-intersection cleanup for
+    oversized distances is the union of the raw pieces via
+    clip_pair_robust and is not composed here; documented
+    restriction). Collinear vertices are skipped. Arrow-batched
+    per-feature kernel; `dist` may be a column name."""
+    import numpy as np
+    import pandas as pd
+
+    step = 3.141592653589793 / (2.0 * quadrant_segments)
+    dist_col = dist if isinstance(dist, str) else None
+    dist_val = None if dist_col else float(dist)
+    keep = id_keep or [c for c in df.columns if c not in (xs, ys)]
+    schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in keep
+    ) + f", {xs} array<double>, {ys} array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            oxs, oys = [], []
+            for _, row in pdf.iterrows():
+                vx = np.asarray(row[xs], dtype=np.float64)
+                vy = np.asarray(row[ys], dtype=np.float64)
+                d = float(row[dist_col]) if dist_col else dist_val
+                if vx[0] == vx[-1] and vy[0] == vy[-1]:
+                    vx, vy = vx[:-1], vy[:-1]
+                s2 = float(np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy))
+                if s2 < 0:
+                    vx, vy = vx[::-1], vy[::-1]
+                n = len(vx)
+                outx, outy = [], []
+                for i in range(n):
+                    pex, pey = vx[i] - vx[i - 1], vy[i] - vy[i - 1]
+                    nex, ney = vx[(i + 1) % n] - vx[i], vy[(i + 1) % n] - vy[i]
+                    turn = pex * ney - pey * nex
+                    if turn > 0.0:
+                        # convex: round arc between the edge normals
+                        t1 = np.arctan2(pey, pex) - 1.5707963267948966
+                        t2 = np.arctan2(ney, nex) - 1.5707963267948966
+                        while t2 < t1:
+                            t2 = t2 + 6.283185307179586
+                        dtheta = t2 - t1
+                        nst = max(1, int(np.ceil(dtheta / step - 1e-9)))
+                        for k in range(nst + 1):
+                            th = t1 + (dtheta * k) / nst
+                            outx.append(vx[i] + d * np.cos(th))
+                            outy.append(vy[i] + d * np.sin(th))
+                    elif turn < 0.0:
+                        # reflex: intersection of the two offset edges
+                        lp = float(np.hypot(pex, pey))
+                        ln = float(np.hypot(nex, ney))
+                        e1x, e1y = pex / lp, pey / lp
+                        e2x, e2y = nex / ln, ney / ln
+                        n1x, n1y = e1y, -e1x   # outward (right of CCW)
+                        n2x, n2y = e2y, -e2x
+                        denom = e1x * e2y - e1y * e2x
+                        s = d * ((n2x - n1x) * e2y - (n2y - n1y) * e2x) / denom
+                        outx.append(vx[i] + d * n1x + s * e1x)
+                        outy.append(vy[i] + d * n1y + s * e1y)
+                    # turn == 0: collinear continuation — no join vertex
+                oxs.append(outx)
+                oys.append(outy)
+            out = pdf[keep].copy()
+            out[xs] = oxs
+            out[ys] = oys
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def explode_parts(df: DataFrame, parts: str = "parts") -> DataFrame:
     """ogr2ogr -explodecollections / pipeline explode-collections
     (apps/gdalalg_vector_pipeline.cpp step registry): one row per

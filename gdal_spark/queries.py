@@ -3060,6 +3060,76 @@ FROM (
 """
 
 
+def q_polygon_buffer_reflex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-CONVEX polygon buffer (GEOS BufferOp round joins,
+    ogrgeometry.cpp:4528): L-shaped fixture with one reflex right
+    angle — 5 convex corners emit quarter arcs (8 quadrant segments),
+    the reflex corner emits the offset-edge intersection point. The
+    oracle replays the identical vertex construction closed-form
+    (axis-aligned edges -> all arc angles are exact multiples of pi/2,
+    trig ulp absorbed at 9dp)."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(-160.0) + F.lit(300.0) * docs.hash01_col(i, 81)
+    y0 = F.lit(-70.0) + F.lit(120.0) * docs.hash01_col(i, 82)
+    w = F.lit(6.0) + F.lit(4.0) * docs.hash01_col(i, 83)
+    h = F.lit(5.0) + F.lit(3.0) * docs.hash01_col(i, 84)
+    w1 = w * F.lit(0.5)
+    h1 = h * F.lit(0.5)
+    d = s.select(
+        i.alias("id"),
+        F.array(x0, x0 + w, x0 + w, x0 + w1, x0 + w1, x0).alias("xs"),
+        F.array(y0, y0, y0 + h1, y0 + h1, y0 + h, y0 + h).alias("ys"),
+        (F.lit(0.6) + F.lit(0.8) * docs.hash01_col(i, 85)).alias("bd"),
+    )
+    buf = VP.buffer_reflex(d, "bd", quadrant_segments=8)
+    return buf.select(
+        "id", F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "_p")
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_polygon_buffer_reflex() -> str:
+    hs = lambda s: derive.hash01_sql("s_suppkey", s)
+    cxs = ("CASE c WHEN 0 THEN x0 WHEN 1 THEN x0 + w WHEN 2 THEN x0 + w "
+           "WHEN 3 THEN x0 + w * 0.5 WHEN 4 THEN x0 + w * 0.5 ELSE x0 END")
+    cys = ("CASE c WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0 + h * 0.5 "
+           "WHEN 3 THEN y0 + h * 0.5 WHEN 4 THEN y0 + h ELSE y0 + h END")
+    # arc start angle per convex corner (axis-aligned edges -> exact
+    # quadrant constants, the same doubles numpy's atan2 returns)
+    t1 = ("CASE c WHEN 0 THEN -pi() WHEN 1 THEN -pi()/2 WHEN 2 THEN 0.0 "
+          "WHEN 4 THEN 0.0 ELSE pi()/2 END")
+    th = f"({t1}) + ((pi()/2) * j) / 8"
+    kbase = ("CASE c WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN 18 "
+             "WHEN 3 THEN 27 WHEN 4 THEN 28 ELSE 37 END")
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -160.0 + 300.0 * ({hs(81)}) AS x0,
+         -70.0 + 120.0 * ({hs(82)}) AS y0,
+         6.0 + 4.0 * ({hs(83)}) AS w,
+         5.0 + 3.0 * ({hs(84)}) AS h,
+         0.6 + 0.8 * ({hs(85)}) AS bd
+  FROM supplier
+),
+e AS (
+  SELECT id, x0, y0, w, h, bd,
+         CAST(cc.range AS BIGINT) AS c, CAST(jj.range AS BIGINT) AS j
+  FROM k CROSS JOIN range(6) cc CROSS JOIN range(9) jj
+  WHERE cc.range != 3 OR jj.range = 0
+)
+SELECT id, ({kbase}) + j AS k,
+       round(CASE WHEN c = 3 THEN ({cxs}) + bd ELSE ({cxs}) + bd * cos({th}) END, 9) AS vx,
+       round(CASE WHEN c = 3 THEN ({cys}) + bd ELSE ({cys}) + bd * sin({th}) END, 9) AS vy
+FROM e
+"""
+
+
 def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean geometry on GENERIC-POSITION-VIOLATING pairs — the
     shapes autotest/ogr/ogr_geom.py exercises against GEOS: shared
@@ -3622,6 +3692,7 @@ QUERIES = {
     "grid_suite": q_grid_suite,
     # --- vector pipeline
     "vector_pipeline_suite": q_vector_pipeline_suite,
+    "polygon_buffer_reflex": q_polygon_buffer_reflex,
     # --- LLM-pipeline operators
     "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_jaccard": q_dedup_jaccard,
@@ -3673,6 +3744,7 @@ ORACLES = {
     "warp_kernels_suite": sql_warp_kernels_suite,
     "grid_suite": sql_grid_suite,
     "vector_pipeline_suite": sql_vector_pipeline_suite,
+    "polygon_buffer_reflex": sql_polygon_buffer_reflex,
     "dedup_exact_suite": sql_dedup_exact_suite,
     "dedup_jaccard": sql_dedup_jaccard,
     "minhash_lsh": sql_minhash_lsh,

@@ -93,3 +93,48 @@ def test_swap_xy(spark, square_df):
     out = VP.swap_xy(square_df).collect()[0]
     assert out["xs"] == [0.0, 0.0, 1.0, 1.0, 0.0]
     assert out["ys"] == [0.0, 1.0, 1.0, 0.0, 0.0]
+
+
+def _ring_area_xy(xs, ys):
+    import numpy as np
+    x = np.asarray(xs + [xs[0]])
+    y = np.asarray(ys + [ys[0]])
+    return 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+
+
+def test_buffer_reflex_area_converges(spark):
+    """L-shape buffer: polygonal-arc area increases to the analytic
+    round-join value  A + P*d + (5/4)*pi*d^2 - d^2*tan(beta/2)  as
+    quadrant_segments grows (beta = pi/2 reflex => tan = 1)."""
+    import math
+
+    w, h, d = 8.0, 6.0, 1.0
+    w1, h1 = w / 2, h / 2
+    xs = [0.0, w, w, w1, w1, 0.0]
+    ys = [0.0, 0.0, h1, h1, h, h]
+    df = spark.createDataFrame(
+        [(1, xs, ys)], "id bigint, xs array<double>, ys array<double>"
+    )
+    area_in = _ring_area_xy(xs, ys)
+    perim = w + h1 + w1 + (h - h1) + w1 + h
+    analytic = area_in + perim * d + 1.25 * math.pi * d * d - d * d
+    errs = []
+    for qs in (2, 4, 16):
+        row = VP.buffer_reflex(df, d, quadrant_segments=qs).collect()[0]
+        a = _ring_area_xy(list(row["xs"]), list(row["ys"]))
+        assert a < analytic  # inscribed arcs underestimate
+        errs.append(analytic - a)
+    assert errs[0] > errs[1] > errs[2] > 0
+    assert errs[2] / analytic < 1e-3
+
+
+def test_buffer_reflex_matches_convex_on_convex_input(spark):
+    """On a convex ring (no reflex vertices) buffer_reflex emits the
+    identical vertex stream as buffer_convex."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    a = VP.buffer_reflex(df, 1.5, quadrant_segments=8).collect()[0]
+    b = VP.buffer_convex(df, 1.5, quadrant_segments=8).collect()[0]
+    assert list(a["xs"]) == list(b["xs"]) and list(a["ys"]) == list(b["ys"])
