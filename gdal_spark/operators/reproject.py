@@ -138,16 +138,69 @@ def utm_inverse_cols(df: DataFrame, zone: int, easting: str = "easting",
     ).drop("_ll")
 
 
+def _closed_form(epsg: int):
+    """Closed-form kernel for a projected EPSG code, or None.
+    Covers the three most common projected families: UTM
+    (kernels.tmerc), Lambert Conformal Conic 2SP and Polar
+    Stereographic B (kernels.conic)."""
+    from ..kernels import conic
+
+    if 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760:
+        zone = epsg % 100
+        return ("utm", zone)
+    if epsg == 2154:
+        return ("lcc", conic.LAMBERT93)
+    if epsg == 3413:
+        return ("ps", conic.NSIDC_NORTH)
+    return None
+
+
 def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
                   lon: str = "lon", lat: str = "lat") -> DataFrame:
-    """General CRS pair via pyproj in a pandas UDF (batch transform,
-    the 1:1 mapping of the reference's array Transform API)."""
+    """General CRS pair as a batch pandas UDF (the 1:1 mapping of the
+    reference's array Transform API, ogrct.cpp:2254). Dispatch order:
+    1. closed-form kernels for 4326 <-> {326xx/327xx UTM, 2154
+       Lambert-93, 3413 polar stereographic north} — no dependency;
+    2. pyproj for anything else (gated on the wheel being present).
+    Output columns: (x_dst, y_dst)."""
+    from ..kernels import conic
+
+    cf = None
+    fwd = None
+    if src_epsg == 4326:
+        cf, fwd = _closed_form(dst_epsg), True
+    elif dst_epsg == 4326:
+        cf, fwd = _closed_form(src_epsg), False
+    if cf is not None:
+        kind, prm = cf
+
+        @F.pandas_udf("struct<x:double, y:double>")
+        def _cftx(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+            from ..kernels import conic as C
+            from ..kernels import tmerc as TM
+
+            xv, yv = xs.to_numpy(), ys.to_numpy()
+            if kind == "utm":
+                f = TM.utm_forward if fwd else TM.utm_inverse
+                ox, oy = f(xv, yv, prm)
+            elif kind == "lcc":
+                f = C.lcc_forward if fwd else C.lcc_inverse
+                ox, oy = f(xv, yv, prm)
+            else:
+                f = C.ps_forward if fwd else C.ps_inverse
+                ox, oy = f(xv, yv, prm)
+            return pd.DataFrame({"x": ox, "y": oy})
+
+        res = df.withColumn("_xy", _cftx(F.col(lon), F.col(lat)))
+        return res.withColumn("x_dst", F.col("_xy.x")).withColumn(
+            "y_dst", F.col("_xy.y")
+        ).drop("_xy")
+
     if not HAVE_PYPROJ:
         raise NotImplementedError(
-            "pyproj not available in this environment; only the closed-form "
-            "4326<->3857 path is active (to_mercator/from_mercator)"
+            "pyproj not available in this environment; closed-form paths "
+            "cover 4326<->{3857, 326xx/327xx, 2154, 3413}"
         )
-    import pandas as pd
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.StructType([

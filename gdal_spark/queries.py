@@ -3060,6 +3060,96 @@ FROM (
 """
 
 
+def _lcc_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-derived points inside the Lambert-93 validity box."""
+    c = _read(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return c.select(
+        i.alias("id"),
+        (F.lit(-4.0) + F.lit(11.0) * docs.hash01_col(i, 91)).alias("lon"),
+        (F.lit(42.5) + F.lit(8.0) * docs.hash01_col(i, 92)).alias("lat"),
+    )
+
+
+def _ps_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arctic points for the EPSG:3413 polar stereographic path."""
+    c = _read(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return c.select(
+        i.alias("id"),
+        (F.lit(-180.0) + F.lit(360.0) * docs.hash01_col(i, 93)).alias("lon"),
+        (F.lit(61.0) + F.lit(27.0) * docs.hash01_col(i, 94)).alias("lat"),
+    )
+
+
+def _proj_roundtrip(pts: DataFrame, epsg: int) -> DataFrame:
+    """4326 -> epsg -> 4326 through the reproject_udf closed-form
+    dispatch; emits mm-rounded projected + nano-degree round-trip."""
+    from .operators import reproject
+
+    fwd = reproject.reproject_udf(pts, 4326, epsg).select(
+        "id", F.col("x_dst").alias("e"), F.col("y_dst").alias("n")
+    )
+    rt = reproject.reproject_udf(fwd, epsg, 4326, lon="e", lat="n")
+    return rt.select(
+        "id",
+        F.round("e", 3).alias("e_mm"), F.round("n", 3).alias("n_mm"),
+        F.round("x_dst", 9).alias("lon_rt"), F.round("y_dst", 9).alias("lat_rt"),
+    )
+
+
+_LCC_COLS = ["id", "e_mm", "n_mm", "lon_rt", "lat_rt"]
+
+
+def q_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form conic reprojection (ogrct.cpp:2254 batch semantics
+    without PROJ): Lambert-93 (EPSG:2154, LCC 2SP on GRS80) and NSIDC
+    polar stereographic north (EPSG:3413, variant B) — forward
+    mm-rounded + nano-degree round-trip, executed through the
+    reproject_udf closed-form dispatch (kernels.conic re-derives
+    Snyder 15-1..15-11 / 21-33..21-41; constants shared as float
+    literals with the SQL oracle, fixed 8-round inverse iteration)."""
+    lcc = _proj_roundtrip(_lcc_pts(spark, sf_dir), 2154)
+    ps = _proj_roundtrip(_ps_pts(spark, sf_dir), 3413)
+    return _suite([("lcc", lcc, [], _LCC_COLS), ("stereo", ps, [], _LCC_COLS)],
+                  n_str=0, n_num=5)
+
+
+def sql_reproject_lcc() -> str:
+    from .kernels import conic
+
+    lcc_pts = (
+        f"SELECT c_custkey AS id, "
+        f"-4.0 + 11.0 * ({derive.hash01_sql('c_custkey', 91)}) AS lon, "
+        f"42.5 + 8.0 * ({derive.hash01_sql('c_custkey', 92)}) AS lat FROM customer"
+    )
+    ps_pts = (
+        f"SELECT c_custkey AS id, "
+        f"-180.0 + 360.0 * ({derive.hash01_sql('c_custkey', 93)}) AS lon, "
+        f"61.0 + 27.0 * ({derive.hash01_sql('c_custkey', 94)}) AS lat FROM customer"
+    )
+    sel = ("SELECT f.id, round(f.easting, 3) AS e_mm, round(f.northing, 3) AS n_mm, "
+           "round(i.lon, 9) AS lon_rt, round(i.lat, 9) AS lat_rt")
+    lcc_sql = f"""
+WITH pts AS ({lcc_pts}),
+{conic.lcc_forward_sql_ctes('pts', conic.LAMBERT93).strip()},
+fe2 AS (SELECT id, easting, northing FROM lcc_fwd),
+{conic.lcc_inverse_sql_ctes('fe2', conic.LAMBERT93).strip()}
+{sel} FROM fe2 f JOIN lcc_inv i USING (id)
+"""
+    ps_sql = f"""
+WITH pts AS ({ps_pts}),
+{conic.ps_forward_sql_ctes('pts', conic.NSIDC_NORTH).strip()},
+fe2 AS (SELECT id, easting, northing FROM ps_fwd),
+{conic.ps_inverse_sql_ctes('fe2', conic.NSIDC_NORTH).strip()}
+{sel} FROM fe2 f JOIN ps_inv i USING (id)
+"""
+    return _suite_sql(
+        [("lcc", lcc_sql, [], _LCC_COLS), ("stereo", ps_sql, [], _LCC_COLS)],
+        n_str=0, n_num=5,
+    )
+
+
 def q_polygon_buffer_reflex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NON-CONVEX polygon buffer (GEOS BufferOp round joins,
     ogrgeometry.cpp:4528): L-shaped fixture with one reflex right
@@ -3678,6 +3768,7 @@ QUERIES = {
     "boolean_degenerate": q_boolean_degenerate,
     # --- reprojection
     "reproject_suite": q_reproject_suite,
+    "reproject_lcc": q_reproject_lcc,
     # --- raster
     "overview_suite": q_overview_suite,
     "rasterize_add": q_rasterize_add,
@@ -3732,6 +3823,7 @@ ORACLES = {
     "boolean_update": sql_boolean_update,
     "boolean_degenerate": sql_boolean_degenerate,
     "reproject_suite": sql_reproject_suite,
+    "reproject_lcc": sql_reproject_lcc,
     "overview_suite": sql_overview_suite,
     "rasterize_add": sql_rasterize_add,
     "polygonize": sql_polygonize,
