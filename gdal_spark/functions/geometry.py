@@ -1,0 +1,139 @@
+"""Geometry analytics verbs: ST_ConvexHull, ST_Centroid, geodesic area.
+
+Reference surface: OGRGeometry::ConvexHull (ogr/ogrgeometry.cpp:4188,
+GEOS-backed), ::Centroid (:6108), and the SQLite dialect's geodesic
+area (ogr/ogrsqlitesqlfunctions.cpp) — re-derived here as:
+
+- convex hull: Andrew's monotone chain (exact orientation predicate on
+  the input doubles; collinear points dropped), per-feature inside an
+  Arrow-batched mapInPandas;
+- centroid: the standard polygon area-weighted centroid as a PURE
+  column expression (JVM fold over the vertex arrays, no Python);
+- geodesic area: the Chamberlain-Duquette spherical-excess formula
+  (NASA JPL publication 2007; the same approximation turf.js ships) as
+  a column expression with the authalic radius — both engines fold the
+  identical term sequence, so results agree to libm-sin ulp.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+D2R = math.pi / 180.0
+R_AUTH = 6371007.2  # WGS84 authalic radius (meters)
+
+
+def convex_hull_np(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotone chain; returns the hull ring CCW starting at the
+    lexicographically smallest vertex, collinear points dropped."""
+    pts = sorted(set(zip(xs.tolist(), ys.tolist())))
+    if len(pts) <= 2:
+        a = np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        return a
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0.0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0.0:
+            upper.pop()
+        upper.append(p)
+    ring = lower[:-1] + upper[:-1]
+    return (np.array([p[0] for p in ring], dtype=np.float64),
+            np.array([p[1] for p in ring], dtype=np.float64))
+
+
+def convex_hull_cols(df: DataFrame, xs: str = "xs", ys: str = "ys",
+                     out_xs: str = "hull_xs", out_ys: str = "hull_ys") -> DataFrame:
+    """Adds (out_xs, out_ys): the convex hull ring (open, CCW from the
+    lexicographic minimum) of each feature's vertex arrays."""
+    keep = list(df.columns)
+    schema = ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in keep) + \
+        f", {out_xs} array<double>, {out_ys} array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            hxs, hys = [], []
+            for vx, vy in zip(pdf[xs], pdf[ys]):
+                hx, hy = convex_hull_np(np.asarray(vx, dtype=np.float64),
+                                        np.asarray(vy, dtype=np.float64))
+                hxs.append(hx.tolist())
+                hys.append(hy.tolist())
+            out = pdf[keep].copy()
+            out[out_xs] = hxs
+            out[out_ys] = hys
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def shoelace_area_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """|shoelace|/2 over an OPEN ring, sequential JVM fold."""
+    return F.expr(
+        f"abs(aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"(element_at({xs}, i) * element_at({ys}, 1 + i % size({xs})) "
+        f"- element_at({xs}, 1 + i % size({xs})) * element_at({ys}, i)))) / 2"
+    )
+
+
+def centroid_exprs(xs: str = "xs", ys: str = "ys") -> tuple[Column, Column]:
+    """Polygon area-weighted centroid (OGRGeometry::Centroid
+    semantics) over an OPEN ring: Cx = sum((x_i + x_{i+1}) cross_i) /
+    (3 sum(cross_i)) — pure column math."""
+    cross = (
+        f"(element_at({xs}, i) * element_at({ys}, 1 + i % size({xs})) "
+        f"- element_at({xs}, 1 + i % size({xs})) * element_at({ys}, i))"
+    )
+    a2 = f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + {cross})"
+    cx = (
+        f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"(element_at({xs}, i) + element_at({xs}, 1 + i % size({xs}))) * {cross})"
+        f" / (3 * ({a2}))"
+    )
+    cy = (
+        f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"(element_at({ys}, i) + element_at({ys}, 1 + i % size({xs}))) * {cross})"
+        f" / (3 * ({a2}))"
+    )
+    return F.expr(cx), F.expr(cy)
+
+
+def geodesic_area_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """Spherical polygon area (Chamberlain-Duquette), authalic radius,
+    over an OPEN (lon, lat)-degree ring; returns square meters. Term
+    sequence: (lam2 - lam1) * (2 + sin(phi1) + sin(phi2)), folded in
+    ring order — the DuckDB oracle replays the identical fold."""
+    lam1 = f"element_at({xs}, i) * {D2R!r}"
+    lam2 = f"element_at({xs}, 1 + i % size({xs})) * {D2R!r}"
+    phi1 = f"element_at({ys}, i) * {D2R!r}"
+    phi2 = f"element_at({ys}, 1 + i % size({xs})) * {D2R!r}"
+    s = (
+        f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"(({lam2}) - ({lam1})) * (2.0 + sin({phi1}) + sin({phi2})))"
+    )
+    return F.expr(f"abs({s}) * {R_AUTH * R_AUTH / 2.0!r}")
+
+
+def geodesic_area_sql(xs_list: str, ys_list: str) -> str:
+    """DuckDB twin of geodesic_area_expr over list columns (1-based)."""
+    n = f"len({xs_list})"
+    lam1 = f"{xs_list}[i] * {D2R!r}"
+    lam2 = f"{xs_list}[1 + i % {n}] * {D2R!r}"
+    phi1 = f"{ys_list}[i] * {D2R!r}"
+    phi2 = f"{ys_list}[1 + i % {n}] * {D2R!r}"
+    return (
+        f"abs(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n} + 1), i -> "
+        f"(({lam2}) - ({lam1})) * (2.0 + sin({phi1}) + sin({phi2})))), "
+        f"(a, b) -> a + b)) * {R_AUTH * R_AUTH / 2.0!r}"
+    )

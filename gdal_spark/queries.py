@@ -3150,6 +3150,86 @@ fe2 AS (SELECT id, easting, northing FROM ps_fwd),
     )
 
 
+_GF_K, _GF_M = 12, 6   # outer ellipse vertices / strict-interior points
+
+
+def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConvexHull + ST_Centroid + geodesic area
+    (ogrgeometry.cpp:4188, :6108; ogrsqlitesqlfunctions.cpp): per
+    supplier, a 12-vertex ellipse ring plus 6 strictly interior
+    points. The monotone-chain hull must recover exactly the 12 outer
+    vertices (nv_hull pins it); hull area, area-weighted centroid and
+    Chamberlain-Duquette spherical area have closed-form oracles
+    (inscribed-polygon area (K/2) rx ry sin(2pi/K); centroid = the
+    center by symmetry; the spherical fold replayed term-by-term)."""
+    import math as _m
+
+    from .functions import geometry as G
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    cx = F.lit(-150.0) + F.lit(300.0) * docs.hash01_col(i, 95)
+    cy = F.lit(-55.0) + F.lit(110.0) * docs.hash01_col(i, 96)
+    rx = F.lit(2.0) + F.lit(3.0) * docs.hash01_col(i, 97)
+    ry = F.lit(1.5) + F.lit(2.0) * docs.hash01_col(i, 98)
+    outer_x = [cx + rx * F.cos(F.lit(2.0 * _m.pi * j / _GF_K)) for j in range(_GF_K)]
+    outer_y = [cy + ry * F.sin(F.lit(2.0 * _m.pi * j / _GF_K)) for j in range(_GF_K)]
+    inner_x = [cx + rx * F.lit(0.35) * F.cos(F.lit(0.3 + 2.0 * _m.pi * j / _GF_M))
+               for j in range(_GF_M)]
+    inner_y = [cy + ry * F.lit(0.35) * F.sin(F.lit(0.3 + 2.0 * _m.pi * j / _GF_M))
+               for j in range(_GF_M)]
+    d = s.select(
+        i.alias("id"),
+        F.array(*outer_x, *inner_x).alias("xs"),
+        F.array(*outer_y, *inner_y).alias("ys"),
+        F.array(*outer_x).alias("oxs"),
+        F.array(*outer_y).alias("oys"),
+    )
+    h = G.convex_hull_cols(d)
+    ccx, ccy = G.centroid_exprs("oxs", "oys")
+    return h.select(
+        "id",
+        F.size("hull_xs").alias("nv_hull"),
+        F.round(G.shoelace_area_expr("hull_xs", "hull_ys"), 5).alias("hull_area"),
+        F.round(ccx, 6).alias("cx_c"),
+        F.round(ccy, 6).alias("cy_c"),
+        F.round(G.geodesic_area_expr("oxs", "oys") / F.lit(1.0e12), 6)
+        .alias("gd_area"),
+    )
+
+
+def sql_geometry_functions() -> str:
+    import math as _m
+
+    from .functions import geometry as G
+
+    hx = lambda s: derive.hash01_sql("s_suppkey", s)
+    ox = ", ".join(f"cx + rx * cos({2.0 * _m.pi * j / _GF_K!r})"
+                   for j in range(_GF_K))
+    oy = ", ".join(f"cy + ry * sin({2.0 * _m.pi * j / _GF_K!r})"
+                   for j in range(_GF_K))
+    gd = G.geodesic_area_sql("oxs", "oys")
+    hull_area = f"0.5 * {float(_GF_K)!r} * rx * ry * sin({2.0 * _m.pi / _GF_K!r})"
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -150.0 + 300.0 * ({hx(95)}) AS cx,
+         -55.0 + 110.0 * ({hx(96)}) AS cy,
+         2.0 + 3.0 * ({hx(97)}) AS rx,
+         1.5 + 2.0 * ({hx(98)}) AS ry
+  FROM supplier
+),
+r AS (SELECT id, cx, cy, rx, ry, [{ox}] AS oxs, [{oy}] AS oys FROM k)
+SELECT id,
+       {_GF_K} AS nv_hull,
+       round({hull_area}, 5) AS hull_area,
+       round(cx, 6) AS cx_c,
+       round(cy, 6) AS cy_c,
+       round(({gd}) / 1.0e12, 6) AS gd_area
+FROM r
+"""
+
+
 def q_polygon_buffer_reflex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NON-CONVEX polygon buffer (GEOS BufferOp round joins,
     ogrgeometry.cpp:4528): L-shaped fixture with one reflex right
@@ -3784,6 +3864,7 @@ QUERIES = {
     # --- vector pipeline
     "vector_pipeline_suite": q_vector_pipeline_suite,
     "polygon_buffer_reflex": q_polygon_buffer_reflex,
+    "geometry_functions": q_geometry_functions,
     # --- LLM-pipeline operators
     "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_jaccard": q_dedup_jaccard,
@@ -3837,6 +3918,7 @@ ORACLES = {
     "grid_suite": sql_grid_suite,
     "vector_pipeline_suite": sql_vector_pipeline_suite,
     "polygon_buffer_reflex": sql_polygon_buffer_reflex,
+    "geometry_functions": sql_geometry_functions,
     "dedup_exact_suite": sql_dedup_exact_suite,
     "dedup_jaccard": sql_dedup_jaccard,
     "minhash_lsh": sql_minhash_lsh,

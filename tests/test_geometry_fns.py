@@ -1,0 +1,44 @@
+"""ConvexHull / Centroid / geodesic-area kernel pins."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from gdal_spark.functions import geometry as G
+
+
+def test_hull_square_with_interior_and_collinear():
+    xs = np.array([0.0, 4.0, 4.0, 0.0, 2.0, 2.0, 1.0, 3.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 2.0, 0.0, 1.0, 3.0])
+    hx, hy = G.convex_hull_np(xs, ys)
+    # (2,0) is collinear on the bottom edge -> dropped; interior dropped
+    assert list(zip(hx, hy)) == [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+
+
+def test_hull_duplicates_and_degenerate():
+    hx, hy = G.convex_hull_np(np.array([1.0, 1.0]), np.array([2.0, 2.0]))
+    assert list(hx) == [1.0] and list(hy) == [2.0]
+
+
+def test_centroid_and_area_exprs(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 6.0, 6.0, 0.0], [0.0, 0.0, 4.0, 4.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    cx, cy = G.centroid_exprs()
+    row = df.select(
+        G.shoelace_area_expr().alias("a"), cx.alias("cx"), cy.alias("cy")
+    ).collect()[0]
+    assert row["a"] == 24.0 and row["cx"] == 3.0 and row["cy"] == 2.0
+
+
+def test_geodesic_area_equator_patch(spark):
+    # 1x1 degree patch at the equator: ~ (R*pi/180)^2 within 0.01%
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 1.0, 0.0], [-0.5, -0.5, 0.5, 0.5])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    a = df.select(G.geodesic_area_expr().alias("a")).collect()[0]["a"]
+    expect = (G.R_AUTH * math.pi / 180.0) ** 2
+    assert abs(a - expect) / expect < 1e-4
