@@ -167,13 +167,18 @@ def geodetic_tile_details(tz: int, tile_size: int,
     return out
 
 
-def src_pixels(spark: SparkSession) -> DataFrame:
+def src_pixels(spark: SparkSession, salt: int = SALT_SRC,
+               byte_range: bool = False) -> DataFrame:
     """Deterministic source band (sx, sy, value) — LCG of the source
-    pixel id, twin of the SQL band CTE."""
+    pixel id, twin of the SQL band CTE. `salt` selects the band (the
+    RGBA fixture uses salt + 101*b per band); byte_range reduces
+    values mod 256 (the uint8 image fixture)."""
     M31, A = derive.M31, derive.A
     pid = F.col("id")
-    h1 = (pid % M31) * A + F.lit(SALT_SRC)
-    val = ((h1 % M31) * A + F.lit(SALT_SRC * 7 + 13)) % M31
+    h1 = (pid % M31) * A + F.lit(salt)
+    val = ((h1 % M31) * A + F.lit(salt * 7 + 13)) % M31
+    if byte_range:
+        val = val % 256
     return spark.range(SRC_W * SRC_H).select(
         (F.col("id") % SRC_W).alias("sx"),
         (F.col("id") / SRC_W).cast("bigint").alias("sy"),
@@ -181,8 +186,20 @@ def src_pixels(spark: SparkSession) -> DataFrame:
     )
 
 
+def src_alpha(spark: SparkSession) -> DataFrame:
+    """Constant-255 alpha band over the source footprint (the
+    reference's fully-opaque source; transparency appears only where
+    tiles extend past the source, as absent rows)."""
+    return spark.range(SRC_W * SRC_H).select(
+        (F.col("id") % SRC_W).alias("sx"),
+        (F.col("id") / SRC_W).cast("bigint").alias("sy"),
+        F.lit(255).cast("bigint").alias("value"),
+    )
+
+
 def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
-               resampling: str = "near", profile: str = "mercator") -> DataFrame:
+               resampling: str = "near", profile: str = "mercator",
+               src: DataFrame | None = None, query_factor: int = 1) -> DataFrame:
     """Base tiles at `tz` as (tz, tx, ty, pos, value) pixel rows:
     dest-pixel -> source-pixel nearest map (exact closed form), then
     ONE equi-join against the source pixel table.
@@ -196,6 +213,10 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
     a power-of-two division, so values stay engine-exact."""
     if resampling == "near":
         qs_factor = 1
+    elif resampling == "query":
+        # return the RAW query-grid pixel rows (px, py kept) for a
+        # caller-side shrink (the antialias path)
+        qs_factor = query_factor
     elif resampling == "bilinear":
         # gdal2tiles bilinear: querysize = 2 * tile_size
         # (gdal2tiles.py:2225); the exact factor-2 bilinear shrink has
@@ -243,8 +264,10 @@ def base_tiles(spark: SparkSession, *, tz: int = 2, tile_size: int = 16,
     ).withColumn(
         "sy", F.floor(F.least(F.greatest(syf, F.lit(0.0)), F.lit(float(SRC_H - 1)))).cast("bigint")
     )
-    src = src_pixels(spark)
+    src = src_pixels(spark) if src is None else src
     qpx = dest.join(src, ["sx", "sy"]).select("tz", "tx", "ty", "pos", "px", "py", "value")
+    if resampling == "query":
+        return qpx
     if resampling == "near":
         return qpx.select("tz", "tx", "ty", "pos", "value")
     # average/bilinear: f x f query subpixels -> one dest pixel,
@@ -299,10 +322,119 @@ def overview_tiles(base: DataFrame, *, tz: int, tile_size: int) -> DataFrame:
     ).groupBy("tz", "tx", "ty", "pos").agg(F.sum("value").alias("value"))
 
 
+# ------------------------------------------------- antialias (PIL) shrink
+
+def pil_lanczos_taps(qs: int, ts: int) -> list[tuple[int, int, list[float]]]:
+    """PIL Image.resize ANTIALIAS tap table for a qs -> ts downscale
+    (gdal2tiles.py scale_query_to_tile 'antialias' flavor; PIL
+    Resample.c precompute): per dest index d —
+      scale = qs/ts; support = 3*scale; center = (d + 0.5)*scale;
+      xmin = max(0, int(center - support + 0.5));
+      xmax = min(qs, int(center + support + 0.5));
+      w_j = lanczos3((j - center + 0.5)/scale), normalized to sum 1.
+    Computed ONCE in Python; both engines consume the identical float
+    literals, so the separable convolution is bit-exact cross-engine
+    (only * and + remain). Returns [(d, xmin, [w...])]."""
+    import math
+
+    scale = qs / float(ts)
+    support = 3.0 * scale
+    out = []
+    for d in range(ts):
+        center = (d + 0.5) * scale
+        xmin = max(0, int(center - support + 0.5))
+        xmax = min(qs, int(center + support + 0.5))
+        ws = []
+        for j in range(xmin, xmax):
+            x = (j - center + 0.5) / scale
+            if x == 0.0:
+                w = 1.0
+            elif abs(x) < 3.0:
+                px_ = math.pi * x
+                w = (math.sin(px_) / px_) * (math.sin(px_ / 3.0) / (px_ / 3.0))
+            else:
+                w = 0.0
+            ws.append(w)
+        tot = sum(ws)
+        out.append((d, xmin, [w / tot for w in ws]))
+    return out
+
+
+def antialias_shrink(qpx: DataFrame, *, tile_size: int, qs: int) -> DataFrame:
+    """Separable PIL-ANTIALIAS shrink of raw query-grid pixel rows
+    (tz, tx, ty, px, py, value) to (tz, tx, ty, pos, value): horizontal
+    tap fold then vertical tap fold, each an ORDERED aggregate-fold
+    (sort_array + sequential sum) so the double accumulation order is
+    pinned — the DuckDB twin folds the same literals in the same
+    order. Absent query pixels contribute 0 (the reference's
+    zero-initialized MEM buffer -> PIL input)."""
+    spark = qpx.sparkSession
+    ts = tile_size
+    taps = pil_lanczos_taps(qs, ts)
+    rows = [(d, xmin + k, w) for d, xmin, ws in taps for k, w in enumerate(ws)]
+    tap_df = spark.createDataFrame(rows, "d bigint, j bigint, w double")
+
+    def fold(df: DataFrame, axis: str, keep: list[str]) -> DataFrame:
+        j = df.join(F.broadcast(tap_df), df[axis] == tap_df["j"])
+        g = j.groupBy(*keep, "d").agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col(axis).alias("_o"), (F.col("w") * F.col("value")).alias("wv")
+            ))).alias("_terms")
+        )
+        return g.withColumn(
+            "value", F.expr("aggregate(_terms, 0D, (a, s) -> a + s.wv)")
+        ).drop("_terms")
+
+    h = fold(qpx, "px", ["tz", "tx", "ty", "py"]) \
+        .select("tz", "tx", "ty", F.col("d").alias("hx"), "py", "value")
+    v = fold(h, "py", ["tz", "tx", "ty", "hx"])
+    return v.select(
+        "tz", "tx", "ty",
+        (F.col("d") * ts + F.col("hx")).alias("pos"),
+        "value",
+    )
+
+
+def antialias_sql(tz: int, tile_size: int, *, salt: int = SALT_SRC,
+                  src_val_sql: str | None = None) -> str:
+    """DuckDB twin of base_tiles(query, 4x) + antialias_shrink: the
+    same tap literals, the same ordered folds. Emits the final SELECT
+    (tz, tx, ty, pos, value rounded 9)."""
+    ts = tile_size
+    qs = 4 * ts
+    taps = pil_lanczos_taps(qs, ts)
+    tap_rows = ", ".join(
+        f"({d}, {xmin + k}, {w!r})"
+        for d, xmin, ws in taps for k, w in enumerate(ws)
+    )
+    ctes = sql_ctes(tz=tz, tile_size=ts, querysize=qs, salt=salt,
+                    src_val_sql=src_val_sql).strip()
+    return f"""
+WITH {ctes},
+taps(d, j, w) AS (VALUES {tap_rows}),
+hf AS (
+  SELECT tz, tx, ty, py, t.d AS hx,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(t.w * b.value ORDER BY b.px)), (a, b) -> a + b) AS value
+  FROM base b JOIN taps t ON t.j = b.px
+  GROUP BY 1, 2, 3, 4, 5
+),
+vf AS (
+  SELECT tz, tx, ty, hx, t.d AS vy,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(t.w * h.value ORDER BY h.py)), (a, b) -> a + b) AS value
+  FROM hf h JOIN taps t ON t.j = h.py
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT tz, tx, ty, vy * {ts} + hx AS pos, round(value, 9) AS value FROM vf
+"""
+
+
 # --------------------------------------------------------------- SQL twin
 
 def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None,
-             profile: str = "mercator") -> str:
+             profile: str = "mercator", salt: int = SALT_SRC,
+             src_val_sql: str | None = None) -> str:
     """DuckDB replication: tminmax + geo_query + nearest map, all in
     closed form (trunc() = the C int() truncation; floor for the
     clamped non-negative sample coords). `base` rows are in QUERY-grid
@@ -338,13 +470,15 @@ def sql_ctes(tz: int = 2, tile_size: int = 16, querysize: int | None = None,
         return f"least(greatest({t}, 0), {lim})"
 
     val = (
-        f"(((sy * {w} + sx) % {M31}) * {A} + {SALT_SRC}) % {M31} * {A} "
-        f"+ {SALT_SRC * 7 + 13}"
+        f"((((sy * {w} + sx) % {M31}) * {A} + {salt}) % {M31} * {A} "
+        f"+ {salt * 7 + 13}) % {M31}"
     )
+    if src_val_sql is not None:
+        val = src_val_sql
     return f"""
 src AS (
   SELECT r.range % {w} AS sx, r.range // {w} AS sy,
-         ({val}) % {M31} AS value
+         {val} AS value
   FROM range({w * h}) r
 ),
 tminmax AS (

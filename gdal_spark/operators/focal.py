@@ -579,6 +579,19 @@ def cubic_weight_sql(t_expr: str, tap: int) -> str:
     )
 
 
+def cubicspline_weight_sql(t_expr: str, tap: int) -> str:
+    """B-spline weight (GRA_CubicSpline, alg/gdalwarper.h:37-67) for
+    tap offset in {-1, 0, 1, 2}; emits SQL valid in Spark SQL AND
+    DuckDB with the op order of tile_raster's numpy twin."""
+    d = f"abs(({t_expr}) - {tap}.0)"
+    if tap in (0, 1):
+        # |d| <= 1: (4 - 6 d^2 + 3 d^3) / 6
+        return (f"((((3.0 * ({d}) * ({d}) * ({d})) - (6.0 * ({d}) * ({d}))) "
+                f"+ 4.0) / 6.0)")
+    # 1 < |d| < 2: (2 - d)^3 / 6
+    return (f"(((2.0 - ({d})) * (2.0 - ({d})) * (2.0 - ({d}))) / 6.0)")
+
+
 def sample_cubic(band: DataFrame, points: DataFrame, *, width: int, height: int,
                  x_col: str = "px", y_col: str = "py",
                  id_col: str = "sid") -> DataFrame:

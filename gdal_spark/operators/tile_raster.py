@@ -306,12 +306,15 @@ LANCZOS_A = 3
 def sample_cubic_tiles(tiled: DataFrame, points: DataFrame, *,
                        tile: int, width: int, height: int,
                        x_col: str = "px", y_col: str = "py",
-                       id_col: str = "sid") -> DataFrame:
-    """4x4 cubic-convolution sampling (a = -0.5,
-    alg/gdalresamplingkernels.h CubicKernel) on the tile model —
-    replaces the per-pixel path's 16 shifted equi-joins with one
-    halo-2 assembly + one point shuffle; weight and fold order match
-    focal.sample_cubic / the SQL oracle exactly."""
+                       id_col: str = "sid", kernel: str = "cubic") -> DataFrame:
+    """4x4 kernel sampling on the tile model — replaces the per-pixel
+    path's 16 shifted equi-joins with one halo-2 assembly + one point
+    shuffle; weight and fold order match the SQL oracle exactly.
+    kernel='cubic': cubic convolution a = -0.5
+    (alg/gdalresamplingkernels.h CubicKernel); kernel='cubicspline':
+    the GRA_CubicSpline B-spline basis (alg/gdalwarper.h:37-67,
+    BSpline(4-6d^2+3d^3)/6 | (2-d)^3/6 — a partition of unity, no
+    normalization, matching GDALResampleChunk32R_CubicSpline)."""
     T = tile
     h = 2
     nty = height // T
@@ -331,11 +334,21 @@ def sample_cubic_tiles(tiled: DataFrame, points: DataFrame, *,
     joined = pts.join(padded, ["ty", "tx"])
     P = T + 2 * h
 
-    def cw(d: np.ndarray) -> np.ndarray:
-        # same piecewise op order as focal.cubic_weight_sql
-        inner = (1.5 * d * d * d) - (2.5 * d * d) + 1.0
-        outer = (-0.5 * d * d * d) + (2.5 * d * d) - (4.0 * d) + 2.0
-        return np.where(d <= 1.0, inner, outer)
+    if kernel == "cubic":
+        def cw(d: np.ndarray) -> np.ndarray:
+            # same piecewise op order as focal.cubic_weight_sql
+            inner = (1.5 * d * d * d) - (2.5 * d * d) + 1.0
+            outer = (-0.5 * d * d * d) + (2.5 * d * d) - (4.0 * d) + 2.0
+            return np.where(d <= 1.0, inner, outer)
+    elif kernel == "cubicspline":
+        def cw(d: np.ndarray) -> np.ndarray:
+            # same piecewise op order as focal.cubicspline_weight_sql
+            inner = ((3.0 * d * d * d) - (6.0 * d * d) + 4.0) / 6.0
+            e = 2.0 - d
+            outer = (e * e * e) / 6.0
+            return np.where(d <= 1.0, inner, outer)
+    else:
+        raise ValueError(f"unknown kernel: {kernel}")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         ty = int(pdf["ty"].iloc[0])

@@ -256,6 +256,83 @@ FROM base GROUP BY 1, 2, 3
 """
 
 
+_RGBA_SALTS = [307, 408, 509]  # R, G, B band salts; alpha is constant 255
+
+
+def _band_src_sql(salt: int, byte_range: bool = False) -> str:
+    from .operators import base_tiles as BT
+
+    w = BT.SRC_W
+    v = (f"((((sy * {w} + sx) % {M31}) * {A} + {salt}) % {M31} * {A} "
+         f"+ {salt * 7 + 13}) % {M31}")
+    return f"({v}) % 256" if byte_range else v
+
+
+def q_base_tiles_rgba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-band (RGBA) base-tile checksum grid — the exact
+    test_gdal2tiles.py:121-124 expected_cs pattern (per-tile list of
+    per-BAND checksums): three uint8 hash bands + a constant-255 alpha
+    band over the source footprint, each through the full geo_query +
+    nearest pipeline; transparency (tiles past the source) = absent
+    rows = 0 contribution, matching the reference's alpha=0 regions."""
+    from .operators import base_tiles as BT
+
+    out = None
+    for b, salt in enumerate(_RGBA_SALTS):
+        src = BT.src_pixels(spark, salt=salt, byte_range=True)
+        chk = BT.tile_checksums(
+            BT.base_tiles(spark, tz=2, tile_size=16, src=src), 16
+        ).withColumn("band", F.lit(b))
+        out = chk if out is None else out.unionByName(chk)
+    alpha = BT.tile_checksums(
+        BT.base_tiles(spark, tz=2, tile_size=16, src=BT.src_alpha(spark)), 16
+    ).withColumn("band", F.lit(3))
+    out = out.unionByName(alpha)
+    return out.select("tz", "tx", "ty", "band", "checksum", "n_px")
+
+
+def sql_base_tiles_rgba() -> str:
+    from .operators import base_tiles as BT
+
+    P = BT.CHECKSUM_P
+    parts = []
+    vals = [_band_src_sql(s, byte_range=True) for s in _RGBA_SALTS] + ["255"]
+    for b, v in enumerate(vals):
+        ctes = BT.sql_ctes(tz=2, tile_size=16, src_val_sql=v).strip()
+        parts.append(f"""
+SELECT tz, tx, ty, {b} AS band,
+       CAST(sum((1 + pos) * value) % {P} AS BIGINT) AS checksum,
+       count(*) AS n_px
+FROM (WITH {ctes} SELECT * FROM base) GROUP BY 1, 2, 3
+""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_base_tiles_antialias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles ANTIALIAS scaling flavor: 4x-supersampled query grid
+    shrunk by the separable PIL Lanczos-3 resize (scale_query_to_tile,
+    gdal2tiles.py options.resampling == 'antialias'; float-image PIL
+    semantics — no per-pass uint8 rounding, documented). Tap weights
+    are computed once in Python and shared as literals with the
+    oracle, so only +/* remain and the values are bit-exact."""
+    from .operators import base_tiles as BT
+
+    src = BT.src_pixels(spark, salt=BT.SALT_SRC, byte_range=True)
+    qpx = BT.base_tiles(spark, tz=2, tile_size=16, resampling="query",
+                        query_factor=4, src=src)
+    out = BT.antialias_shrink(qpx, tile_size=16, qs=64)
+    return out.select("tz", "tx", "ty", "pos",
+                      F.round("value", 9).alias("value"))
+
+
+def sql_base_tiles_antialias() -> str:
+    from .operators import base_tiles as BT
+
+    return BT.antialias_sql(
+        2, 16, src_val_sql=_band_src_sql(BT.SALT_SRC, byte_range=True)
+    )
+
+
 def q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile assignment in the EPSG:4326 geodetic profile
     (gdal2tiles.py:534-629 GlobalGeodetic, tmscompatible 2:1 grid):
@@ -2112,6 +2189,80 @@ SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
 """
 
 
+def q_warp_resample_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same warp as warp_resample with the GRA_CubicSpline B-spline
+    kernel (alg/gdalwarper.h:37-67) on the tile-array model."""
+    from .operators import tile_raster
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)  # 32x32 mercator px
+    W, D = 32, 24
+    d = spark.range(D * D).select(
+        F.col("id").alias("did"),
+        (F.col("id") % D).alias("dx"),
+        (F.col("id") / D).cast("bigint").alias("dy"),
+    )
+    lon = (F.col("dx") + F.lit(0.5)) * F.lit(360.0 / D) - F.lit(180.0)
+    lat = F.lit(85.0) - (F.col("dy") + F.lit(0.5)) * F.lit(170.0 / D)
+    mx = TF.merc_mx(lon)
+    my = TF.merc_my(lat)
+    os_f = TF.ORIGIN_SHIFT
+    px = (mx + F.lit(os_f)) / F.lit(2.0 * os_f) * F.lit(float(W))
+    py = (F.lit(os_f) - my) / F.lit(2.0 * os_f) * F.lit(float(W))
+    pts = d.select("did", px.alias("px"), py.alias("py"))
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.sample_cubic_tiles(
+        tiles, pts, tile=8, width=W, height=W, id_col="did",
+        kernel="cubicspline",
+    )
+    return out.select(
+        (F.col("did") % D).alias("dx"),
+        (F.col("did") / D).cast("bigint").alias("dy"),
+        F.round(F.col("value") / F.lit(2147483648.0), 9).alias("value"),
+    )
+
+
+def sql_warp_resample_cubicspline() -> str:
+    from .operators.focal import cubicspline_weight_sql
+
+    W, D = 32, 24
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    mx = derive.mercator_mx_sql(lon)
+    my = derive.mercator_my_sql(lat)
+    px = f"(({mx}) + {OS}) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+    py = f"({OS} - ({my})) / (2.0 * {OS}) * CAST({W} AS DOUBLE)"
+
+    def tap(i: int, j: int) -> str:
+        cx = f"least(greatest(_x0 + ({i}), 0), {W - 1})"
+        cy = f"least(greatest(_y0 + ({j}), 0), {W - 1})"
+        return f"CAST({_band_val_sql(f'({cy}) * {W} + ({cx})')} AS DOUBLE)"
+
+    row_terms = []
+    for j in (-1, 0, 1, 2):
+        terms = [f"({tap(i, j)} * {cubicspline_weight_sql('_tx', i)})"
+                 for i in (-1, 0, 1, 2)]
+        row = "(((" + terms[0] + " + " + terms[1] + ") + " + terms[2] + ") + " + terms[3] + ")"
+        row_terms.append(f"({row} * {cubicspline_weight_sql('_ty', j)})")
+    total = "(((" + row_terms[0] + " + " + row_terms[1] + ") + " + row_terms[2] + ") + " + row_terms[3] + ")"
+    return f"""
+WITH d AS (SELECT r.range AS did, r.range % {D} AS dx, r.range // {D} AS dy FROM range({D * D}) r),
+p0 AS (
+  SELECT did, dx, dy,
+         least(greatest({px}, 0.5), {W - 0.5}) - 0.5 AS _fx,
+         least(greatest({py}, 0.5), {W - 0.5}) - 0.5 AS _fy
+  FROM d
+),
+p1 AS (
+  SELECT did, dx, dy, _fx, _fy,
+         least(CAST(floor(_fx) AS BIGINT), {W - 2}) AS _x0,
+         least(CAST(floor(_fy) AS BIGINT), {W - 2}) AS _y0
+  FROM p0
+),
+p AS (SELECT did, dx, dy, _x0, _y0, _fx - _x0 AS _tx, _fy - _y0 AS _ty FROM p1)
+SELECT dx, dy, round(({total}) / 2147483648.0, 9) AS value FROM p
+"""
+
+
 def q_warp_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warp with the Lanczos-3 windowed-sinc kernel (6x6 taps,
     normalized weights; alg/gdalresamplingkernels.h), sampled on the
@@ -3709,6 +3860,7 @@ def sql_terrain_suite() -> str:
 _WARP_PARTS = [
     ("bilinear", [], ["dx", "dy", "value"]),
     ("cubic", [], ["dx", "dy", "value"]),
+    ("cubicspline", [], ["dx", "dy", "value"]),
     ("lanczos", [], ["dx", "dy", "value"]),
     ("point_bilinear", [], ["sid", "value"]),
 ]
@@ -3720,6 +3872,7 @@ def q_warp_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lanczos-3 kernels, plus bilinear point sampling."""
     subs = {
         "bilinear": q_warp_resample, "cubic": q_warp_resample_cubic,
+        "cubicspline": q_warp_resample_cubicspline,
         "lanczos": q_warp_resample_lanczos, "point_bilinear": q_sample_bilinear,
     }
     return _suite(
@@ -3731,6 +3884,7 @@ def q_warp_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_warp_kernels_suite() -> str:
     subs = {
         "bilinear": sql_warp_resample, "cubic": sql_warp_resample_cubic,
+        "cubicspline": sql_warp_resample_cubicspline,
         "lanczos": sql_warp_resample_lanczos, "point_bilinear": sql_sample_bilinear,
     }
     return _suite_sql(
@@ -3830,6 +3984,8 @@ QUERIES = {
     # --- tiling core
     "tile_assign_suite": q_tile_assign_suite,
     "base_tiles_suite": q_base_tiles_suite,
+    "base_tiles_rgba": q_base_tiles_rgba,
+    "base_tiles_antialias": q_base_tiles_antialias,
     "pyramid_counts": q_pyramid_counts,
     # --- spatial join / filter
     "spatial_join": q_spatial_join,
@@ -3889,6 +4045,8 @@ QUERIES = {
 ORACLES = {
     "tile_assign_suite": sql_tile_assign_suite,
     "base_tiles_suite": sql_base_tiles_suite,
+    "base_tiles_rgba": sql_base_tiles_rgba,
+    "base_tiles_antialias": sql_base_tiles_antialias,
     "pyramid_counts": sql_pyramid_counts,
     "spatial_join": sql_spatial_join,
     "spatial_join_wkb": sql_spatial_join_wkb,
