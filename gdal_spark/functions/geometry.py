@@ -124,6 +124,36 @@ def geodesic_area_expr(xs: str = "xs", ys: str = "ys") -> Column:
     return F.expr(f"abs({s}) * {R_AUTH * R_AUTH / 2.0!r}")
 
 
+def wkt_polygon_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """OGR_GEOM_WKT special field (ogr/ogr_p.h:167-174, SPF_OGR_GEOM_WKT)
+    for a single-ring polygon stored as OPEN vertex arrays: emits
+    'POLYGON ((x y,x y,...,x0 y0))' with the ring closed. Coordinates
+    are rendered at %.6f — a pinned cross-engine decimal rendering
+    (exact decimal ties are impossible for non-dyadic positions, so
+    Java's and C's rounding agree); the reference's 15-significant-digit
+    default is a documented deviation."""
+    pt = (f"concat(format_string('%.6f', element_at({xs}, i)), ' ', "
+          f"format_string('%.6f', element_at({ys}, i)))")
+    pts = f"transform(sequence(1, size({xs})), i -> {pt})"
+    first = (f"concat(format_string('%.6f', element_at({xs}, 1)), ' ', "
+             f"format_string('%.6f', element_at({ys}, 1)))")
+    return F.expr(
+        f"concat('POLYGON ((', array_join(concat({pts}, array({first})), ','), '))')"
+    )
+
+
+def wkt_polygon_sql(xs_list: str, ys_list: str) -> str:
+    """DuckDB twin of wkt_polygon_expr."""
+    pt = f"printf('%.6f', {xs_list}[i]) || ' ' || printf('%.6f', {ys_list}[i])"
+    first = (f"printf('%.6f', {xs_list}[1]) || ' ' || "
+             f"printf('%.6f', {ys_list}[1])")
+    return (
+        f"'POLYGON ((' || array_to_string(list_concat("
+        f"list_transform(range(1, len({xs_list}) + 1), i -> {pt}), "
+        f"[{first}]), ',') || '))'"
+    )
+
+
 def geodesic_area_sql(xs_list: str, ys_list: str) -> str:
     """DuckDB twin of geodesic_area_expr over list columns (1-based)."""
     n = f"len({xs_list})"

@@ -33,25 +33,31 @@ from pyspark.sql import functions as F
 # center bit only changes the pairing for 5/10 — every other extended
 # case maps to the same segments as its low-4-bit case.
 _BASE_SEGMENTS: dict[int, list[tuple[str, str]]] = {
-    1: [("left", "bottom")],
-    2: [("bottom", "right")],
-    3: [("left", "right")],
-    4: [("right", "top")],
-    5: [("left", "bottom"), ("right", "top")],   # center <= L: separate
-    6: [("bottom", "top")],
-    7: [("left", "top")],
-    8: [("top", "left")],
+    # r3: every segment ORIENTED with the >level region on its LEFT
+    # (walking A->B). The un-oriented vertex/segment SETS are unchanged
+    # (the reference's segment writer is orientation-agnostic); the
+    # orientation makes every contour vertex have exactly one outgoing
+    # and one incoming segment, which is what ring assembly
+    # (contour_rings) keys on.
+    1: [("bottom", "left")],
+    2: [("right", "bottom")],
+    3: [("right", "left")],
+    4: [("top", "right")],
+    5: [("bottom", "left"), ("top", "right")],   # center <= L: separate
+    6: [("top", "bottom")],
+    7: [("top", "left")],
+    8: [("left", "top")],
     9: [("bottom", "top")],
-    10: [("bottom", "right"), ("top", "left")],  # center <= L: separate
+    10: [("right", "bottom"), ("left", "top")],  # center <= L: separate
     11: [("right", "top")],
-    12: [("right", "left")],
+    12: [("left", "right")],
     13: [("bottom", "right")],
     14: [("left", "bottom")],
 }
 CASE_SEGMENTS: dict[int, list[tuple[str, str]]] = {
     **_BASE_SEGMENTS,
     **{c + 16: segs for c, segs in _BASE_SEGMENTS.items() if c not in (5, 10)},
-    21: [("left", "top"), ("bottom", "right")],   # 5, center > L: connected
+    21: [("top", "left"), ("bottom", "right")],   # 5, center > L: connected
     26: [("left", "bottom"), ("right", "top")],   # 10, center > L: connected
 }
 
@@ -142,9 +148,101 @@ def contour_multi(band: DataFrame, *, levels: list[int], width: int,
     return out
 
 
-def contour_oracle_sql(level: int, width: int, band_val_sql) -> str:
-    """DuckDB twin built from the SAME case fragments. band_val_sql:
-    fn(pid_expr) -> closed-form value SQL."""
+def contour_rings(segments: DataFrame, *, scale: float = 1048576.0,
+                  rounds: int = 20) -> DataFrame:
+    """Contour POLYGONIZE mode (alg/contour.cpp polygon output /
+    gdal_contour -p): assemble the oriented marching-squares segments
+    into closed rings and emit per-ring metrics.
+
+    The case table orients every segment with the >level region on its
+    left, so each contour vertex has exactly one outgoing and one
+    incoming segment — rings form a functional graph. Ring ids (min
+    node id on the ring) spread by POINTER DOUBLING: `rounds` jump
+    iterations cover rings up to 2^rounds segments, so the assembly is
+    O(E log L) shuffle work, not a sequential walk. Node identity =
+    floor(coord * scale) of the IEEE-exact endpoint doubles
+    (non-negative raster coords). Returns (ring_id, n_segs, area):
+    area = |ordered shoelace fold|/2, fold order pinned by segment
+    coordinates so the DuckDB twin reproduces it bit-for-bit."""
+
+    def nid(x: str, y: str):
+        return (F.floor(F.col(x) * scale).cast("bigint") * F.lit(1 << 27)
+                + F.floor(F.col(y) * scale).cast("bigint"))
+
+    # localCheckpoint each round: a self-join loop otherwise DOUBLES
+    # the logical plan per iteration (exponential Catalyst analysis
+    # time — measured as the dominant cost, not the data)
+    e = segments.select(
+        nid("x1", "y1").alias("src"), nid("x2", "y2").alias("dst"),
+        "x1", "y1", "x2", "y2",
+    ).localCheckpoint(eager=True)
+    state = e.select(F.col("src").alias("nid"), F.col("dst").alias("nxt"),
+                     F.col("src").alias("lab")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        a, b = state.alias("a"), state.alias("b")
+        state = (
+            a.join(b, F.col("a.nxt") == F.col("b.nid"))
+            .select(
+                F.col("a.nid").alias("nid"), F.col("b.nxt").alias("nxt"),
+                F.least(F.col("a.lab"), F.col("b.lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    labs = state.select("nid", "lab")
+    m = e.join(labs, e["src"] == labs["nid"]).select(
+        F.col("lab").alias("ring_id"), "x1", "y1", "x2", "y2",
+        (F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")).alias("t"),
+    )
+    out = m.groupBy("ring_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sort_array(F.collect_list(F.struct("x1", "y1", "x2", "y2", "t")))
+        .alias("_terms"),
+    ).select(
+        "ring_id", "n_segs",
+        F.round(
+            F.abs(F.expr("aggregate(_terms, 0D, (a, s) -> a + s.t)")) / 2, 6
+        ).alias("area"),
+    )
+    return out
+
+
+def contour_rings_oracle_sql(level: int, width: int, band_val_sql,
+                             scale: float = 1048576.0) -> str:
+    """DuckDB twin of contour_segments + contour_rings: the same
+    segment CASE fragments, connected components via a recursive
+    label-spread CTE (min node id per ring), the same ordered shoelace
+    fold."""
+    seg_ctes = contour_oracle_ctes(level, width, band_val_sql).strip()
+    s = int(1 << 27)
+    nid1 = (f"CAST(floor(x1 * {scale!r}) AS BIGINT) * {s} "
+            f"+ CAST(floor(y1 * {scale!r}) AS BIGINT)")
+    nid2 = (f"CAST(floor(x2 * {scale!r}) AS BIGINT) * {s} "
+            f"+ CAST(floor(y2 * {scale!r}) AS BIGINT)")
+    return f"""
+WITH RECURSIVE {seg_ctes},
+e AS (SELECT {nid1} AS src, {nid2} AS dst, x1, y1, x2, y2 FROM segs),
+r(nid, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.nid
+),
+labs AS (SELECT nid, min(lab) AS lab FROM r GROUP BY 1),
+m AS (
+  SELECT l.lab AS ring_id, e.x1, e.y1, e.x2, e.y2,
+         e.x1 * e.y2 - e.x2 * e.y1 AS t
+  FROM e JOIN labs l ON l.nid = e.src
+)
+SELECT ring_id, count(*) AS n_segs,
+       round(abs(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(t ORDER BY x1, y1, x2, y2)), (a, b) -> a + b)) / 2, 6) AS area
+FROM m GROUP BY ring_id
+"""
+
+
+def contour_oracle_ctes(level: int, width: int, band_val_sql) -> str:
+    """CTE text (no WITH keyword): px, cells, segs — segs holds the
+    marching-squares segments from the SAME case fragments as the
+    engine. Composable at the top level of a caller's WITH."""
     parts = []
     for slot in (0, 1):
         x1, y1, x2, y2, cases = slot_exprs(level, slot)
@@ -154,7 +252,7 @@ SELECT cx, cy, ({x1}) AS x1, ({y1}) AS y1, ({x2}) AS x2, ({y2}) AS y2
 FROM cells WHERE ({case_expr(level)}) IN ({in_list})""")
     w = width
     return f"""
-WITH px AS (SELECT r.range % {w} AS gx, r.range // {w} AS gy FROM range({w * w}) r),
+px AS (SELECT r.range % {w} AS gx, r.range // {w} AS gy FROM range({w * w}) r),
 cells AS (
   SELECT gx AS cx, gy AS cy,
          {band_val_sql(f"gy * {w} + gx")} AS v00,
@@ -162,6 +260,14 @@ cells AS (
          {band_val_sql(f"(gy + 1) * {w} + gx")} AS v01,
          {band_val_sql(f"(gy + 1) * {w} + gx + 1")} AS v11
   FROM px WHERE gx < {w - 1} AND gy < {w - 1}
-)
-{" UNION ALL ".join(parts)}
+),
+segs AS ({" UNION ALL ".join(parts)})"""
+
+
+def contour_oracle_sql(level: int, width: int, band_val_sql) -> str:
+    """DuckDB twin built from the SAME case fragments. band_val_sql:
+    fn(pid_expr) -> closed-form value SQL."""
+    return f"""
+WITH {contour_oracle_ctes(level, width, band_val_sql).strip()}
+SELECT * FROM segs
 """

@@ -2043,6 +2043,39 @@ def sql_contour() -> str:
     return contour.contour_oracle_sql(2**30, 32, _band_val_sql)
 
 
+def q_contour_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour POLYGONIZE output mode (gdal_contour -p,
+    alg/contour.cpp polygon writer): two-bump paraboloid band ->
+    oriented marching-squares segments at level 11 (11 is not a sum of
+    two squares, so no vertex sits exactly on the level) -> ring
+    assembly by pointer doubling. Expect exactly two closed rings, one
+    per bump, with engine-exact areas."""
+    from .operators import contour
+
+    W = 32
+    band = spark.range(W * W).select(
+        (F.col("id") % W).alias("gx"),
+        (F.col("id") / W).cast("bigint").alias("gy"),
+    )
+    d1 = (F.col("gx") - 8) * (F.col("gx") - 8) + (F.col("gy") - 8) * (F.col("gy") - 8)
+    d2 = (F.col("gx") - 24) * (F.col("gx") - 24) + (F.col("gy") - 24) * (F.col("gy") - 24)
+    band = band.withColumn("value", F.least(d1, d2))
+    segs = contour.contour_segments(band, level=11, width=W)
+    return contour.contour_rings(segs, rounds=8)
+
+
+def sql_contour_polygonize() -> str:
+    from .operators import contour
+
+    def bv(p: str) -> str:
+        gx = f"(({p}) % 32)"
+        gy = f"(({p}) // 32)"
+        return (f"least(({gx} - 8) * ({gx} - 8) + ({gy} - 8) * ({gy} - 8), "
+                f"({gx} - 24) * ({gx} - 24) + ({gy} - 24) * ({gy} - 24))")
+
+    return contour.contour_rings_oracle_sql(11, 32, bv)
+
+
 def q_warp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster warp: resample the 32x32 world-mercator band onto a
     24x24 PLATE-CARREE (EPSG:4326) grid — per destination pixel,
@@ -3301,6 +3334,70 @@ fe2 AS (SELECT id, easting, northing FROM ps_fwd),
     )
 
 
+def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR special fields OGR_GEOM_WKT + OGR_STYLE + OGR_GEOM_AREA
+    (ogr/ogr_p.h:167-174 SpecialFieldNames): per supplier, an
+    axis-aligned rectangle with a deterministic PEN style string —
+    the WKT text, the style and the shoelace area as selectable
+    columns, the swq special-field projection surface."""
+    from .functions import geometry as G
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(-160.0) + F.lit(300.0) * docs.hash01_col(i, 101)
+    y0 = F.lit(-70.0) + F.lit(120.0) * docs.hash01_col(i, 102)
+    w = F.lit(2.0) + F.lit(6.0) * docs.hash01_col(i, 103)
+    h = F.lit(1.5) + F.lit(4.0) * docs.hash01_col(i, 104)
+    d = s.select(
+        i.alias("id"),
+        F.array(x0, x0 + w, x0 + w, x0).alias("xs"),
+        F.array(y0, y0, y0 + h, y0 + h).alias("ys"),
+    )
+    style = F.expr(
+        "concat('PEN(c:#', format_string('%06x', (id * 2654435761) % 16777216), "
+        "',w:', cast(1 + id % 5 as string), 'px)')"
+    )
+    return d.select(
+        "id",
+        G.wkt_polygon_expr().alias("geom_wkt"),
+        style.alias("ogr_style"),
+        F.round(G.shoelace_area_expr(), 9).alias("area"),
+    )
+
+
+def sql_ogr_special_fields() -> str:
+    from .functions import geometry as G
+
+    hx = lambda s: derive.hash01_sql("s_suppkey", s)
+    wkt = G.wkt_polygon_sql("xs", "ys")
+    shoelace = (
+        "abs(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, len(xs) + 1), i -> "
+        "xs[i] * ys[1 + i % len(xs)] - xs[1 + i % len(xs)] * ys[i])), "
+        "(a, b) -> a + b)) / 2"
+    )
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -160.0 + 300.0 * ({hx(101)}) AS x0,
+         -70.0 + 120.0 * ({hx(102)}) AS y0,
+         2.0 + 6.0 * ({hx(103)}) AS w,
+         1.5 + 4.0 * ({hx(104)}) AS h
+  FROM supplier
+),
+g AS (
+  SELECT id, [x0, x0 + w, x0 + w, x0] AS xs, [y0, y0, y0 + h, y0 + h] AS ys
+  FROM k
+)
+SELECT id,
+       {wkt} AS geom_wkt,
+       'PEN(c:#' || printf('%06x', (id * 2654435761) % 16777216)
+         || ',w:' || CAST(1 + id % 5 AS VARCHAR) || 'px)' AS ogr_style,
+       round({shoelace}, 9) AS area
+FROM g
+"""
+
+
 _GF_K, _GF_M = 12, 6   # outer ellipse vertices / strict-interior points
 
 
@@ -3588,6 +3685,7 @@ _OGR_SQL_PARTS = [
     ("expressions", ["name8", "seg_nat", "seg3"], ["c_custkey", "bal_floor", "keymod"]),
     ("like_escape", [], ["id", "lit_both", "any_then_lit", "backslash_esc"]),
     ("geom_area", [], ["poly_id", "area"]),
+    ("special_fields", ["geom_wkt", "ogr_style"], ["id", "area"]),
 ]
 
 
@@ -3601,6 +3699,7 @@ def q_ogr_sql_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_match": q_ogr_first_match_join, "like_between": q_ogr_like_between,
         "union_all": q_ogr_union_all, "expressions": q_ogr_expressions,
         "like_escape": q_ogr_like_escape, "geom_area": q_geom_area,
+        "special_fields": q_ogr_special_fields,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _OGR_SQL_PARTS],
@@ -3614,6 +3713,7 @@ def sql_ogr_sql_suite() -> str:
         "first_match": sql_ogr_first_match_join, "like_between": sql_ogr_like_between,
         "union_all": sql_ogr_union_all, "expressions": sql_ogr_expressions,
         "like_escape": sql_ogr_like_escape, "geom_area": sql_geom_area,
+        "special_fields": sql_ogr_special_fields,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _OGR_SQL_PARTS],
@@ -4015,6 +4115,7 @@ QUERIES = {
     "terrain_suite": q_terrain_suite,
     "viewshed": q_viewshed,
     "contour": q_contour,
+    "contour_polygonize": q_contour_polygonize,
     "warp_kernels_suite": q_warp_kernels_suite,
     "grid_suite": q_grid_suite,
     # --- vector pipeline
@@ -4072,6 +4173,7 @@ ORACLES = {
     "terrain_suite": sql_terrain_suite,
     "viewshed": sql_viewshed,
     "contour": sql_contour,
+    "contour_polygonize": sql_contour_polygonize,
     "warp_kernels_suite": sql_warp_kernels_suite,
     "grid_suite": sql_grid_suite,
     "vector_pipeline_suite": sql_vector_pipeline_suite,
