@@ -102,6 +102,36 @@ def assemble_compound_cols(df: DataFrame, *, parts: str = "parts",
              .withColumn("ys", F.expr(chain(vy)))
 
 
+def assemble_curvepolygon(df: DataFrame, *, rings: str = "rings",
+                          id_col: str = "id",
+                          step_deg: float = DEFAULT_STEP_DEG) -> DataFrame:
+    """CurvePolygon -> Polygon assembly (OGRCurvePolygon::CurvePolyToPoly,
+    ogr/ogrcurvepolygon.cpp): ring 0 is the exterior, subsequent rings
+    are holes; each ring is a CLOSED CompoundCurve (array of
+    COMPOUND_PART structs) linearized by assemble_compound_cols.
+    Returns one row per ring: (id, ring_idx, xs, ys, ring_area,
+    polygon_area) where polygon_area = exterior |area| minus the hole
+    |area|s, repeated on every ring of the feature. Entirely JVM
+    column math + one small window."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(rings)).alias("ring_idx", "parts")
+    )
+    asm = assemble_compound_cols(ex, parts="parts", step_deg=step_deg) \
+        .drop("parts")
+    shoelace = F.expr(
+        "abs(aggregate(sequence(1, size(xs) - 1), 0D, (a, i) -> a + "
+        "(element_at(xs, i) * element_at(ys, i + 1) "
+        "- element_at(xs, i + 1) * element_at(ys, i)))) / 2"
+    )
+    asm = asm.withColumn("ring_area", shoelace)
+    signed = F.when(F.col("ring_idx") == 0, F.col("ring_area")) \
+        .otherwise(-F.col("ring_area"))
+    w = Window.partitionBy(id_col)
+    return asm.withColumn("polygon_area", F.sum(signed).over(w))
+
+
 def linearize_arc_cols(df: DataFrame, *, step_deg: float = DEFAULT_STEP_DEG,
                        cx: str = "cx", cy: str = "cy", r: str = "r",
                        a0: str = "a0", a1: str = "a1") -> DataFrame:

@@ -174,3 +174,35 @@ def test_curvepolygon_ring_assembly(spark):
     # shoelace area ~ half-disc (4-degree linearization error bound)
     area = 0.5 * abs(float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])))
     assert abs(area - math.pi / 2) < 2e-3
+
+
+def test_curvepolygon_with_hole(spark):
+    """Full CurvePolygon (exterior + interior hole ring, both closed
+    full-circle arcs): polygon_area = pi*(R^2 - r^2) to linearization
+    error; each ring closes on itself."""
+    from gdal_spark.functions import arcs as AR
+    from pyspark.sql import functions as F
+
+    def circle(r):
+        return F.array(F.struct(
+            F.lit("A").alias("kind"),
+            F.array().cast("array<double>").alias("xs"),
+            F.array().cast("array<double>").alias("ys"),
+            F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy"),
+            F.lit(float(r)).alias("r"),
+            F.lit(0.0).alias("a0"), F.lit(2.0 * math.pi).alias("a1"),
+        ))
+
+    d = spark.range(1).select(
+        F.col("id"), F.array(circle(2.0), circle(1.0)).alias("rings")
+    )
+    rows = AR.assemble_curvepolygon(d).orderBy("ring_idx").collect()
+    assert [r["ring_idx"] for r in rows] == [0, 1]
+    for r in rows:
+        # sin(2*pi) != 0 in doubles: closure to libm ulp, not bit-equal
+        assert abs(r["xs"][0] - r["xs"][-1]) < 1e-12
+        assert abs(r["ys"][0] - r["ys"][-1]) < 1e-12
+    assert abs(rows[0]["ring_area"] - math.pi * 4.0) < 2e-2
+    assert abs(rows[1]["ring_area"] - math.pi) < 1e-2
+    assert abs(rows[0]["polygon_area"] - math.pi * 3.0) < 3e-2
+    assert rows[0]["polygon_area"] == rows[1]["polygon_area"]

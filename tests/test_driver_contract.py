@@ -1,6 +1,6 @@
 """Driver-contract smoke + a DuckDB oracle spot check at sf0.001.
 
-The full 28-query oracle gate runs via tools/check_correctness.py (and
+The full 50-entry oracle gate runs via tools/check_correctness.py (and
 the driver itself at sf0.01); here we pin the contract shape and a fast
 representative subset so `pytest -x -q` catches registry breakage.
 """
@@ -60,6 +60,12 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     for c in cols:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            assert (av.astype(float).values == bv.astype(float).values).all(), c
+            import numpy as np
+
+            x = av.astype(float).values
+            y = bv.astype(float).values
+            # NaN-padded suite slots: the driver compares value reprs,
+            # where nan == nan — mirror that here
+            assert ((x == y) | (np.isnan(x) & np.isnan(y))).all(), c
         else:
             assert av.astype(str).tolist() == bv.astype(str).tolist(), c
