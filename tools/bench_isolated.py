@@ -54,7 +54,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     names = sys.argv[1:] or DEFAULT
+    path0 = os.path.join(repo, "BENCH", "bench_r3_isolated.json")
     out: dict[str, float] = {}
+    if os.path.exists(path0):  # merge: partial runs extend the record
+        with open(path0) as f:
+            out = json.load(f).get("queries", {})
     for name in names:
         r = subprocess.run(
             [sys.executable, "-c", WORKER.format(repo=repo),

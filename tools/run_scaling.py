@@ -56,14 +56,28 @@ def run(cpus: int, n_docs: int) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3"))
     n4 = 4 * n
     cal_lo, cal_hi = raw_cpu(n), raw_cpu(n4)
     machine_eff = (cal_hi / cal_lo) / 4.0
-    r_lo = run(n, n_docs)
-    r_hi = run(n4, n_docs)
+    # INTERLEAVED leg pairs: this shared-VM host drifts +-25% between
+    # minutes (steal + per-core turbo), so a single (N, 4N) pair is
+    # noise-dominated. Adjacent pairs share a drift window; the median
+    # per-pair efficiency is the drift-robust estimate, and all
+    # samples are published.
+    pairs = []
+    for _ in range(n_pairs):
+        r_lo = run(n, n_docs)
+        r_hi = run(n4, n_docs)
+        pairs.append((r_lo, r_hi, (r_hi["value"] / r_lo["value"]) / 4.0))
+    pairs_by_eff = sorted(pairs, key=lambda p: p[2])
+    r_lo, r_hi, eff = pairs_by_eff[len(pairs_by_eff) // 2]  # median pair
     rate_lo, rate_hi = r_lo["value"], r_hi["value"]
-    eff = (rate_hi / rate_lo) / 4.0
     rel = eff / machine_eff if machine_eff else 0.0
+    sample_lines = "\n".join(
+        f"| pair {i} | {lo['value']:,.0f} | {hi['value']:,.0f} | {e:.3f} |"
+        for i, (lo, hi, e) in enumerate(pairs)
+    )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — two-cluster-size scaling (north_rule)
 
@@ -78,12 +92,20 @@ levels — the sandbox proxy for N vs 4N executors:
 | local[{n4}] (4N) | {rate_hi:,.0f} | {r_hi['queries']['headline_join_tile']} | {r_hi['joined_rows']:,} |
 
 **Engine scaling efficiency (N -> 4N) = (rate_4N / rate_N) / 4 = {eff:.3f}**
-(north_rule target >= 0.8).
+(median of {len(pairs)} interleaved leg pairs; north_rule target >= 0.8).
+
+All interleaved samples (the shared-VM host drifts +-25% between
+minutes — steal + per-core turbo, which inflates the low-parallelism
+leg; adjacent pairs share a drift window):
+
+| sample | docs/sec @{n} | docs/sec @{n4} | efficiency |
+|---|---|---|---|
+{sample_lines}
 
 Machine calibration: a pure-CPU busy-loop on this shared-VM host
-scales {n}->{n4} processes at only {machine_eff:.3f} efficiency (host
+scales {n}->{n4} processes at {machine_eff:.3f} efficiency (host
 steal/frequency effects — no SMT, {os.cpu_count()} advertised cores).
-Engine efficiency relative to the machine's own ceiling:
+Median engine efficiency relative to the machine's own ceiling:
 **{rel:.3f}**.
 
 Why the plan scales: tile/cell assignment is whole-stage-codegen
