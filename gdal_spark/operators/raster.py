@@ -601,6 +601,52 @@ def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
     )
 
 
+def color_relief(band: DataFrame,
+                 ramp: list[tuple[float, int, int, int]]) -> DataFrame:
+    """gdaldem color-relief (alg/gdaldem_lib.cpp
+    GDALColorReliefGetColor, linear interpolation mode): per pixel,
+    each channel is entry1 + ratio * (entry2 - entry1) with ratio =
+    (v - v1)/(v2 - v1), then the reference's (int)(0.45 + x)
+    truncation. Below the first / above the last entry clamps. Pure
+    codegen CASE chain; ramp breakpoints are Python floats embedded
+    identically in the SQL oracle. Adds (r, g, b)."""
+    v = F.col("value").cast("double")
+
+    def chan(idx: int):
+        expr = F.when(v <= F.lit(float(ramp[0][0])), F.lit(float(ramp[0][idx])))
+        for (v1, *c1), (v2, *c2) in zip(ramp, ramp[1:]):
+            interp = (F.lit(float(c1[idx - 1]))
+                      + ((v - F.lit(float(v1))) * F.lit(float(c2[idx - 1] - c1[idx - 1])))
+                      / F.lit(float(v2 - v1)))
+            expr = expr.when(v <= F.lit(float(v2)), interp)
+        expr = expr.otherwise(F.lit(float(ramp[-1][idx])))
+        return F.floor(F.lit(0.45) + expr).cast("int")
+
+    return band.withColumn("r", chan(1)).withColumn("g", chan(2)) \
+               .withColumn("b", chan(3))
+
+
+def color_relief_sql(v_expr: str,
+                     ramp: list[tuple[float, int, int, int]]) -> list[str]:
+    """DuckDB twins of color_relief's three channel expressions (same
+    literal breakpoints, same op order)."""
+    out = []
+    for idx in (1, 2, 3):
+        whens = [f"WHEN ({v_expr}) <= {float(ramp[0][0])!r} "
+                 f"THEN {float(ramp[0][idx])!r}"]
+        for e1, e2 in zip(ramp, ramp[1:]):
+            v1, v2 = float(e1[0]), float(e2[0])
+            c1, c2 = float(e1[idx]), float(e2[idx])
+            whens.append(
+                f"WHEN ({v_expr}) <= {v2!r} THEN ({c1!r} "
+                f"+ ((({v_expr}) - {v1!r}) * {float(c2 - c1)!r}) / {float(v2 - v1)!r})"
+            )
+        case = ("CASE " + " ".join(whens)
+                + f" ELSE {float(ramp[-1][idx])!r} END")
+        out.append(f"CAST(floor(0.45 + ({case})) AS INTEGER)")
+    return out
+
+
 def reclassify(band: DataFrame, breaks: list[tuple[int, int, int]],
                default: int | None = None) -> DataFrame:
     """Raster reclassify (the `gdal raster reclassify` pipeline step /

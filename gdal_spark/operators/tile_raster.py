@@ -272,6 +272,24 @@ def hillshade_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int,
     return halo_apply(tiled, fn, tile=tile, nty=nty, ntx=ntx, out_cols=["shade"])
 
 
+def aspect_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int) -> DataFrame:
+    """gdaldem ASPECT, azimuth form (alg/gdaldem_lib.cpp
+    GDALAspectAlg): az = 90 - degrees(atan2(dzdy, -dzdx)), wrapped to
+    [0, 360); flat cells (both gradients zero) emit -9999 (the
+    reference's aspect nodata). Same Horn stencil/halo pass as slope."""
+    def fn(padded, ty, tx):
+        _, nb = neighbors_3x3(padded)
+        dzdx, dzdy = _horn(nb)
+        a = np.arctan2(dzdy, -dzdx) * _DEG
+        az = 90.0 - a
+        az = np.where(az < 0.0, az + 360.0, az)
+        az = np.where((dzdx == 0.0) & (dzdy == 0.0), -9999.0, az)
+        return {"aspect_deg": az}
+
+    return halo_apply(tiled, fn, tile=tile, nty=nty, ntx=ntx,
+                      out_cols=["aspect_deg"])
+
+
 def terrain_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int) -> DataFrame:
     """TPI / TRI / roughness in one halo pass (gdaldem tpi/tri/
     roughness semantics; same neighbor order as the column version —

@@ -2027,6 +2027,83 @@ FROM px
 """
 
 
+def q_terrain_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem aspect (azimuth form, flat -> -9999) on the tile-array
+    model — the remaining gdaldem verb (alg/gdaldem_lib.cpp
+    GDALAspectAlg); rounded 6dp (atan2 ulp)."""
+    from .operators import tile_raster
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.aspect_tiles(tiles, tile=8, nty=4, ntx=4)
+    px = tile_raster.pixels_from_tiles(out, tile=8, col="aspect_deg",
+                                       out="aspect_deg")
+    return px.select("gx", "gy", F.round("aspect_deg", 6).alias("aspect_deg"))
+
+
+def sql_terrain_aspect() -> str:
+    W = 32
+
+    def v(dx: int, dy: int) -> str:
+        if dx == 0 and dy == 0:
+            return _band_val_sql(f"gy * {W} + gx")
+        inside = (
+            f"gx + ({dx}) >= 0 AND gx + ({dx}) <= {W - 1} "
+            f"AND gy + ({dy}) >= 0 AND gy + ({dy}) <= {W - 1}"
+        )
+        return (
+            f"(CASE WHEN {inside} THEN {_band_val_sql(f'(gy + ({dy})) * {W} + gx + ({dx})')} "
+            f"ELSE {_band_val_sql(f'gy * {W} + gx')} END)"
+        )
+
+    dzdx = (
+        f"((({v(1,-1)}) + 2 * ({v(1,0)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(-1,0)}) + ({v(-1,1)}))) / 8.0"
+    )
+    dzdy = (
+        f"((({v(-1,1)}) + 2 * ({v(0,1)}) + ({v(1,1)})) "
+        f"- (({v(-1,-1)}) + 2 * ({v(0,-1)}) + ({v(1,-1)}))) / 8.0"
+    )
+    az = f"90.0 - (atan2(dzdy, -dzdx) * (180.0 / pi()))"
+    return f"""
+WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r),
+g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px)
+SELECT gx, gy,
+       round(CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN -9999.0
+                  WHEN ({az}) < 0.0 THEN ({az}) + 360.0
+                  ELSE ({az}) END, 6) AS aspect_deg
+FROM g
+"""
+
+
+_RELIEF_M = 2147483647.0
+_RELIEF_RAMP = [
+    (0.0, 0, 0, 255),
+    (_RELIEF_M * 0.25, 0, 255, 255),
+    (_RELIEF_M * 0.5, 0, 255, 0),
+    (_RELIEF_M * 0.75, 255, 255, 0),
+    (_RELIEF_M, 255, 0, 0),
+]
+
+
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief: 5-entry blue->red ramp linearly
+    interpolated per channel with the reference's (int)(0.45 + x)
+    truncation (alg/gdaldem_lib.cpp GDALColorReliefGetColor)."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    out = raster.color_relief(band.select("gx", "gy", "value"), _RELIEF_RAMP)
+    return out.select("gx", "gy", "r", "g", "b")
+
+
+def sql_color_relief() -> str:
+    v = f"CAST(({_band_val_sql('gy * 32 + gx')}) AS DOUBLE)"
+    r, g, b = raster.color_relief_sql(v, _RELIEF_RAMP)
+    return f"""
+WITH px AS (SELECT r.range % 32 AS gx, r.range // 32 AS gy FROM range(1024) r)
+SELECT gx, gy, {r} AS r, {g} AS g, {b} AS b FROM px
+"""
+
+
 def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marching-squares contour segments at the band's midpoint level
     (alg/contour.cpp; per-cell classification as column math, segments
@@ -3928,8 +4005,10 @@ def sql_footprint_suite() -> str:
 
 _TERRAIN_PARTS = [
     ("slope", [], ["gx", "gy", "slope_deg"]),
+    ("aspect", [], ["gx", "gy", "aspect_deg"]),
     ("hillshade", [], ["gx", "gy", "shade"]),
     ("tpi_tri_rough", [], ["gx", "gy", "tpi", "tri", "roughness"]),
+    ("color_relief", [], ["gx", "gy", "r", "g", "b"]),
 ]
 
 
@@ -3937,8 +4016,9 @@ def q_terrain_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem family on the tile-array (halo) model in one gate row:
     Horn slope, hillshade, TPI/TRI/roughness."""
     subs = {
-        "slope": q_focal_slope, "hillshade": q_hillshade,
-        "tpi_tri_rough": q_terrain_metrics,
+        "slope": q_focal_slope, "aspect": q_terrain_aspect,
+        "hillshade": q_hillshade, "tpi_tri_rough": q_terrain_metrics,
+        "color_relief": q_color_relief,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _TERRAIN_PARTS],
@@ -3948,8 +4028,9 @@ def q_terrain_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_terrain_suite() -> str:
     subs = {
-        "slope": sql_focal_slope, "hillshade": sql_hillshade,
-        "tpi_tri_rough": sql_terrain_metrics,
+        "slope": sql_focal_slope, "aspect": sql_terrain_aspect,
+        "hillshade": sql_hillshade, "tpi_tri_rough": sql_terrain_metrics,
+        "color_relief": sql_color_relief,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _TERRAIN_PARTS],
