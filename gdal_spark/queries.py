@@ -1217,12 +1217,17 @@ FROM m
 
 
 def q_rasterize_add(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector->raster burn with MERGE_ALG=ADD (gdalrasterize.cpp:800-817):
-    pixel-center PIP then per-pixel sum of (poly_id+1)."""
+    """Vector->raster burn, BOTH merge algorithms
+    (gdalrasterize.cpp:800-817): pixel-center PIP then per-pixel
+    MERGE_ALG=ADD (sum of poly_id+1) and MERGE_ALG=REPLACE (max burn —
+    the deterministic last-wins, features iterating in id order)."""
     grid = raster.pixel_grid(spark, zoom=2, tile_px=16)
     cov = polygons.countries64_cover(spark, res=4)
-    out = raster.rasterize_polygons(grid, cov, res=4, merge_alg="add")
-    return out.select("gx", "gy", F.col("burn").cast("bigint").alias("burn"))
+    add = raster.rasterize_polygons(grid, cov, res=4, merge_alg="add") \
+        .select("gx", "gy", F.col("burn").cast("bigint").alias("burn"))
+    rep = raster.rasterize_polygons(grid, cov, res=4, merge_alg="replace") \
+        .select("gx", "gy", F.col("burn").cast("bigint").alias("burn_replace"))
+    return add.join(rep, ["gx", "gy"])
 
 
 def sql_rasterize_add() -> str:
@@ -1236,7 +1241,9 @@ FROM range({w * w}) r
 """
     inner = derive.pip_join_sql(grid_cte, id_col="id", x_col="x", y_col="y")
     return f"""
-SELECT id % {w} AS gx, id // {w} AS gy, CAST(sum(poly_id + 1) AS BIGINT) AS burn
+SELECT id % {w} AS gx, id // {w} AS gy,
+       CAST(sum(poly_id + 1) AS BIGINT) AS burn,
+       CAST(max(poly_id) AS BIGINT) AS burn_replace
 FROM ({inner}) GROUP BY 1, 2
 """
 
