@@ -1799,6 +1799,56 @@ SELECT id, part_idx, nv, round(s2, 9) AS signed_area FROM ar
 """
 
 
+def q_simplify_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segmentize -> Douglas-Peucker simplify chain
+    (OGRGeometry::segmentize + SimplifyPreserveTopology's DP core):
+    a 5-vertex tent line whose climb points deviate sub-tolerance from
+    the climb chords — segmentize densifies every edge with exactly
+    collinear vertices (distance ~1e-16), DP at tol 0.5 then keeps
+    precisely [start, apex, end]. The kept set is closed-form, so the
+    oracle emits it directly; the engine runs the real chain."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(-160.0) + F.lit(300.0) * docs.hash01_col(i, 111)
+    y0 = F.lit(-70.0) + F.lit(120.0) * docs.hash01_col(i, 112)
+    hh = F.lit(2.0) + F.lit(2.0) * docs.hash01_col(i, 113)
+    e1 = F.lit(0.05) + F.lit(0.1) * docs.hash01_col(i, 114)
+    e2 = F.lit(-0.05) - F.lit(0.1) * docs.hash01_col(i, 115)
+    half = hh * F.lit(0.5)
+    d = s.select(
+        i.alias("id"),
+        F.array(x0, x0 + 1.0, x0 + 2.0, x0 + 3.0, x0 + 4.0).alias("xs"),
+        F.array(y0, y0 + half + e1, y0 + hh, y0 + half + e2, y0).alias("ys"),
+    )
+    out = VP.simplify(VP.segmentize(d, max_length=0.7), tolerance=0.5)
+    return out.select(
+        "id", F.posexplode(F.arrays_zip("xs", "ys")).alias("k", "_p")
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_simplify_chain() -> str:
+    hx = lambda s: derive.hash01_sql("s_suppkey", s)
+    return f"""
+WITH k AS (
+  SELECT s_suppkey AS id,
+         -160.0 + 300.0 * ({hx(111)}) AS x0,
+         -70.0 + 120.0 * ({hx(112)}) AS y0,
+         2.0 + 2.0 * ({hx(113)}) AS hh
+  FROM supplier
+)
+SELECT id, CAST(j.range AS BIGINT) AS k,
+       round(CASE j.range WHEN 0 THEN x0 WHEN 1 THEN x0 + 2.0 ELSE x0 + 4.0 END, 9) AS vx,
+       round(CASE j.range WHEN 0 THEN y0 WHEN 1 THEN y0 + hh ELSE y0 END, 9) AS vy
+FROM k CROSS JOIN range(3) j
+"""
+
+
 def q_raster_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster reclassify (gdal raster reclassify step): 3-class range
     remap as one codegen CASE chain."""
@@ -4111,6 +4161,7 @@ _VECTOR_PIPE_PARTS = [
     ("polygon_buffer", [], ["id", "k", "vx", "vy"]),
     ("compound_curve", [], ["id", "k", "vx", "vy"]),
     ("explode_make_valid", [], ["id", "part_idx", "nv", "signed_area"]),
+    ("simplify_chain", [], ["id", "k", "vx", "vy"]),
 ]
 
 
@@ -4121,6 +4172,7 @@ def q_vector_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = {
         "point_buffer": q_vector_buffer, "polygon_buffer": q_polygon_buffer,
         "compound_curve": q_compound_curve, "explode_make_valid": q_explode_make_valid,
+        "simplify_chain": q_simplify_chain,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
@@ -4132,6 +4184,7 @@ def sql_vector_pipeline_suite() -> str:
     subs = {
         "point_buffer": sql_vector_buffer, "polygon_buffer": sql_polygon_buffer,
         "compound_curve": sql_compound_curve, "explode_make_valid": sql_explode_make_valid,
+        "simplify_chain": sql_simplify_chain,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
