@@ -3972,16 +3972,62 @@ def sql_reproject_suite() -> str:
     )
 
 
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-band statistics (GDALRasterBand::ComputeStatistics /
+    gdalinfo -stats): min/max/mean/stddev over the synthetic band in
+    the exact integer-moment form (n*Sx2 - Sx^2 — the engine-exact
+    equivalent of the reference's streaming accumulation)."""
+    band = raster.synth_band(spark, zoom=3, tile_px=16)  # 128x128
+    v = F.col("value")
+    agg = band.agg(
+        F.count("*").alias("cnt"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("_s1"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("_s2"),
+    )
+    n = F.col("cnt")
+    m = (n.cast("decimal(38,0)") * F.col("_s2")
+         - F.col("_s1").cast("decimal(38,0)") * F.col("_s1"))
+    return agg.select(
+        "cnt", "vmin", "vmax",
+        (F.col("_s1").cast("double") / n.cast("double")).alias("mean"),
+        F.round(
+            F.sqrt(m.cast("double") / (n * n).cast("double")), 6
+        ).alias("stddev"),
+    )
+
+
+def sql_band_stats() -> str:
+    val = _band_val_sql("r.range")
+    return f"""
+WITH px AS (SELECT ({val}) AS value FROM range(16384) r),
+a AS (
+  SELECT count(*) AS cnt, min(value) AS vmin, max(value) AS vmax,
+         sum(value) AS _s1,
+         sum(CAST(value AS HUGEINT) * value) AS _s2
+  FROM px
+)
+SELECT cnt, vmin, vmax,
+       CAST(_s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean,
+       round(sqrt(CAST(cnt * _s2 - CAST(_s1 AS HUGEINT) * _s1 AS DOUBLE)
+             / CAST(cnt * cnt AS DOUBLE)), 6) AS stddev
+FROM a
+"""
+
+
 _OVERVIEW_PARTS = [
     ("average", [], ["gx", "gy", "value"]),
     ("order_stats", [], ["gx", "gy", "mode", "med", "q1", "q3", "rms"]),
+    ("band_stats", [], ["cnt", "vmin", "vmax", "mean", "stddev"]),
 ]
 
 
 def q_overview_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overview reduction in one gate row: 2x2 average + the
     order-statistic kernels (mode/med/q1/q3/rms)."""
-    subs = {"average": q_overview_avg, "order_stats": q_overview_stats}
+    subs = {"average": q_overview_avg, "order_stats": q_overview_stats,
+            "band_stats": q_band_stats}
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _OVERVIEW_PARTS],
         n_str=0, n_num=7,
@@ -3989,7 +4035,8 @@ def q_overview_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_overview_suite() -> str:
-    subs = {"average": sql_overview_avg, "order_stats": sql_overview_stats}
+    subs = {"average": sql_overview_avg, "order_stats": sql_overview_stats,
+            "band_stats": sql_band_stats}
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _OVERVIEW_PARTS],
         n_str=0, n_num=7,
