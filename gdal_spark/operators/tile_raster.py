@@ -265,11 +265,121 @@ def hillshade_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int,
         _, nb = neighbors_3x3(padded)
         dzdx, dzdy = _horn(nb)
         slope = np.arctan(z_factor * np.sqrt(dzdx * dzdx + dzdy * dzdy))
-        aspect = np.arctan2(dzdy, -dzdx)
+        # north-up raster (gdaldem's documented assumption, gt5 < 0):
+        # row 0 is the northernmost scanline, so the geographic
+        # south->north gradient is -dzdy and the downslope math angle
+        # is atan2(-dzdy, -dzdx)
+        aspect = np.arctan2(-dzdy, -dzdx)
         shade = sin_alt * np.cos(slope) + cos_alt * np.sin(slope) * np.cos(azm - aspect)
         return {"shade": np.maximum(0.0, 255.0 * shade)}
 
     return halo_apply(tiled, fn, tile=tile, nty=nty, ntx=ntx, out_cols=["shade"])
+
+
+def hillshade_variant_tiles(
+    tiled: DataFrame,
+    *,
+    tile: int,
+    nty: int,
+    ntx: int,
+    variant: str,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """The non-default gdaldem hillshade flavors on the tile model
+    (apps/gdaldem_lib.cpp):
+
+    - 'combined' (GDALHillshadeCombinedAlg, :1140): oblique shading
+      modulated by slope — cang = 1 - acos(standard) * atan(|grad|*z)
+      * 4/pi^2, scaled 1 + 254*cang with the <=0 -> 1 floor.
+    - 'multidirectional' (GDALHillshadeMultiDirectionalAlg, :1238):
+      USGS OF 92-422 four-azimuth (225/270/315/360) blend, weights
+      sin^2(aspect - az) expressed in gradient components; flat cells
+      emit 1 + 254*sin(alt).
+    - 'igor' (GDALHillshadeIgorAlg, :943): shadowness = 1 -
+      slope_strength * aspect_strength on a 0..255 ramp.
+
+    Gradients reuse the Horn stencil (/8 folded in), so the reference's
+    z_factor/8 scaling becomes plain z here; constants are computed
+    once in Python and shared verbatim with the SQL oracle twins.
+    Output column: 'shade'."""
+    import math
+
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    sin_alt = math.sin(alt)
+    zsq = z_factor * z_factor
+    # standard numerator constants (cos/sin az x cos alt x z)
+    c_caz = math.cos(az) * math.cos(alt) * z_factor
+    c_saz = math.sin(az) * math.cos(alt) * z_factor
+    inv_half_pi_sq = 1.0 / ((math.pi * math.pi) / 4.0)
+    # multidirectional constants
+    s127 = 127.0 * sin_alt
+    s254 = 254.0 * sin_alt
+    c225 = math.cos(math.radians(225.0)) * math.cos(alt) * z_factor * 127.0
+    calt127 = math.cos(alt) * z_factor * 127.0
+    # igor constants
+    two_pi = 2.0 * math.pi
+    ref_az = math.fmod(1.5 * math.pi - az, two_pi)
+    if ref_az < 0.0:
+        ref_az += two_pi
+
+    def fn(padded, ty, tx):
+        _, nb = neighbors_3x3(padded)
+        dzdx, dzdy = _horn(nb)
+        # Gradient<HORN>::calc under a north-up geotransform (gt5 < 0,
+        # row 0 = northernmost scanline, unit res): x = (west - east
+        # sums) = -dzdx, y = (south - north sums) * (1/gt5) = -dzdy;
+        # the z/8 scaling is already folded into the Horn /8
+        xg = -dzdx
+        yg = -dzdy
+        if variant == "combined":
+            slope = (xg * xg + yg * yg) * zsq
+            num = sin_alt - (yg * c_caz - xg * c_saz)
+            # clamp: the ratio is a cosine (<=1 mathematically) but
+            # rounding may push it past 1, and numpy/DuckDB would then
+            # disagree NaN-vs-value; clamped identically in the oracle
+            cang = np.arccos(np.clip(num / np.sqrt(1.0 + slope), -1.0, 1.0))
+            comb = 1.0 - (cang * np.arctan(np.sqrt(slope))) * inv_half_pi_sq
+            shade = np.where(comb <= 0.0, 1.0, 1.0 + 254.0 * comb)
+        elif variant == "multidirectional":
+            xx = xg * xg
+            yy = yg * yg
+            xpy = xx + yy
+            v225 = np.maximum(0.0, s127 + (xg - yg) * c225)
+            v270 = np.maximum(0.0, s127 - xg * calt127)
+            v315 = np.maximum(0.0, s127 + (xg + yg) * c225)
+            v360 = np.maximum(0.0, s127 - yg * calt127)
+            w225 = 0.5 * xpy - xg * yg
+            w270 = xx
+            w315 = xpy - w225
+            w360 = yy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                blend = (
+                    (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                    / xpy
+                ) / np.sqrt(1.0 + zsq * xpy)
+            shade = np.where(xpy == 0.0, 1.0 + s254, 1.0 + blend)
+        elif variant == "igor":
+            slope_deg = np.arctan(
+                np.sqrt(dzdx * dzdx + dzdy * dzdy) * z_factor) * _DEG
+            # igor's aspect uses RAW window sums (no geotransform
+            # fold, gdaldem_lib.cpp:974-989): atan2(south-north sums,
+            # west-east sums) = atan2(dzdy, -dzdx) in this model
+            asp = np.arctan2(dzdy, -dzdx)
+            na = np.fmod(asp, two_pi)
+            na = np.where(na < 0.0, na + two_pi, na)
+            diff = np.abs(na - ref_az)
+            diff = np.where(diff > math.pi, two_pi - diff, diff)
+            strength = 1.0 - diff / math.pi
+            shade = 255.0 * (1.0 - (slope_deg / 90.0) * strength)
+        else:
+            raise ValueError(f"unknown hillshade variant {variant!r}")
+        return {"shade": shade}
+
+    return halo_apply(tiled, fn, tile=tile, nty=nty, ntx=ntx,
+                      out_cols=["shade"])
 
 
 def aspect_tiles(tiled: DataFrame, *, tile: int, nty: int, ntx: int) -> DataFrame:

@@ -3153,11 +3153,9 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.select("gx", "gy", F.round("shade", 6).alias("shade"))
 
 
-def sql_hillshade() -> str:
-    import math
-
-    W = 32
-
+def _horn_grad_sql(W: int) -> tuple[str, str]:
+    """(dzdx, dzdy) Horn-gradient SQL over the synth band with the
+    same 'center' edge convention as tile_raster.neighbors_3x3."""
     def v(dx: int, dy: int) -> str:
         if dx == 0 and dy == 0:
             return _band_val_sql(f"gy * {W} + gx")
@@ -3178,6 +3176,14 @@ def sql_hillshade() -> str:
         f"((({v(-1,1)}) + 2 * ({v(0,1)}) + ({v(1,1)})) "
         f"- (({v(-1,-1)}) + 2 * ({v(0,-1)}) + ({v(1,-1)}))) / 8.0"
     )
+    return dzdx, dzdy
+
+
+def sql_hillshade() -> str:
+    import math
+
+    W = 32
+    dzdx, dzdy = _horn_grad_sql(W)
     az = math.radians(315.0)
     alt = math.radians(45.0)
     # embed the Python-computed sun constants verbatim so both engines
@@ -3187,13 +3193,142 @@ WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W})
 g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px),
 s AS (
   SELECT gx, gy, atan(1.0 * sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope,
-         atan2(dzdy, -dzdx) AS aspect
+         atan2(-(dzdy), -dzdx) AS aspect
   FROM g
 )
 SELECT gx, gy,
        round(greatest(0.0, 255.0 * ({math.sin(alt)!r} * cos(slope)
              + {math.cos(alt)!r} * sin(slope) * cos({az - math.pi / 2.0!r} - aspect))), 6) AS shade
 FROM s
+"""
+
+
+def _q_hillshade_variant(spark: SparkSession, variant: str) -> DataFrame:
+    """Shared fixture/pipeline for the non-default gdaldem hillshade
+    flavors (combined / multidirectional / igor) on the tile model."""
+    from .operators import tile_raster
+
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    tiles = tile_raster.tiles_from_pixels(band, tile=8)
+    out = tile_raster.hillshade_variant_tiles(
+        tiles, tile=8, nty=4, ntx=4, variant=variant,
+        z_factor=1.0, azimuth_deg=315.0, altitude_deg=45.0)
+    px = tile_raster.pixels_from_tiles(out, tile=8, col="shade", out="shade")
+    return px.select("gx", "gy", F.round("shade", 6).alias("shade"))
+
+
+def q_hillshade_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+    apps/gdaldem_lib.cpp:1140): oblique shading modulated by slope."""
+    return _q_hillshade_variant(spark, "combined")
+
+
+def q_hillshade_multidir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -multidirectional (USGS OF 92-422 blend,
+    apps/gdaldem_lib.cpp:1238)."""
+    return _q_hillshade_variant(spark, "multidirectional")
+
+
+def q_hillshade_igor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -igor (GDALHillshadeIgorAlg,
+    apps/gdaldem_lib.cpp:943): shadowness ramp."""
+    return _q_hillshade_variant(spark, "igor")
+
+
+_HS_W = 32  # synth_band(zoom=2, tile_px=8)
+
+
+def sql_hillshade_combined() -> str:
+    import math
+
+    alt = math.radians(45.0)
+    az = math.radians(315.0)
+    z = 1.0
+    sin_alt = math.sin(alt)
+    c_caz = math.cos(az) * math.cos(alt) * z
+    c_saz = math.sin(az) * math.cos(alt) * z
+    zsq = z * z
+    inv = 1.0 / ((math.pi * math.pi) / 4.0)
+    dzdx, dzdy = _horn_grad_sql(_HS_W)
+    return f"""
+WITH px AS (SELECT r.range % {_HS_W} AS gx, r.range // {_HS_W} AS gy FROM range({_HS_W * _HS_W}) r),
+g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px),
+v AS (SELECT gx, gy, -(dzdx) AS xg, -(dzdy) AS yg FROM g),
+s AS (SELECT gx, gy, ((xg * xg + yg * yg) * {zsq!r}) AS slope,
+             ({sin_alt!r} - (yg * {c_caz!r} - xg * {c_saz!r})) AS num
+      FROM v),
+c AS (SELECT gx, gy,
+             (1.0 - (acos(least(1.0, greatest(-1.0, num / sqrt(1.0 + slope))))
+              * atan(sqrt(slope))) * {inv!r}) AS comb
+      FROM s)
+SELECT gx, gy,
+       round(CASE WHEN comb <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * comb END, 6) AS shade
+FROM c
+"""
+
+
+def sql_hillshade_multidir() -> str:
+    import math
+
+    alt = math.radians(45.0)
+    z = 1.0
+    sin_alt = math.sin(alt)
+    zsq = z * z
+    s127 = 127.0 * sin_alt
+    s254 = 254.0 * sin_alt
+    c225 = math.cos(math.radians(225.0)) * math.cos(alt) * z * 127.0
+    calt127 = math.cos(alt) * z * 127.0
+    dzdx, dzdy = _horn_grad_sql(_HS_W)
+    return f"""
+WITH px AS (SELECT r.range % {_HS_W} AS gx, r.range // {_HS_W} AS gy FROM range({_HS_W * _HS_W}) r),
+g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px),
+v AS (SELECT gx, gy, -(dzdx) AS xg, -(dzdy) AS yg FROM g),
+m AS (SELECT gx, gy, xg, yg, xg * xg AS xx, yg * yg AS yy, xg * xg + yg * yg AS xpy FROM v),
+w AS (SELECT gx, gy, xx, yy, xpy,
+             greatest(0.0, {s127!r} + (xg - yg) * {c225!r}) AS v225,
+             greatest(0.0, {s127!r} - xg * {calt127!r}) AS v270,
+             greatest(0.0, {s127!r} + (xg + yg) * {c225!r}) AS v315,
+             greatest(0.0, {s127!r} - yg * {calt127!r}) AS v360,
+             0.5 * xpy - xg * yg AS w225
+      FROM m),
+b AS (SELECT gx, gy, xpy,
+             ((w225 * v225 + xx * v270 + (xpy - w225) * v315 + yy * v360) / xpy)
+             / sqrt(1.0 + {zsq!r} * xpy) AS blend
+      FROM w)
+SELECT gx, gy,
+       round(CASE WHEN xpy = 0.0 THEN {1.0 + s254!r} ELSE 1.0 + blend END, 6) AS shade
+FROM b
+"""
+
+
+def sql_hillshade_igor() -> str:
+    import math
+
+    z = 1.0
+    deg = 180.0 / math.pi
+    two_pi = 2.0 * math.pi
+    az = math.radians(315.0)
+    ref_az = math.fmod(1.5 * math.pi - az, two_pi)
+    if ref_az < 0.0:
+        ref_az += two_pi
+    dzdx, dzdy = _horn_grad_sql(_HS_W)
+    return f"""
+WITH px AS (SELECT r.range % {_HS_W} AS gx, r.range // {_HS_W} AS gy FROM range({_HS_W * _HS_W}) r),
+g AS (SELECT gx, gy, ({dzdx}) AS dzdx, ({dzdy}) AS dzdy FROM px),
+s AS (SELECT gx, gy,
+             atan(sqrt(dzdx * dzdx + dzdy * dzdy) * {z!r}) * {deg!r} AS slope_deg,
+             fmod(atan2(dzdy, -dzdx), {two_pi!r}) AS na0
+      FROM g),
+n AS (SELECT gx, gy, slope_deg,
+             CASE WHEN na0 < 0.0 THEN na0 + {two_pi!r} ELSE na0 END AS na
+      FROM s),
+d AS (SELECT gx, gy, slope_deg, abs(na - {ref_az!r}) AS adiff FROM n),
+e AS (SELECT gx, gy, slope_deg,
+             CASE WHEN adiff > {math.pi!r} THEN {two_pi!r} - adiff ELSE adiff END AS adiff2
+      FROM d)
+SELECT gx, gy,
+       round(255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - adiff2 / {math.pi!r})), 6) AS shade
+FROM e
 """
 
 
@@ -4111,6 +4246,9 @@ _TERRAIN_PARTS = [
     ("slope", [], ["gx", "gy", "slope_deg"]),
     ("aspect", [], ["gx", "gy", "aspect_deg"]),
     ("hillshade", [], ["gx", "gy", "shade"]),
+    ("hs_combined", [], ["gx", "gy", "shade"]),
+    ("hs_multidir", [], ["gx", "gy", "shade"]),
+    ("hs_igor", [], ["gx", "gy", "shade"]),
     ("tpi_tri_rough", [], ["gx", "gy", "tpi", "tri", "roughness"]),
     ("color_relief", [], ["gx", "gy", "r", "g", "b"]),
 ]
@@ -4118,10 +4256,14 @@ _TERRAIN_PARTS = [
 
 def q_terrain_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem family on the tile-array (halo) model in one gate row:
-    Horn slope, hillshade, TPI/TRI/roughness."""
+    Horn slope, aspect, all four hillshade flavors (standard /
+    combined / multidirectional / igor), TPI/TRI/roughness,
+    color-relief."""
     subs = {
         "slope": q_focal_slope, "aspect": q_terrain_aspect,
-        "hillshade": q_hillshade, "tpi_tri_rough": q_terrain_metrics,
+        "hillshade": q_hillshade, "hs_combined": q_hillshade_combined,
+        "hs_multidir": q_hillshade_multidir, "hs_igor": q_hillshade_igor,
+        "tpi_tri_rough": q_terrain_metrics,
         "color_relief": q_color_relief,
     }
     return _suite(
@@ -4133,7 +4275,9 @@ def q_terrain_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_terrain_suite() -> str:
     subs = {
         "slope": sql_focal_slope, "aspect": sql_terrain_aspect,
-        "hillshade": sql_hillshade, "tpi_tri_rough": sql_terrain_metrics,
+        "hillshade": sql_hillshade, "hs_combined": sql_hillshade_combined,
+        "hs_multidir": sql_hillshade_multidir, "hs_igor": sql_hillshade_igor,
+        "tpi_tri_rough": sql_terrain_metrics,
         "color_relief": sql_color_relief,
     }
     return _suite_sql(

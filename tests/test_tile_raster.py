@@ -144,3 +144,72 @@ def test_lanczos_tiles_interior_matches_direct():
     got = num / (sx * sy)
     exp = [scalar_sample(*p) for p in pts]
     assert got == pytest.approx(exp, abs=1e-12)
+
+
+def _variant_grid(spark, values, variant, **kw):
+    """Run hillshade_variant_tiles over a 16x16 numpy array -> array."""
+    import pandas as pd
+
+    vals = np.asarray(values, dtype=float)
+    rows = [(int(x), int(y), float(vals[y, x]))
+            for y in range(16) for x in range(16)]
+    px = spark.createDataFrame(rows, "gx int, gy int, value double")
+    tiles = tile_raster.tiles_from_pixels(px, tile=8)
+    out = tile_raster.hillshade_variant_tiles(
+        tiles, tile=8, nty=2, ntx=2, variant=variant, **kw)
+    got = tile_raster.pixels_from_tiles(out, tile=8, col="shade", out="shade") \
+        .orderBy("gy", "gx").collect()
+    return np.array([r["shade"] for r in got]).reshape(16, 16)
+
+
+def test_hillshade_variants_flat(spark):
+    """Flat terrain contracts (gdaldem_lib.cpp): combined -> 255
+    (comb=1), multidirectional -> 1 + 254*sin(alt), igor -> 255."""
+    import math
+
+    flat = np.full((16, 16), 42.0)
+    assert _variant_grid(spark, flat, "combined")[5, 5] == pytest.approx(255.0)
+    assert _variant_grid(spark, flat, "multidirectional")[5, 5] == \
+        pytest.approx(1.0 + 254.0 * math.sin(math.radians(45.0)))
+    assert _variant_grid(spark, flat, "igor")[5, 5] == pytest.approx(255.0)
+
+
+def test_hillshade_variants_orientation(spark):
+    """North-up convention: with the default NW sun (az=315), a
+    NW-facing slope (rising toward the south-east, i.e. value grows
+    with gx and gy) is brighter than the SE-facing mirror for every
+    flavor — the directional fact the sign conventions encode."""
+    import math
+
+    g = np.add.outer(np.arange(16.0), np.arange(16.0))  # rises to SE
+    for variant in ("combined", "multidirectional", "igor"):
+        nw = _variant_grid(spark, g, variant, z_factor=0.3)[8, 8]
+        se = _variant_grid(spark, g[::-1, ::-1].copy(), variant,
+                           z_factor=0.3)[8, 8]
+        assert nw > se, (variant, nw, se)
+        flatv = (255.0 if variant != "multidirectional"
+                 else 1.0 + 254.0 * math.sin(math.radians(45.0)))
+        assert nw > 0.9 * flatv, (variant, nw)
+
+
+def test_hillshade_standard_orientation(spark):
+    """Same directional fact for the standard flavor after the
+    north-up sign fix (classic formula, 0..255 scale)."""
+    g = np.add.outer(np.arange(16.0), np.arange(16.0))
+    rows = [(int(x), int(y), float(g[y, x])) for y in range(16) for x in range(16)]
+    px = spark.createDataFrame(rows, "gx int, gy int, value double")
+    tiles = tile_raster.tiles_from_pixels(px, tile=8)
+
+    def shade_at(tiles_df):
+        out = tile_raster.hillshade_tiles(tiles_df, tile=8, nty=2, ntx=2,
+                                          z_factor=0.3)
+        r = tile_raster.pixels_from_tiles(out, tile=8, col="shade", out="shade") \
+            .filter((F.col("gx") == 8) & (F.col("gy") == 8)).collect()
+        return r[0]["shade"]
+
+    nw = shade_at(tiles)
+    rows2 = [(int(x), int(y), float(g[::-1, ::-1][y, x]))
+             for y in range(16) for x in range(16)]
+    px2 = spark.createDataFrame(rows2, "gx int, gy int, value double")
+    se = shade_at(tile_raster.tiles_from_pixels(px2, tile=8))
+    assert nw > se
