@@ -154,6 +154,74 @@ def wkt_polygon_sql(xs_list: str, ys_list: str) -> str:
     )
 
 
+def ring_length_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """OGRSimpleCurve::get_Length (ogr/ogrlinestring.cpp:2084) applied
+    to an OPEN ring with the closing edge included — i.e. the polygon
+    perimeter: sum of sqrt(dx^2 + dy^2) folded in ring order. +,*,sqrt
+    are IEEE-exact so the DuckDB twin folding the same sequence is
+    bit-identical."""
+    dx = (f"(element_at({xs}, 1 + i % size({xs})) - element_at({xs}, i))")
+    dy = (f"(element_at({ys}, 1 + i % size({xs})) - element_at({ys}, i))")
+    return F.expr(
+        f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"sqrt({dx} * {dx} + {dy} * {dy}))"
+    )
+
+
+def ring_length_sql(xs_list: str, ys_list: str) -> str:
+    """DuckDB twin of ring_length_expr (1-based list fold)."""
+    n = f"len({xs_list})"
+    dx = f"({xs_list}[1 + i % {n}] - {xs_list}[i])"
+    dy = f"({ys_list}[1 + i % {n}] - {ys_list}[i])"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n} + 1), i -> "
+        f"sqrt({dx} * {dx} + {dy} * {dy}))), (a, b) -> a + b)"
+    )
+
+
+def geodesic_length_expr(xs: str = "xs", ys: str = "ys") -> Column:
+    """Geodesic ring length on the authalic sphere: haversine
+    great-circle distance summed over the closed ring, in meters.
+    The reference's get_GeodesicLength (ogr/ogrlinestring.cpp:3160)
+    uses Karney's ellipsoidal geod_geodesic; the spherical-authalic
+    substitution here mirrors the documented geodesic-area deviation
+    (same radius, agrees to ~0.3%); the ORACLE replays the identical
+    spherical fold so the cross-engine check is exact to libm ulp."""
+    lam1 = f"element_at({xs}, i) * {D2R!r}"
+    lam2 = f"element_at({xs}, 1 + i % size({xs})) * {D2R!r}"
+    phi1 = f"element_at({ys}, i) * {D2R!r}"
+    phi2 = f"element_at({ys}, 1 + i % size({xs})) * {D2R!r}"
+    hav = (
+        f"sin((({phi2}) - ({phi1})) / 2) * sin((({phi2}) - ({phi1})) / 2) + "
+        f"cos({phi1}) * cos({phi2}) * "
+        f"sin((({lam2}) - ({lam1})) / 2) * sin((({lam2}) - ({lam1})) / 2)"
+    )
+    return F.expr(
+        f"aggregate(sequence(1, size({xs})), 0D, (a, i) -> a + "
+        f"2.0 * {R_AUTH!r} * asin(sqrt({hav})))"
+    )
+
+
+def geodesic_length_sql(xs_list: str, ys_list: str) -> str:
+    """DuckDB twin of geodesic_length_expr."""
+    n = f"len({xs_list})"
+    lam1 = f"{xs_list}[i] * {D2R!r}"
+    lam2 = f"{xs_list}[1 + i % {n}] * {D2R!r}"
+    phi1 = f"{ys_list}[i] * {D2R!r}"
+    phi2 = f"{ys_list}[1 + i % {n}] * {D2R!r}"
+    hav = (
+        f"sin((({phi2}) - ({phi1})) / 2) * sin((({phi2}) - ({phi1})) / 2) + "
+        f"cos({phi1}) * cos({phi2}) * "
+        f"sin((({lam2}) - ({lam1})) / 2) * sin((({lam2}) - ({lam1})) / 2)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n} + 1), i -> "
+        f"2.0 * {R_AUTH!r} * asin(sqrt({hav})))), (a, b) -> a + b)"
+    )
+
+
 def geodesic_area_sql(xs_list: str, ys_list: str) -> str:
     """DuckDB twin of geodesic_area_expr over list columns (1-based)."""
     n = f"len({xs_list})"

@@ -3712,6 +3712,9 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ccy, 6).alias("cy_c"),
         F.round(G.geodesic_area_expr("oxs", "oys") / F.lit(1.0e12), 6)
         .alias("gd_area"),
+        F.round(G.ring_length_expr("oxs", "oys"), 6).alias("perim"),
+        F.round(G.geodesic_length_expr("oxs", "oys") / F.lit(1.0e3), 6)
+        .alias("gd_len"),
     )
 
 
@@ -3726,6 +3729,8 @@ def sql_geometry_functions() -> str:
     oy = ", ".join(f"cy + ry * sin({2.0 * _m.pi * j / _GF_K!r})"
                    for j in range(_GF_K))
     gd = G.geodesic_area_sql("oxs", "oys")
+    perim = G.ring_length_sql("oxs", "oys")
+    gd_len = G.geodesic_length_sql("oxs", "oys")
     hull_area = f"0.5 * {float(_GF_K)!r} * rx * ry * sin({2.0 * _m.pi / _GF_K!r})"
     return f"""
 WITH k AS (
@@ -3742,7 +3747,9 @@ SELECT id,
        round({hull_area}, 5) AS hull_area,
        round(cx, 6) AS cx_c,
        round(cy, 6) AS cy_c,
-       round(({gd}) / 1.0e12, 6) AS gd_area
+       round(({gd}) / 1.0e12, 6) AS gd_area,
+       round({perim}, 6) AS perim,
+       round(({gd_len}) / 1.0e3, 6) AS gd_len
 FROM r
 """
 

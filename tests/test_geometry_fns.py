@@ -42,3 +42,36 @@ def test_geodesic_area_equator_patch(spark):
     a = df.select(G.geodesic_area_expr().alias("a")).collect()[0]["a"]
     expect = (G.R_AUTH * math.pi / 180.0) ** 2
     assert abs(a - expect) / expect < 1e-4
+
+
+def test_ring_length_rectangle(spark):
+    # 6x4 rectangle (open ring) -> perimeter 20 exactly
+    df = spark.createDataFrame(
+        [(1, [0.0, 6.0, 6.0, 0.0], [0.0, 0.0, 4.0, 4.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    row = df.select(G.ring_length_expr().alias("p")).collect()[0]
+    assert row["p"] == 20.0
+
+
+def test_geodesic_length_equator_degree(spark):
+    # a 2-point "ring" spanning 1 degree of longitude on the equator:
+    # out-and-back = 2 * R * pi/180
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 0.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    row = df.select(G.geodesic_length_expr().alias("l")).collect()[0]
+    expect = 2.0 * G.R_AUTH * math.pi / 180.0
+    assert abs(row["l"] - expect) < 1e-6 * expect
+
+
+def test_geodesic_length_meridian_quarter(spark):
+    # pole-to-equator along a meridian, out-and-back: 2 * R * pi/2
+    df = spark.createDataFrame(
+        [(1, [10.0, 10.0], [0.0, 90.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    row = df.select(G.geodesic_length_expr().alias("l")).collect()[0]
+    expect = 2.0 * G.R_AUTH * math.pi / 2.0
+    assert abs(row["l"] - expect) < 1e-9 * expect
