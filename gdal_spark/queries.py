@@ -2522,6 +2522,88 @@ SELECT dx, dy, round((({num}) / (({sx}) * ({sy}))) / 2147483648.0, 9) AS value F
 """
 
 
+def _cutline_star() -> tuple[list[float], list[float]]:
+    """The cutline fixture: a non-convex 10-vertex star (5 points,
+    alternating outer/inner radii) in dst lon/lat space. Vertices are
+    computed ONCE here and embedded as repr() literals in BOTH the
+    Spark expression and the DuckDB oracle, so the point-in-polygon
+    fold is pure +,-,*,/ and compares — float-exact cross-engine."""
+    import math as _m
+
+    cx, cy, phase = 5.0, 3.0, 0.3
+    vx, vy = [], []
+    for k in range(10):
+        rx = 140.0 if k % 2 == 0 else 55.0
+        ry = 70.0 if k % 2 == 0 else 27.0
+        a = phase + _m.pi * k / 5.0
+        vx.append(cx + rx * _m.cos(a))
+        vy.append(cy + ry * _m.sin(a))
+    return vx, vy
+
+
+def _pip_crossing_spark(px: str, py: str, vx: list[float], vy: list[float]) -> str:
+    """Spark-SQL boolean: crossing-count PIP of (px, py) against the
+    literal ring, reference rule ogrlinearring.cpp:503-531 — straddle
+    ((y1>0 & y2<=0)|(y2>0 & y1<=0)) then strict 0 < cross/(y2-y1)."""
+    n = len(vx)
+    ax = "array(" + ", ".join(repr(v) for v in vx) + ")"
+    ay = "array(" + ", ".join(repr(v) for v in vy) + ")"
+    x2 = f"(element_at({ax}, j + 1) - ({px}))"
+    y2 = f"(element_at({ay}, j + 1) - ({py}))"
+    x1 = f"(element_at({ax}, 1 + (j + 1) % {n}) - ({px}))"
+    y1 = f"(element_at({ay}, 1 + (j + 1) % {n}) - ({py}))"
+    term = (
+        f"CASE WHEN ((({y1} > 0) AND ({y2} <= 0)) OR (({y2} > 0) AND ({y1} <= 0)))"
+        f" AND (({x1} * {y2} - {x2} * {y1}) / ({y2} - {y1})) > 0.0"
+        f" THEN 1 ELSE 0 END"
+    )
+    return (f"aggregate(sequence(0, {n - 1}), 0, (a, j) -> a + {term}) % 2 = 1")
+
+
+def _pip_crossing_duckdb(px: str, py: str, vx: list[float], vy: list[float]) -> str:
+    """DuckDB twin of _pip_crossing_spark (identical op sequence)."""
+    n = len(vx)
+    ax = "[" + ", ".join(repr(v) for v in vx) + "]"
+    ay = "[" + ", ".join(repr(v) for v in vy) + "]"
+    x2 = f"({ax}[j + 1] - ({px}))"
+    y2 = f"({ay}[j + 1] - ({py}))"
+    x1 = f"({ax}[1 + (j + 1) % {n}] - ({px}))"
+    y1 = f"({ay}[1 + (j + 1) % {n}] - ({py}))"
+    term = (
+        f"CASE WHEN ((({y1} > 0) AND ({y2} <= 0)) OR (({y2} > 0) AND ({y1} <= 0)))"
+        f" AND (({x1} * {y2} - {x2} * {y1}) / ({y2} - {y1})) > 0.0"
+        f" THEN 1 ELSE 0 END"
+    )
+    return (f"list_reduce(list_prepend(0, list_transform(range(0, {n}), "
+            f"j -> {term})), (a, b) -> a + b) % 2 = 1")
+
+
+def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline: the bilinear mercator->plate-carree warp of
+    warp_resample, masked by a non-convex star cutline — a dst pixel
+    survives iff its CENTER lies inside the polygon, GDAL's default
+    rasterize containment (GDALWarpCutlineMaskerEx,
+    alg/gdalwarper.cpp:1363, CUTLINE_ALL_TOUCHED=FALSE); outside
+    pixels become dst nodata, i.e. are absent from the row table. The
+    PIP is a JVM column fold over literal vertices (no UDF, no trig at
+    query time), so the mask predicate is float-exact vs the oracle."""
+    vx, vy = _cutline_star()
+    D = 24
+    out = q_warp_resample(spark, sf_dir)
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    return out.where(F.expr(_pip_crossing_spark(lon, lat, vx, vy)))
+
+
+def sql_warp_cutline() -> str:
+    vx, vy = _cutline_star()
+    D = 24
+    lon = f"(dx + 0.5) * {360.0 / D!r} - 180.0"
+    lat = f"85.0 - (dy + 0.5) * {170.0 / D!r}"
+    return (f"SELECT * FROM (\n{sql_warp_resample()}\n) "
+            f"WHERE {_pip_crossing_duckdb(lon, lat, vx, vy)}")
+
+
 def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed from the center of the 32x32 band (alg/viewshed):
     slope-ratio line-of-sight over bilinear ray samples — trig-free,
@@ -4298,6 +4380,7 @@ _WARP_PARTS = [
     ("cubic", [], ["dx", "dy", "value"]),
     ("cubicspline", [], ["dx", "dy", "value"]),
     ("lanczos", [], ["dx", "dy", "value"]),
+    ("cutline", [], ["dx", "dy", "value"]),
     ("point_bilinear", [], ["sid", "value"]),
 ]
 
@@ -4309,7 +4392,8 @@ def q_warp_kernels_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = {
         "bilinear": q_warp_resample, "cubic": q_warp_resample_cubic,
         "cubicspline": q_warp_resample_cubicspline,
-        "lanczos": q_warp_resample_lanczos, "point_bilinear": q_sample_bilinear,
+        "lanczos": q_warp_resample_lanczos, "cutline": q_warp_cutline,
+        "point_bilinear": q_sample_bilinear,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _WARP_PARTS],
@@ -4321,7 +4405,8 @@ def sql_warp_kernels_suite() -> str:
     subs = {
         "bilinear": sql_warp_resample, "cubic": sql_warp_resample_cubic,
         "cubicspline": sql_warp_resample_cubicspline,
-        "lanczos": sql_warp_resample_lanczos, "point_bilinear": sql_sample_bilinear,
+        "lanczos": sql_warp_resample_lanczos, "cutline": sql_warp_cutline,
+        "point_bilinear": sql_sample_bilinear,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _WARP_PARTS],

@@ -70,3 +70,26 @@ def test_rasterize_replace_vs_add(spark):
     a = add.sort_values(["gy", "gx"]).reset_index(drop=True)
     r = rep.sort_values(["gy", "gx"]).reset_index(drop=True)
     assert ((a["burn"] - 1) == r["burn"]).all()
+
+
+def test_cutline_pip_fold_cross_engine(spark):
+    """The literal-vertex crossing fold must agree between the Spark
+    JVM expression and DuckDB on a dense probe grid (float-exact: the
+    fold is pure arithmetic over embedded literals)."""
+    import duckdb
+    from gdal_spark import queries as Q
+
+    vx, vy = Q._cutline_star()
+    pts = [(i, -175.0 + 10.0 * (i % 36), -80.0 + 16.0 * (i // 36))
+           for i in range(36 * 11)]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    got = sorted(
+        r["id"] for r in
+        df.where(Q._pip_crossing_spark("x", "y", vx, vy)).select("id").collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {x!r}, {y!r})" for i, x, y in pts)
+    exp = sorted(r[0] for r in con.execute(
+        f"SELECT id FROM (VALUES {vals}) t(id, x, y) "
+        f"WHERE {Q._pip_crossing_duckdb('x', 'y', vx, vy)}").fetchall())
+    assert got == exp and 0 < len(got) < len(pts)
