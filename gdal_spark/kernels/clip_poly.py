@@ -371,7 +371,17 @@ def clip_pair_robust(subject: np.ndarray, clip: np.ndarray,
     last_err: Exception | None = None
     for attempt in range(4):
         eps = grid / (64.0 * R) * (3.0 ** (-attempt))
-        Bp = cen + (B - cen) * (1.0 + eps)
+        # dilation alone slides a vertex PARALLEL to an edge through the
+        # centroid-to-vertex direction (e.g. a disc vertex sitting on an
+        # axis-aligned edge of the subject moves along that edge and
+        # stays degenerate); compose a quarter-magnitude rotation so the
+        # perturbation is never edge-parallel while the radial overlap
+        # margin (R*eps) still dominates the tangential shift (R*eps/4)
+        rot = eps / 4.0
+        Bd = (B - cen) * (1.0 + eps)
+        Bp = cen + np.column_stack(
+            [Bd[:, 0] - Bd[:, 1] * rot, Bd[:, 0] * rot + Bd[:, 1]]
+        )
         try:
             rings = clip_pair(A, Bp, op=op)
         except DegenerateGeometryError as ex:  # still non-generic: retry
@@ -387,3 +397,42 @@ def clip_pair_robust(subject: np.ndarray, clip: np.ndarray,
         f"clip_pair_robust: no epsilon in the retry budget restored "
         f"generic position ({last_err})"
     )
+
+
+def union_pieces(pieces: list, grid: float = 1.0) -> list:
+    """Regularized union of a CONNECTED sequence of simple rings (each
+    piece overlaps or touches the union of its predecessors) — the
+    global self-intersection cleanup GEOS's buffer builder performs on
+    raw offset pieces (noded union), re-expressed as a deterministic
+    left fold of snap-rounded pairwise unions.
+
+    Returns [(closed_ring, is_hole)]: exactly one outer ring plus any
+    holes (pockets sealed by later pieces). A piece overlapping an
+    existing hole shrinks it via snap-rounded difference; a piece
+    disjoint from the accumulated outer ring raises
+    DegenerateGeometryError (connectivity contract)."""
+    outer = canon_ring(np.asarray(pieces[0], dtype=np.float64), grid)
+    if outer is None:
+        raise DegenerateGeometryError("union_pieces: degenerate first piece")
+    holes: list = []
+    for p in pieces[1:]:
+        rings = clip_pair_robust(outer, p, op="union", grid=grid)
+        cls = classify_rings(rings)
+        outers = [r for r, h in cls if not h]
+        if len(outers) != 1:
+            raise DegenerateGeometryError(
+                "union_pieces: piece disjoint from the accumulated union"
+            )
+        outer = outers[0]
+        new_holes = [r for r, h in cls if h]
+        kept: list = []
+        for hring in holes:
+            try:
+                dr = clip_pair_robust(hring, p, op="difference", grid=grid)
+            except DegenerateGeometryError:
+                dr = [hring]  # touching only: hole unchanged on the grid
+            for r, h in classify_rings(dr):
+                if not h and ring_area(r) > 0.0:
+                    kept.append(r)
+        holes = kept + new_holes
+    return [(outer, False)] + [(h, True) for h in holes]

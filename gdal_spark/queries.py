@@ -3906,6 +3906,98 @@ FROM e
 """
 
 
+_L_UX = [0.0, 4.0, 4.0, 1.0, 1.0, 0.0]
+_L_UY = [0.0, 0.0, 1.0, 1.0, 3.0, 3.0]
+
+
+def _dwithin_member_expr(px: str, py: str, vxs: list[str], vys: list[str],
+                         d: str) -> str:
+    """Engine-portable SQL (valid verbatim in Spark SQL AND DuckDB —
+    only CASE/least/greatest/arithmetic): 1 iff point (px, py) lies
+    within distance d of the polygon given by vertex-coordinate
+    expressions — inside by the reference crossing rule
+    (ogrlinearring.cpp:503-531) OR min point-segment distance^2 <=
+    d^2. Pure +,-,*,/ and compares, so both engines evaluate an
+    identical float sequence: no rounding needed. This is the
+    definitional membership field of the buffered region (gdalwarp /
+    GEOS BufferOp semantics) valid at ANY distance."""
+    n = len(vxs)
+    pip_terms, d2s = [], []
+    for k in range(n):
+        ax, ay = vxs[k], vys[k]
+        bx, by = vxs[(k + 1) % n], vys[(k + 1) % n]
+        x2, y2 = f"(({ax}) - ({px}))", f"(({ay}) - ({py}))"
+        x1, y1 = f"(({bx}) - ({px}))", f"(({by}) - ({py}))"
+        pip_terms.append(
+            f"CASE WHEN ((({y1}) > 0 AND ({y2}) <= 0) OR "
+            f"(({y2}) > 0 AND ({y1}) <= 0)) AND "
+            f"((({x1}) * ({y2}) - ({x2}) * ({y1})) / (({y2}) - ({y1}))) > 0.0 "
+            f"THEN 1 ELSE 0 END"
+        )
+        ex, ey = f"(({bx}) - ({ax}))", f"(({by}) - ({ay}))"
+        L2 = f"({ex} * {ex} + {ey} * {ey})"
+        t = (f"least(greatest(((({px}) - ({ax})) * {ex} + "
+             f"(({py}) - ({ay})) * {ey}) / {L2}, 0.0), 1.0)")
+        dx = f"(({px}) - (({ax}) + {t} * {ex}))"
+        dy = f"(({py}) - (({ay}) + {t} * {ey}))"
+        d2s.append(f"({dx} * {dx} + {dy} * {dy})")
+    pip = f"(({' + '.join(pip_terms)}) % 2 = 1)"
+    dw = f"(least({', '.join(d2s)}) <= ({d}) * ({d}))"
+    return f"CASE WHEN {pip} OR {dw} THEN 1 ELSE 0 END"
+
+
+def q_buffer_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-distance buffer membership field: per supplier an
+    L-shaped polygon (scaled/placed by hash01) buffered at d = 2*sx —
+    ABOVE the notch's local feature size, the regime buffer_reflex
+    excludes and buffer_union covers (whose ring output is tied to
+    this exact field by tests/test_vector_pipeline.py) — probed on a
+    12x9 pixel-center grid over the dilated bbox. Exact cross-engine:
+    the member expression is the same SQL text in both engines."""
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    base = s.select(
+        i.alias("id"),
+        (F.lit(-100.0) + F.lit(200.0) * docs.hash01_col(i, 101)).alias("ox"),
+        (F.lit(-50.0) + F.lit(100.0) * docs.hash01_col(i, 102)).alias("oy"),
+        (F.lit(0.5) + F.lit(1.5) * docs.hash01_col(i, 103)).alias("sx"),
+    )
+    g = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(107))).alias("g")
+    ).selectExpr("id", "ox", "oy", "sx",
+                 "CAST(g % 12 AS BIGINT) AS gi",
+                 "CAST(g / 12 AS BIGINT) AS gj")
+    px = "(ox + sx * (-2.0 + (gi + 0.5) * (8.0 / 12.0)))"
+    py = "(oy + sx * (-2.0 + (gj + 0.5) * (7.0 / 9.0)))"
+    vxs = [f"(ox + {u!r} * sx)" for u in _L_UX]
+    vys = [f"(oy + {u!r} * sx)" for u in _L_UY]
+    mem = _dwithin_member_expr(px, py, vxs, vys, "(2.0 * sx)")
+    return g.selectExpr("id", "gi", "gj", f"{mem} AS member")
+
+
+def sql_buffer_field() -> str:
+    px = "(ox + sx * (-2.0 + (gi + 0.5) * (8.0 / 12.0)))"
+    py = "(oy + sx * (-2.0 + (gj + 0.5) * (7.0 / 9.0)))"
+    vxs = [f"(ox + {u!r} * sx)" for u in _L_UX]
+    vys = [f"(oy + {u!r} * sx)" for u in _L_UY]
+    mem = _dwithin_member_expr(px, py, vxs, vys, "(2.0 * sx)")
+    return f"""
+WITH base AS (
+  SELECT s_suppkey AS id,
+         -100.0 + 200.0 * ({derive.hash01_sql("s_suppkey", 101)}) AS ox,
+         -50.0 + 100.0 * ({derive.hash01_sql("s_suppkey", 102)}) AS oy,
+         0.5 + 1.5 * ({derive.hash01_sql("s_suppkey", 103)}) AS sx
+  FROM supplier
+),
+g AS (
+  SELECT base.*, CAST(r.range % 12 AS BIGINT) AS gi,
+         CAST(r.range // 12 AS BIGINT) AS gj
+  FROM base CROSS JOIN range(108) r
+)
+SELECT id, gi, gj, {mem} AS member FROM g
+"""
+
+
 def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean geometry on GENERIC-POSITION-VIOLATING pairs — the
     shapes autotest/ogr/ogr_geom.py exercises against GEOS: shared
@@ -4445,6 +4537,7 @@ _VECTOR_PIPE_PARTS = [
     ("compound_curve", [], ["id", "k", "vx", "vy"]),
     ("explode_make_valid", [], ["id", "part_idx", "nv", "signed_area"]),
     ("simplify_chain", [], ["id", "k", "vx", "vy"]),
+    ("buffer_field", [], ["id", "gi", "gj", "member"]),
 ]
 
 
@@ -4455,7 +4548,7 @@ def q_vector_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = {
         "point_buffer": q_vector_buffer, "polygon_buffer": q_polygon_buffer,
         "compound_curve": q_compound_curve, "explode_make_valid": q_explode_make_valid,
-        "simplify_chain": q_simplify_chain,
+        "simplify_chain": q_simplify_chain, "buffer_field": q_buffer_field,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
@@ -4467,7 +4560,7 @@ def sql_vector_pipeline_suite() -> str:
     subs = {
         "point_buffer": sql_vector_buffer, "polygon_buffer": sql_polygon_buffer,
         "compound_curve": sql_compound_curve, "explode_make_valid": sql_explode_make_valid,
-        "simplify_chain": sql_simplify_chain,
+        "simplify_chain": sql_simplify_chain, "buffer_field": sql_buffer_field,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],

@@ -138,3 +138,109 @@ def test_buffer_reflex_matches_convex_on_convex_input(spark):
     a = VP.buffer_reflex(df, 1.5, quadrant_segments=8).collect()[0]
     b = VP.buffer_convex(df, 1.5, quadrant_segments=8).collect()[0]
     assert list(a["xs"]) == list(b["xs"]) and list(a["ys"]) == list(b["ys"])
+
+
+def _buffer_area_field(vx, vy, d, h=0.02):
+    """Reference buffered-region area by dense pixel-center membership:
+    center is in the buffer iff inside the polygon or within d of a
+    boundary segment."""
+    import numpy as np
+
+    from gdal_spark.kernels.pip import point_in_ring
+
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    gx = np.arange(vx.min() - d - 2 * h, vx.max() + d + 2 * h, h) + h / 2
+    gy = np.arange(vy.min() - d - 2 * h, vy.max() + d + 2 * h, h) + h / 2
+    X, Y = np.meshgrid(gx, gy)
+    px, py = X.ravel(), Y.ravel()
+    ring = np.column_stack([np.append(vx, vx[0]), np.append(vy, vy[0])])
+    inside = point_in_ring(px, py, ring)
+    d2min = np.full(px.shape, np.inf)
+    n = len(vx)
+    for i in range(n):
+        ax, ay = vx[i], vy[i]
+        bx, by = vx[(i + 1) % n], vy[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        L2 = ex * ex + ey * ey
+        t = np.clip(((px - ax) * ex + (py - ay) * ey) / L2, 0.0, 1.0)
+        d2 = (px - (ax + t * ex)) ** 2 + (py - (ay + t * ey)) ** 2
+        d2min = np.minimum(d2min, d2)
+    member = inside | (d2min <= d * d)
+    return float(member.sum()) * h * h
+
+
+def _rings_signed_area(rows):
+    from gdal_spark.kernels.clip_poly import ring_area
+    import numpy as np
+
+    tot = 0.0
+    for r in rows:
+        ring = np.column_stack([np.append(r["xs"], r["xs"][0]),
+                                np.append(r["ys"], r["ys"][0])])
+        tot += (-1.0 if r["is_hole"] else 1.0) * ring_area(ring)
+    return tot
+
+
+def test_buffer_union_square_closed_form(spark):
+    # 2x2 square, d=0.75: area = A + P*d + inscribed-32-gon disc area
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0])],
+        "id bigint, xs array<double>, ys array<double>",
+    )
+    rows = VP.buffer_union(df, 0.75, quadrant_segments=8).collect()
+    assert len(rows) == 1 and not rows[0]["is_hole"]
+    m, d = 32, 0.75
+    expect = 4.0 + 8.0 * d + 0.5 * m * d * d * math.sin(2 * math.pi / m)
+    assert abs(_rings_signed_area(rows) - expect) < 1e-3
+
+
+def test_buffer_union_oversized_L(spark):
+    # L-shape with d far above the local feature size (the notch is
+    # 1 wide): buffer_reflex documents this as out of scope;
+    # buffer_union must produce the true region (vs dense field)
+    vx = [0.0, 4.0, 4.0, 1.0, 1.0, 0.0]
+    vy = [0.0, 0.0, 1.0, 1.0, 3.0, 3.0]
+    d = 2.0
+    df = spark.createDataFrame(
+        [(1, vx, vy)], "id bigint, xs array<double>, ys array<double>")
+    rows = VP.buffer_union(df, d, quadrant_segments=8).collect()
+    assert all(not r["is_hole"] for r in rows) and len(rows) == 1
+    got = _rings_signed_area(rows)
+    ref = _buffer_area_field(vx, vy, d)
+    # field error ~ perimeter*h; inscribed-arc deficit ~ P*d*(step^2/24)
+    assert abs(got - ref) < 0.15, (got, ref)
+
+
+def test_buffer_union_seals_mouth_into_hole(spark):
+    # C-shape (square annulus with a 0.2-wide mouth): d=0.5 closes the
+    # mouth and the cavity survives as a HOLE
+    vx = [0.0, 6.0, 6.0, 4.0, 4.0, 2.0, 2.0, 4.0, 4.0, 6.0, 6.0, 0.0]
+    vy = [0.0, 0.0, 2.9, 2.9, 2.0, 2.0, 4.0, 4.0, 3.1, 3.1, 6.0, 6.0]
+    d = 0.5
+    df = spark.createDataFrame(
+        [(1, vx, vy)], "id bigint, xs array<double>, ys array<double>")
+    rows = VP.buffer_union(df, d, quadrant_segments=8).collect()
+    assert sum(1 for r in rows if r["is_hole"]) == 1
+    got = _rings_signed_area(rows)
+    ref = _buffer_area_field(vx, vy, d, h=0.01)
+    assert abs(got - ref) < 0.2, (got, ref)
+
+
+def test_buffer_union_matches_reflex_small_distance(spark):
+    # below the local feature size the union construction and the raw
+    # offset curve agree (right angles -> identical arc vertices)
+    vx = [0.0, 4.0, 4.0, 1.0, 1.0, 0.0]
+    vy = [0.0, 0.0, 1.0, 1.0, 3.0, 3.0]
+    df = spark.createDataFrame(
+        [(1, vx, vy)], "id bigint, xs array<double>, ys array<double>")
+    u = VP.buffer_union(df, 0.4, quadrant_segments=8).collect()
+    r = VP.buffer_reflex(df, 0.4, quadrant_segments=8).collect()[0]
+    import numpy as np
+    from gdal_spark.kernels.clip_poly import ring_area
+    rr = np.column_stack([np.append(r["xs"], r["xs"][0]),
+                          np.append(r["ys"], r["ys"][0])])
+    assert len(u) == 1
+    assert abs(_rings_signed_area(u) - ring_area(rr)) < 1e-3
