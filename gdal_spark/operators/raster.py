@@ -91,6 +91,48 @@ def _hash_col(i, salt: int):
     return (h1 * derive.A + F.lit(salt * 7 + 13)) % derive.M31
 
 
+def nearblack(px: DataFrame, *, near_dist: int, value_col: str = "value",
+              x_col: str = "px", y_col: str = "py",
+              replace_value: int = 0) -> DataFrame:
+    """nearblack edge-collar trimming (apps/nearblack_lib.cpp
+    ProcessLine; the nMaxNonBlack=0 / single-color-black slice): a
+    pixel is collar iff it lies in the near-black prefix or suffix run
+    of its row or of its column (near-black = value <= near_dist, black
+    color 0, unsigned data); collar pixels take `replace_value` and
+    mask 0, all others keep their value with mask 255.
+
+    Exactness: with nMaxNonBlack=0 the reference's scan replaces ONLY
+    near-black pixels (the first non-black pixel terminates the run
+    before any replacement) and the replacement value is itself
+    near-black, so near-black-ness is invariant under the operation —
+    the sequential top-down + bottom-up passes of the reference and
+    this simultaneous four-scan union reach the same fixed point.
+
+    Plan shape: two aggregations reduce the raster to O(height+width)
+    run-bound rows, broadcast-joined back onto the pixel table — the
+    pixel table itself never shuffles, so the plan holds at any raster
+    size."""
+    near = F.col(value_col) <= F.lit(near_dist)
+    nb_x = F.when(~near, F.col(x_col))
+    nb_y = F.when(~near, F.col(y_col))
+    rows = px.groupBy(y_col).agg(F.min(nb_x).alias("_rlo"),
+                                 F.max(nb_x).alias("_rhi"))
+    cols = px.groupBy(x_col).agg(F.min(nb_y).alias("_clo"),
+                                 F.max(nb_y).alias("_chi"))
+    out = (px.join(F.broadcast(rows), y_col)
+             .join(F.broadcast(cols), x_col))
+    collar = (F.col("_rlo").isNull() | (F.col(x_col) < F.col("_rlo"))
+              | (F.col(x_col) > F.col("_rhi"))
+              | F.col("_clo").isNull() | (F.col(y_col) < F.col("_clo"))
+              | (F.col(y_col) > F.col("_chi")))
+    return out.select(
+        F.col(x_col), F.col(y_col),
+        F.when(collar, F.lit(replace_value)).otherwise(F.col(value_col))
+         .alias(value_col),
+        F.when(collar, F.lit(0)).otherwise(F.lit(255)).alias("mask"),
+    )
+
+
 def overview_reduce(band: DataFrame, alg: str = "average") -> DataFrame:
     """One-zoom downsample: parent pixel (gx//2, gy//2) from its 2x2
     children (gcore/overview.cpp block reduction). Exact for int bands:

@@ -3146,6 +3146,67 @@ FROM range(2304) r
 """
 
 
+def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack (apps/nearblack_lib.cpp, nMaxNonBlack=0 slice) on a
+    48x48 fixture with an irregular near-black collar: per-row depths
+    (5*py)%4 / (3*py)%5 and per-column depths (7*px)%4 / (11*px)%5,
+    collar values hash%10 <= near_dist=15, interior 50+hash%150 > 15.
+    The engine derives the trim from the DATA (row/column run bounds),
+    the oracle replays the same scans in SQL — integer-exact."""
+    W = 48
+    base = spark.range(0, W * W).select(
+        (F.col("id") % W).alias("gx"),
+        (F.col("id") / W).cast("bigint").alias("gy"),
+        F.col("id").alias("pid"),
+    )
+    h = raster._hash_col(F.col("pid"), raster.SALT_BAND)
+    edge = (
+        (F.col("gx") < (F.col("gy") * 5) % 4)
+        | (F.col("gx") >= W - (F.col("gy") * 3) % 5)
+        | (F.col("gy") < (F.col("gx") * 7) % 4)
+        | (F.col("gy") >= W - (F.col("gx") * 11) % 5)
+    )
+    px = base.select(
+        "gx", "gy",
+        F.when(edge, h % 10).otherwise(F.lit(50) + h % 150).alias("value"),
+    )
+    out = raster.nearblack(px, near_dist=15, x_col="gx", y_col="gy")
+    return out.select("gx", "gy", F.col("value").cast("bigint").alias("value"),
+                      F.col("mask").cast("bigint").alias("mask"))
+
+
+def sql_nearblack() -> str:
+    W = 48
+    h = _band_val_sql("gy * 48 + gx")
+    edge = (f"(gx < (gy * 5) % 4 OR gx >= {W} - (gy * 3) % 5 "
+            f"OR gy < (gx * 7) % 4 OR gy >= {W} - (gx * 11) % 5)")
+    return f"""
+WITH px AS (
+  SELECT r.range % {W} AS gx, r.range // {W} AS gy,
+         CASE WHEN {edge} THEN ({h}) % 10 ELSE 50 + ({h}) % 150 END AS value
+  FROM range({W * W}) r
+),
+rows_ AS (
+  SELECT gy, min(CASE WHEN value > 15 THEN gx END) AS rlo,
+         max(CASE WHEN value > 15 THEN gx END) AS rhi
+  FROM px GROUP BY gy
+),
+cols_ AS (
+  SELECT gx, min(CASE WHEN value > 15 THEN gy END) AS clo,
+         max(CASE WHEN value > 15 THEN gy END) AS chi
+  FROM px GROUP BY gx
+)
+SELECT px.gx, px.gy,
+       CASE WHEN rlo IS NULL OR px.gx < rlo OR px.gx > rhi
+                 OR clo IS NULL OR px.gy < clo OR px.gy > chi
+            THEN 0 ELSE value END AS value,
+       CASE WHEN rlo IS NULL OR px.gx < rlo OR px.gx > rhi
+                 OR clo IS NULL OR px.gy < clo OR px.gy > chi
+            THEN 0 ELSE 255 END AS mask
+FROM px JOIN rows_ USING (gy) JOIN cols_ USING (gx)
+"""
+
+
 def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_calc-style numpy expression over pixel batches
     (osgeo_utils/gdal_calc.py): A*2 + (A % 7)."""
@@ -4367,6 +4428,7 @@ _RASTER_UTIL_PARTS = [
     ("stack_resize", [], ["dx", "dy", "value"]),
     ("fill_nodata", [], ["gx", "gy", "value"]),
     ("pansharpen", [], ["gx", "gy", "b_red_sharp", "b_nir_sharp"]),
+    ("nearblack", [], ["gx", "gy", "value", "mask"]),
 ]
 
 
@@ -4378,7 +4440,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sieve": q_raster_sieve, "calc": q_raster_calc,
         "reclassify": q_raster_reclassify, "mosaic": q_raster_mosaic,
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
-        "pansharpen": q_pansharpen,
+        "pansharpen": q_pansharpen, "nearblack": q_nearblack,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4391,7 +4453,7 @@ def sql_raster_utility_suite() -> str:
         "sieve": sql_raster_sieve, "calc": sql_raster_calc,
         "reclassify": sql_raster_reclassify, "mosaic": sql_raster_mosaic,
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
-        "pansharpen": sql_pansharpen,
+        "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],

@@ -93,3 +93,35 @@ def test_cutline_pip_fold_cross_engine(spark):
         f"SELECT id FROM (VALUES {vals}) t(id, x, y) "
         f"WHERE {Q._pip_crossing_duckdb('x', 'y', vx, vy)}").fetchall())
     assert got == exp and 0 < len(got) < len(pts)
+
+
+def test_nearblack_full_black_row_and_column(spark):
+    """A fully near-black row AND column must both be trimmed entirely
+    (the NULL run-bound cases), and an interior near-black pixel not
+    reachable from an edge run survives."""
+    import pyspark.sql.functions as F
+    from gdal_spark.operators import raster as R
+
+    W = 8
+    df = spark.range(W * W).select(
+        (F.col("id") % W).alias("px"),
+        (F.col("id") / W).cast("bigint").alias("py"),
+    )
+    # row 3 and column 5 all black; border of depth 1 black;
+    # interior black island at (2,5) shielded by non-black on all
+    # four run directions
+    v = (
+        F.when((F.col("py") == 3) | (F.col("px") == 5), F.lit(0))
+        .when((F.col("px") == 0) | (F.col("px") == W - 1)
+              | (F.col("py") == 0) | (F.col("py") == W - 1), F.lit(2))
+        .when((F.col("px") == 2) & (F.col("py") == 5), F.lit(1))
+        .otherwise(F.lit(100))
+    )
+    out = R.nearblack(df.withColumn("value", v), near_dist=15).collect()
+    got = {(r["px"], r["py"]): (r["value"], r["mask"]) for r in out}
+    for x in range(W):
+        assert got[(x, 3)] == (0, 0)      # full black row trimmed
+        assert got[(5, x)] == (0, 0)      # full black column trimmed
+        assert got[(x, 0)] == (0, 0) and got[(x, W - 1)] == (0, 0)
+    assert got[(2, 5)] == (1, 255)        # island survives (not edge-run)
+    assert got[(2, 2)] == (100, 255)
