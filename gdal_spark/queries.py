@@ -3207,6 +3207,70 @@ FROM px JOIN rows_ USING (gy) JOIN cols_ USING (gx)
 """
 
 
+_PCT_PALETTE = [
+    (8 + 16 * k, (48 * k + 5) % 256, 250 - 15 * k) for k in range(16)
+]
+
+
+def q_pct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rgb2pct nearest-entry assignment + pct2rgb expansion
+    (alg/gdaldither.cpp:397 distance rule, osgeo_utils/pct2rgb.py)
+    against a FIXED literal 16-color table: per pixel the nearest
+    palette index (squared-RGB distance, lowest index on ties) and
+    the expanded color packed as r*65536+g*256+b. Median-cut table
+    DERIVATION (alg/gdalmediancut.cpp) is driver-side bounded by the
+    color cube and is pinned by tests/test_palette.py; this gate row
+    pins the distributed assignment/expansion, exact integer math in
+    both engines."""
+    from .operators import palette as P
+
+    W = 32
+    base = spark.range(0, W * W).select(
+        (F.col("id") % W).alias("gx"),
+        (F.col("id") / W).cast("bigint").alias("gy"),
+        F.col("id").alias("pid"),
+    )
+    px = base.select(
+        "gx", "gy",
+        (raster._hash_col(F.col("pid"), 301) % 256).alias("r"),
+        (raster._hash_col(F.col("pid"), 302) % 256).alias("g"),
+        (raster._hash_col(F.col("pid"), 303) % 256).alias("b"),
+    )
+    out = P.pct2rgb(
+        P.rgb2pct(px, _PCT_PALETTE).drop("r", "g", "b"),
+        _PCT_PALETTE,
+    )
+    return out.select(
+        "gx", "gy", F.col("idx").cast("bigint").alias("idx"),
+        (F.col("r") * 65536 + F.col("g") * 256 + F.col("b"))
+        .cast("bigint").alias("rgb"),
+    )
+
+
+def sql_pct_roundtrip() -> str:
+    from .operators import palette as P
+
+    W = 32
+    def chan(salt: int) -> str:
+        return (f"(((((gy * {W} + gx) % {M31}) * {A} + {salt}) % {M31} * {A} "
+                f"+ {salt * 7 + 13}) % {M31}) % 256")
+    idx = P.assign_expr_duckdb(_PCT_PALETTE, "r", "g", "b")
+    pr = "[" + ", ".join(str(p[0]) for p in _PCT_PALETTE) + "]"
+    pg = "[" + ", ".join(str(p[1]) for p in _PCT_PALETTE) + "]"
+    pb = "[" + ", ".join(str(p[2]) for p in _PCT_PALETTE) + "]"
+    return f"""
+WITH px AS (
+  SELECT r.range % {W} AS gx, r.range // {W} AS gy,
+         {chan(301)} AS r, {chan(302)} AS g, {chan(303)} AS b
+  FROM range({W * W}) r
+),
+ix AS (SELECT gx, gy, ({idx}) AS idx FROM px)
+SELECT gx, gy, idx,
+       {pr}[idx + 1] * 65536 + {pg}[idx + 1] * 256 + {pb}[idx + 1] AS rgb
+FROM ix
+"""
+
+
 def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_calc-style numpy expression over pixel batches
     (osgeo_utils/gdal_calc.py): A*2 + (A % 7)."""
@@ -4429,6 +4493,7 @@ _RASTER_UTIL_PARTS = [
     ("fill_nodata", [], ["gx", "gy", "value"]),
     ("pansharpen", [], ["gx", "gy", "b_red_sharp", "b_nir_sharp"]),
     ("nearblack", [], ["gx", "gy", "value", "mask"]),
+    ("pct", [], ["gx", "gy", "idx", "rgb"]),
 ]
 
 
@@ -4441,6 +4506,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reclassify": q_raster_reclassify, "mosaic": q_raster_mosaic,
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
+        "pct": q_pct_roundtrip,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4454,6 +4520,7 @@ def sql_raster_utility_suite() -> str:
         "reclassify": sql_raster_reclassify, "mosaic": sql_raster_mosaic,
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
+        "pct": sql_pct_roundtrip,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],

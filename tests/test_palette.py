@@ -1,0 +1,75 @@
+"""Median-cut color table + rgb2pct/pct2rgb pins
+(alg/gdalmediancut.cpp, alg/gdaldither.cpp nearest rule)."""
+from __future__ import annotations
+
+from gdal_spark.operators import palette as P
+
+
+def _img(spark, colors_counts):
+    rows = []
+    i = 0
+    for (r, g, b), n in colors_counts:
+        for _ in range(n):
+            rows.append((i, r, g, b))
+            i += 1
+    return spark.createDataFrame(rows, "pid bigint, r int, g int, b int")
+
+
+def test_median_cut_separates_distinct_clusters(spark):
+    # 4 well-separated colors, n_colors=4: every box collapses to a
+    # single 5-bit cell -> palette = the quantized colors (v>>3<<3,
+    # since entry = ((min+max)<<3)/2 with min==max)
+    cc = [((10, 10, 10), 500), ((200, 30, 40), 300),
+          ((40, 200, 30), 200), ((30, 40, 200), 100)]
+    df = _img(spark, cc)
+    pal = P.median_cut_palette(df, n_colors=4)
+    assert len(pal) == 4
+    expect = {(r >> 3 << 3, g >> 3 << 3, b >> 3 << 3) for (r, g, b), _ in cc}
+    assert set(pal) == expect
+
+
+def test_median_cut_single_color_stops_early(spark):
+    df = _img(spark, [((100, 150, 200), 64)])
+    pal = P.median_cut_palette(df, n_colors=8)
+    # unsplittable initial box: one entry, the quantized color
+    assert pal == [(96, 144, 200)]
+
+
+def test_median_cut_split_semantics_two_colors_on_red_axis(spark):
+    # total 10: red cells 0 (3 px) and 31 (7 px). half = 5; cumsum at
+    # cell 0 is 3 < 5, reaches 5 at cell 31 -> i = 31: new box [0,30]
+    # shrinks to cell 0, remaining box [31,31]. Entries: head = new box.
+    df = _img(spark, [((0, 0, 0), 3), ((255, 0, 0), 7)])
+    pal = P.median_cut_palette(df, n_colors=2)
+    assert pal == [(0, 0, 0), (248, 0, 0)]
+
+
+def test_median_cut_deterministic(spark):
+    import random
+
+    rng = random.Random(7)
+    cc = [((rng.randrange(256), rng.randrange(256), rng.randrange(256)),
+           1 + rng.randrange(20)) for _ in range(60)]
+    df = _img(spark, cc)
+    p1 = P.median_cut_palette(df, n_colors=16)
+    p2 = P.median_cut_palette(df, n_colors=16)
+    assert p1 == p2 and len(p1) == 16
+
+
+def test_rgb2pct_nearest_and_tie_rule(spark):
+    pal = [(0, 0, 0), (10, 0, 0), (20, 0, 0)]
+    # r=5 is equidistant to entries 0 and 1 -> lowest index (0) wins
+    df = spark.createDataFrame(
+        [(0, 5, 0, 0), (1, 14, 0, 0), (2, 19, 0, 0)],
+        "pid bigint, r int, g int, b int",
+    )
+    got = {r["pid"]: r["idx"] for r in P.rgb2pct(df, pal).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_pct2rgb_roundtrip_on_palette_colors(spark):
+    pal = [(8, 5, 250), (24, 53, 235), (200, 21, 85)]
+    df = spark.createDataFrame([(i,) for i in range(3)], "idx bigint")
+    rows = {r["idx"]: (r["r"], r["g"], r["b"])
+            for r in P.pct2rgb(df, pal).collect()}
+    assert rows == {i: pal[i] for i in range(3)}
