@@ -133,6 +133,66 @@ def nearblack(px: DataFrame, *, near_dist: int, value_col: str = "value",
     )
 
 
+def retile(px: DataFrame, *, width: int, height: int, tile_w: int,
+           tile_h: int, overlap: int = 0, x_col: str = "gx",
+           y_col: str = "gy", value_col: str = "value") -> DataFrame:
+    """gdal_retile re-tiling (osgeo_utils/gdal_retile.py:87 tile_info,
+    :414 createTile): tile (xi, yi) is 1-based with pixel offset
+    (xi-1)*(tile-overlap), extent clamped at the image edge;
+    countTiles = 1 + ceil((size-tile)/(tile-overlap)) when size>tile.
+    A pixel in an overlap band lands in every covering tile.
+
+    Emits (xi, yi, ox, oy, value): tile indices plus the pixel's
+    offset within the tile. Scale shape: per-pixel candidate-tile
+    range is computed arithmetically and exploded (at most
+    ceil(tile/(tile-overlap)) tiles per axis) — pure JVM projection +
+    explode, no join against a tile list, so the plan is independent
+    of how many tiles the raster produces."""
+    sx, sy = tile_w - overlap, tile_h - overlap
+    count_x = 1 + (max(0, width - tile_w) + sx - 1) // sx if width > tile_w else 1
+    count_y = 1 + (max(0, height - tile_h) + sy - 1) // sy if height > tile_h else 1
+    kx_seq = (f"sequence(CASE WHEN {x_col} < {tile_w} THEN 0 "
+              f"ELSE ({x_col} - {tile_w}) DIV {sx} + 1 END, "
+              f"least({x_col} DIV {sx}, {count_x - 1}))")
+    ky_seq = (f"sequence(CASE WHEN {y_col} < {tile_h} THEN 0 "
+              f"ELSE ({y_col} - {tile_h}) DIV {sy} + 1 END, "
+              f"least({y_col} DIV {sy}, {count_y - 1}))")
+    return (
+        px.select(x_col, y_col, value_col,
+                  F.explode(F.expr(kx_seq)).alias("_kx"))
+          .select(x_col, y_col, value_col, "_kx",
+                  F.explode(F.expr(ky_seq)).alias("_ky"))
+          .select(
+              (F.col("_kx") + 1).alias("xi"),
+              (F.col("_ky") + 1).alias("yi"),
+              (F.col(x_col) - F.col("_kx") * sx).alias("ox"),
+              (F.col(y_col) - F.col("_ky") * sy).alias("oy"),
+              F.col(value_col),
+          )
+    )
+
+
+def tile_index(rasters: DataFrame, *, id_col: str = "rid",
+               x0_col: str = "x0", y0_col: str = "y0",
+               psx_col: str = "psx", psy_col: str = "psy",
+               w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """gdaltindex (apps/gdaltindex_lib.cpp): one extent row per input
+    raster from its geotransform — corners (x0, y0) and
+    (x0 + w*psx, y0 + h*psy), normalized to (minx, miny, maxx, maxy)
+    so north-up (psy < 0) and south-up sources index identically.
+    Pure column math over the raster catalog."""
+    x1 = F.col(x0_col) + F.col(w_col) * F.col(psx_col)
+    y1 = F.col(y0_col) + F.col(h_col) * F.col(psy_col)
+    return rasters.select(
+        F.col(id_col),
+        F.least(F.col(x0_col), x1).alias("minx"),
+        F.least(F.col(y0_col), y1).alias("miny"),
+        F.greatest(F.col(x0_col), x1).alias("maxx"),
+        F.greatest(F.col(y0_col), y1).alias("maxy"),
+        F.col(w_col), F.col(h_col),
+    )
+
+
 def overview_reduce(band: DataFrame, alg: str = "average") -> DataFrame:
     """One-zoom downsample: parent pixel (gx//2, gy//2) from its 2x2
     children (gcore/overview.cpp block reduction). Exact for int bands:

@@ -3271,6 +3271,43 @@ FROM ix
 """
 
 
+def q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_retile on a 40x40 band, 16x16 tiles with 4 px overlap
+    (stride 12, 3x3 tiles, the last stride landing exactly on the
+    edge): overlap-band pixels appear in every covering tile;
+    tile = (yi-1)*3 + xi linearizes the 1-based indices."""
+    W = 40
+    px = spark.range(0, W * W).select(
+        (F.col("id") % W).alias("gx"),
+        (F.col("id") / W).cast("bigint").alias("gy"),
+        raster._hash_col(F.col("id"), 401).alias("value"),
+    )
+    out = raster.retile(px, width=W, height=W, tile_w=16, tile_h=16, overlap=4)
+    return out.select(
+        ((F.col("yi") - 1) * 3 + F.col("xi")).cast("bigint").alias("tile"),
+        F.col("ox").cast("bigint").alias("ox"),
+        F.col("oy").cast("bigint").alias("oy"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def sql_retile() -> str:
+    W = 40
+    v = (f"(((((gy * {W} + gx) % {M31}) * {A} + 401) % {M31} * {A} "
+         f"+ {401 * 7 + 13}) % {M31})")
+    return f"""
+WITH px AS (
+  SELECT r.range % {W} AS gx, r.range // {W} AS gy, {v} AS value
+  FROM range({W * W}) r
+)
+SELECT (ky.range * 3 + kx.range + 1) AS tile,
+       gx - kx.range * 12 AS ox, gy - ky.range * 12 AS oy, value
+FROM px
+JOIN range(3) kx ON gx >= kx.range * 12 AND gx < kx.range * 12 + 16
+JOIN range(3) ky ON gy >= ky.range * 12 AND gy < ky.range * 12 + 16
+"""
+
+
 def q_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_calc-style numpy expression over pixel batches
     (osgeo_utils/gdal_calc.py): A*2 + (A % 7)."""
@@ -4494,6 +4531,7 @@ _RASTER_UTIL_PARTS = [
     ("pansharpen", [], ["gx", "gy", "b_red_sharp", "b_nir_sharp"]),
     ("nearblack", [], ["gx", "gy", "value", "mask"]),
     ("pct", [], ["gx", "gy", "idx", "rgb"]),
+    ("retile", [], ["tile", "ox", "oy", "value"]),
 ]
 
 
@@ -4506,7 +4544,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reclassify": q_raster_reclassify, "mosaic": q_raster_mosaic,
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
-        "pct": q_pct_roundtrip,
+        "pct": q_pct_roundtrip, "retile": q_retile,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4520,7 +4558,7 @@ def sql_raster_utility_suite() -> str:
         "reclassify": sql_raster_reclassify, "mosaic": sql_raster_mosaic,
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
-        "pct": sql_pct_roundtrip,
+        "pct": sql_pct_roundtrip, "retile": sql_retile,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4528,16 +4566,56 @@ def sql_raster_utility_suite() -> str:
     )
 
 
+def q_tindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaltindex (apps/gdaltindex_lib.cpp): normalized extent per
+    raster from literal geotransforms (one north-up negative-psy
+    source per k, so the min/max normalization is exercised)."""
+    cat = spark.range(0, 3).select(
+        F.col("id").alias("rid"),
+        (F.lit(-180.0) + F.lit(37.5) * F.col("id")).alias("x0"),
+        (F.lit(80.0) - F.lit(21.25) * F.col("id")).alias("y0"),
+        (F.lit(0.1) * (F.col("id") + 1)).alias("psx"),
+        (F.lit(-0.05) * (F.col("id") + 1)).alias("psy"),
+        (F.lit(32) + F.lit(8) * F.col("id")).cast("bigint").alias("w"),
+        (F.lit(24) + F.lit(4) * F.col("id")).cast("bigint").alias("h"),
+    )
+    return raster.tile_index(cat)
+
+
+def sql_tindex() -> str:
+    return """
+WITH cat AS (
+  SELECT r.range AS rid,
+         -180.0 + 37.5 * r.range AS x0,
+         80.0 - 21.25 * r.range AS y0,
+         0.1 * (r.range + 1) AS psx,
+         -0.05 * (r.range + 1) AS psy,
+         CAST(32 + 8 * r.range AS BIGINT) AS w,
+         CAST(24 + 4 * r.range AS BIGINT) AS h
+  FROM range(3) r
+)
+SELECT rid,
+       least(x0, x0 + w * psx) AS minx,
+       least(y0, y0 + h * psy) AS miny,
+       greatest(x0, x0 + w * psx) AS maxx,
+       greatest(y0, y0 + h * psy) AS maxy,
+       w, h
+FROM cat
+"""
+
+
 _FOOTPRINT_PARTS = [
     ("bbox", [], ["label", "minx", "miny", "maxx", "maxy", "n_pixels"]),
     ("rings", [], ["label", "ring_idx", "nv", "area", "minx", "miny", "maxx", "maxy"]),
+    ("tindex", [], ["rid", "minx", "miny", "maxx", "maxy", "w", "h"]),
 ]
 
 
 def q_footprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footprint in one gate row: component bboxes + traced pixel-edge
     outline rings."""
-    subs = {"bbox": q_footprint, "rings": q_footprint_rings}
+    subs = {"bbox": q_footprint, "rings": q_footprint_rings,
+            "tindex": q_tindex}
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _FOOTPRINT_PARTS],
         n_str=0, n_num=8,
@@ -4545,7 +4623,8 @@ def q_footprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_footprint_suite() -> str:
-    subs = {"bbox": sql_footprint, "rings": sql_footprint_rings}
+    subs = {"bbox": sql_footprint, "rings": sql_footprint_rings,
+            "tindex": sql_tindex}
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _FOOTPRINT_PARTS],
         n_str=0, n_num=8,
