@@ -2955,16 +2955,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_jaccard() -> str:
-    ghash = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(gram0, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(h, c) -> (h * 31 + c) % {M31})"
-    )
+    whash = _WHASH.replace("string_split(w, '')", "string_split(tok, '')")
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
-g0 AS (SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS gram0 FROM u),
-g AS (SELECT DISTINCT doc_id, {ghash} AS gram FROM g0 WHERE gram0 IS NOT NULL),
+h AS (SELECT doc_id, i, {whash} AS wh FROM u),
+g0 AS (SELECT doc_id, (wh * {dedup.GRAM_P} + lead(wh) OVER (PARTITION BY doc_id ORDER BY i)) % {M31} AS gram FROM h),
+g AS (SELECT DISTINCT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
 sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
 sh AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
