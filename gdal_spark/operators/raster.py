@@ -703,6 +703,62 @@ def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
     )
 
 
+CHECKSUM_PRIMES = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+
+
+def checksum_image(band: DataFrame, *, width: int, value_col: str = "value",
+                   x_col: str = "gx", y_col: str = "gy",
+                   floating: bool = False) -> DataFrame:
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48): the reference's
+    test currency — a 16-bit checksum over a raster window.
+
+    Per pixel at (x, y): contrib = int(v) % primes[(y*W + x) % 11]
+    (C truncated remainder — Spark's and DuckDB's `%` match), where
+    int(v) for floating bands is GDALCopyWords' floor(v + 0.5) clamped
+    to [-2147483647, 2147483647] (gdalchecksum.cpp:72-92). The C code
+    masks the accumulator with & 0xffff once per line; because masking
+    low 16 bits of a two's-complement int equals mod 65536 and mod is
+    a homomorphism over +, the whole checksum is just
+    pmod(sum(contrib), 65536) — a single JVM aggregate, fully
+    order-independent, so it parallelizes as a plain map-side-combined
+    SUM (no line ordering needed at any scale).
+    Returns one row (checksum bigint)."""
+    v = F.col(value_col).cast("double")
+    if floating:
+        vi = F.floor(v + F.lit(0.5))
+        vi = F.greatest(F.lit(-2147483647.0), F.least(F.lit(2147483647.0), vi))
+        vi = vi.cast("bigint")
+    else:
+        vi = F.col(value_col).cast("bigint")
+        vi = F.greatest(F.lit(-2147483647), F.least(F.lit(2147483647), vi))
+    prime = F.element_at(
+        F.array(*[F.lit(p) for p in CHECKSUM_PRIMES]),
+        ((F.col(y_col) * width + F.col(x_col)) % 11 + 1).cast("int"),
+    )
+    contrib = vi % prime
+    return band.agg(
+        F.pmod(F.sum(contrib), F.lit(65536)).cast("bigint").alias("checksum")
+    )
+
+
+def checksum_sql(inner_sql: str, *, width: int, value_sql: str = "value",
+                 x_sql: str = "gx", y_sql: str = "gy",
+                 floating: bool = False) -> str:
+    """DuckDB twin of checksum_image over `inner_sql` rows."""
+    primes = ", ".join(str(p) for p in CHECKSUM_PRIMES)
+    if floating:
+        vi = (f"CAST(greatest(-2147483647.0, least(2147483647.0, "
+              f"floor(CAST({value_sql} AS DOUBLE) + 0.5))) AS BIGINT)")
+    else:
+        vi = (f"greatest(-2147483647, least(2147483647, "
+              f"CAST({value_sql} AS BIGINT)))")
+    prime = f"([{primes}])[(({y_sql} * {width} + {x_sql}) % 11) + 1]"
+    return (
+        f"SELECT CAST(((sum({vi} % {prime}) % 65536) + 65536) % 65536 "
+        f"AS BIGINT) AS checksum FROM (\n{inner_sql}\n)"
+    )
+
+
 def color_relief(band: DataFrame,
                  ramp: list[tuple[float, int, int, int]]) -> DataFrame:
     """gdaldem color-relief (alg/gdaldem_lib.cpp

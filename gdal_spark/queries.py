@@ -3119,6 +3119,106 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
 """
 
 
+_EVENTS_PARTS = [
+    ("json", ["event_type"], ["event_id", "k"]),
+    ("buckets", ["bucket_s", "event_type"], ["cnt", "vmin", "vmax", "sum_cents"]),
+]
+
+
+def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events surface in one gate row: JSON-subtype extraction +
+    hourly temporal buckets (each r1/r2-proven individually; bucket
+    timestamps rendered as wall-clock strings so both engines compare
+    timezone-free)."""
+    j = q_events_json(spark, sf_dir).select("event_type", "event_id", "k")
+    b = q_events_buckets(spark, sf_dir).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "event_type", "cnt", "vmin", "vmax", "sum_cents",
+    )
+    return _suite(
+        [("json", j, _EVENTS_PARTS[0][1], _EVENTS_PARTS[0][2]),
+         ("buckets", b, _EVENTS_PARTS[1][1], _EVENTS_PARTS[1][2])],
+        n_str=2, n_num=4,
+    )
+
+
+def sql_events_suite() -> str:
+    b = (f"SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s, "
+         f"event_type, cnt, vmin, vmax, sum_cents FROM ({sql_events_buckets()})")
+    return _suite_sql(
+        [("json", sql_events_json(), _EVENTS_PARTS[0][1], _EVENTS_PARTS[0][2]),
+         ("buckets", b, _EVENTS_PARTS[1][1], _EVENTS_PARTS[1][2])],
+        n_str=2, n_num=4,
+    )
+
+
+def _gcp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-coordinate layer anchored on orders keys (scales with sf):
+    one (px, py) on the GCP fixture's 64x48 grid per order key."""
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 64).cast("double").alias("px"),
+        ((F.col("o_orderkey") / 64).cast("bigint") % 48).cast("double").alias("py"),
+    )
+
+
+_GCP_PIX_CTE = ("SELECT o_orderkey AS id, "
+                "CAST(o_orderkey % 64 AS DOUBLE) AS px, "
+                "CAST((o_orderkey // 64) % 48 AS DOUBLE) AS py FROM orders")
+
+_GCP_PARTS = [
+    ("poly1", [], ["id", "rx", "ry"]),
+    ("poly2", [], ["id", "rx", "ry"]),
+    ("poly3", [], ["id", "rx", "ry"]),
+    ("tps", [], ["id", "rx", "ry"]),
+]
+
+
+def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP warp transformers (gdalwarp -order N / -tps): polynomial
+    orders 1-3 (alg/gdal_crs.cpp CRS_georef basis, JVM column math)
+    and thin-plate spline (alg/thinplatespline.cpp kernel r2*ln(r2),
+    Arrow-batched pandas UDF). The fit runs once on the driver over
+    the 12-GCP fixture — exactly where GDAL solves it — and the
+    distributed APPLY is oracle-checked per row. Poly is bit-exact
+    (mm-rounded); TPS rounds at 1e-6 to absorb ln() last-ulp skew."""
+    from .operators import gcp_warp
+
+    pix = _gcp_pixels(spark, sf_dir)
+    gcps = gcp_warp.gcp_fixture()
+    parts = []
+    for order in (1, 2, 3):
+        m = gcp_warp.fit_polynomial_gcps(gcps, order)
+        out = gcp_warp.apply_polynomial(pix, m).select(
+            "id", F.round("geo_x", 9).alias("rx"), F.round("geo_y", 9).alias("ry"))
+        parts.append((f"poly{order}", out, [], ["id", "rx", "ry"]))
+    mt = gcp_warp.fit_tps_gcps(gcps)
+    out = gcp_warp.apply_tps(pix, mt).select(
+        "id", F.round("geo_x", 6).alias("rx"), F.round("geo_y", 6).alias("ry"))
+    parts.append(("tps", out, [], ["id", "rx", "ry"]))
+    return _suite(parts, n_str=0, n_num=3)
+
+
+def sql_gcp_warp_suite() -> str:
+    from .operators import gcp_warp
+
+    gcps = gcp_warp.gcp_fixture()
+    parts = []
+    for order in (1, 2, 3):
+        m = gcp_warp.fit_polynomial_gcps(gcps, order)
+        xe, ye = gcp_warp.poly_sql_expr(m, "px", "py")
+        sql = (f"SELECT id, round({xe}, 9) AS rx, round({ye}, 9) AS ry "
+               f"FROM ({_GCP_PIX_CTE})")
+        parts.append((f"poly{order}", sql, [], ["id", "rx", "ry"]))
+    mt = gcp_warp.fit_tps_gcps(gcps)
+    xe, ye = gcp_warp.tps_sql_expr(mt, "px", "py")
+    sql = (f"SELECT id, round({xe}, 6) AS rx, round({ye}, 6) AS ry "
+           f"FROM ({_GCP_PIX_CTE})")
+    parts.append(("tps", sql, [], ["id", "rx", "ry"]))
+    return _suite_sql(parts, n_str=0, n_num=3)
+
+
 def q_raster_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sieve filter: checkerboard raster with a small island burned in;
     the island (9 px < threshold 16) is absorbed by its surrounding
@@ -4529,7 +4629,33 @@ _RASTER_UTIL_PARTS = [
     ("nearblack", [], ["gx", "gy", "value", "mask"]),
     ("pct", [], ["gx", "gy", "idx", "rgb"]),
     ("retile", [], ["tile", "ox", "oy", "value"]),
+    ("checksum", [], ["band", "checksum"]),
 ]
+
+
+def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48) over the 32x32
+    synthetic band: integer path (band 0) and floating path with the
+    GDALCopyWords floor(v+0.5) conversion (band 1)."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8).select("gx", "gy", "value")
+    a = raster.checksum_image(band, width=32).select(
+        F.lit(0).cast("bigint").alias("band"), "checksum")
+    fb = band.withColumn("value", F.col("value").cast("double") / F.lit(7.0))
+    b = raster.checksum_image(fb, width=32, floating=True).select(
+        F.lit(1).cast("bigint").alias("band"), "checksum")
+    return a.unionByName(b)
+
+
+def sql_checksum() -> str:
+    v = _band_val_sql("gy * 32 + gx")
+    px = (f"SELECT r.range % 32 AS gx, r.range // 32 AS gy, ({v}) AS value "
+          f"FROM range(1024) r")
+    ints = raster.checksum_sql(px, width=32)
+    fl = raster.checksum_sql(
+        f"SELECT gx, gy, CAST(value AS DOUBLE) / 7.0 AS value FROM ({px})",
+        width=32, floating=True)
+    return (f"SELECT CAST(0 AS BIGINT) AS band, checksum FROM ({ints})\n"
+            f"UNION ALL\nSELECT CAST(1 AS BIGINT) AS band, checksum FROM ({fl})")
 
 
 def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4541,7 +4667,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reclassify": q_raster_reclassify, "mosaic": q_raster_mosaic,
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
-        "pct": q_pct_roundtrip, "retile": q_retile,
+        "pct": q_pct_roundtrip, "retile": q_retile, "checksum": q_checksum,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4555,7 +4681,7 @@ def sql_raster_utility_suite() -> str:
         "reclassify": sql_raster_reclassify, "mosaic": sql_raster_mosaic,
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
-        "pct": sql_pct_roundtrip, "retile": sql_retile,
+        "pct": sql_pct_roundtrip, "retile": sql_retile, "checksum": sql_checksum,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -4839,6 +4965,7 @@ QUERIES = {
     "contour": q_contour,
     "contour_polygonize": q_contour_polygonize,
     "warp_kernels_suite": q_warp_kernels_suite,
+    "gcp_warp_suite": q_gcp_warp_suite,
     "grid_suite": q_grid_suite,
     # --- vector pipeline
     "vector_pipeline_suite": q_vector_pipeline_suite,
@@ -4858,8 +4985,7 @@ QUERIES = {
     "ogr_summary": q_ogr_summary,
     "ogr_sql_suite": q_ogr_sql_suite,
     "text_suite": q_text_suite,
-    "events_json": q_events_json,
-    "events_buckets": q_events_buckets,
+    "events_suite": q_events_suite,
     # --- all-pairs yardstick (O(n^2) by design; the IVF twin above is
     # the scale path — keep last)
     "dedup_embedding": q_dedup_embedding,
@@ -4897,6 +5023,7 @@ ORACLES = {
     "contour": sql_contour,
     "contour_polygonize": sql_contour_polygonize,
     "warp_kernels_suite": sql_warp_kernels_suite,
+    "gcp_warp_suite": sql_gcp_warp_suite,
     "grid_suite": sql_grid_suite,
     "vector_pipeline_suite": sql_vector_pipeline_suite,
     "polygon_buffer_reflex": sql_polygon_buffer_reflex,
@@ -4913,8 +5040,7 @@ ORACLES = {
     "ogr_summary": sql_ogr_summary,
     "ogr_sql_suite": sql_ogr_sql_suite,
     "text_suite": sql_text_suite,
-    "events_json": sql_events_json,
-    "events_buckets": sql_events_buckets,
+    "events_suite": sql_events_suite,
     "dedup_embedding": sql_dedup_embedding,
 }
 
