@@ -1248,6 +1248,141 @@ FROM ({inner}) GROUP BY 1, 2
 """
 
 
+# pixel-space rasterize fixture: strictly off-grid coordinates (no
+# vertex / crossing on a cell boundary), the generic position the
+# reference resolves with 1e-9 nudges (llrasterize.cpp:690-705)
+_RAST_POLYS = [
+    (0, [3.3, 20.7, 9.4], [2.2, 5.1, 17.8]),
+    (1, [30.2, 45.9, 44.1, 28.8], [30.6, 32.4, 46.7, 44.3]),
+    (2, [5.6, 58.3, 6.1], [50.2, 54.9, 52.8]),
+]
+_RAST_W = 64
+
+
+def _rast_polys_cte() -> str:
+    rows = ", ".join(
+        f"({pid}, {xs}, {ys})".replace("'", "")
+        for pid, xs, ys in _RAST_POLYS
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(poly_id, xs, ys)"
+
+
+def q_rasterize_all_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize ALL_TOUCHED=TRUE: boundary cell walk union
+    interior fill over the literal pixel-space fixture."""
+    polys = raster.pixel_polys(spark, _RAST_POLYS)
+    return raster.rasterize_all_touched(polys, width=_RAST_W, height=_RAST_W) \
+        .select(F.col("gx").cast("bigint"), F.col("gy").cast("bigint"), "poly_id")
+
+
+def sql_rasterize_all_touched() -> str:
+    W = _RAST_W
+    return f"""
+WITH polys AS ({_rast_polys_cte()}),
+edges AS (
+  SELECT poly_id, xs[i] AS x0, ys[i] AS y0,
+         xs[(i % len(xs)) + 1] AS x1, ys[(i % len(ys)) + 1] AS y1
+  FROM polys, unnest(generate_series(1, len(xs))) AS u(i)
+),
+cols AS (
+  SELECT *, u.i AS i,
+         greatest(CAST(i AS DOUBLE), least(x0, x1)) AS xlo,
+         least(CAST(i AS DOUBLE) + 1.0, greatest(x0, x1)) AS xhi
+  FROM edges, unnest(generate_series(CAST(floor(least(x0, x1)) AS INT),
+                                     CAST(floor(greatest(x0, x1)) AS INT))) AS u(i)
+  WHERE u.i >= 0 AND u.i < {W}
+),
+ys AS (
+  SELECT poly_id, i,
+    CASE WHEN abs(x1 - x0) < 1e-12 THEN least(y0, y1)
+         ELSE y0 + (xlo - x0) / (x1 - x0) * (y1 - y0) END AS ya,
+    CASE WHEN abs(x1 - x0) < 1e-12 THEN greatest(y0, y1)
+         ELSE y0 + (xhi - x0) / (x1 - x0) * (y1 - y0) END AS yb
+  FROM cols
+),
+touched AS (
+  SELECT CAST(i AS BIGINT) AS gx, CAST(u.j AS BIGINT) AS gy, poly_id
+  FROM ys, unnest(generate_series(CAST(floor(least(ya, yb)) AS INT),
+                                  CAST(floor(greatest(ya, yb)) AS INT))) AS u(j)
+  WHERE u.j >= 0 AND u.j < {W}
+),
+grid AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r),
+inner_fill AS (
+  SELECT g.gx, g.gy, e.poly_id
+  FROM grid g CROSS JOIN edges e
+  WHERE ((e.y0 > CAST(g.gy AS DOUBLE) + 0.5) != (e.y1 > CAST(g.gy AS DOUBLE) + 0.5))
+    AND (CAST(g.gx AS DOUBLE) + 0.5) <
+        e.x0 + ((CAST(g.gy AS DOUBLE) + 0.5) - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+  GROUP BY 1, 2, 3 HAVING count(*) % 2 = 1
+)
+SELECT DISTINCT gx, gy, poly_id FROM (
+  SELECT * FROM touched UNION ALL SELECT CAST(gx AS BIGINT), CAST(gy AS BIGINT), poly_id FROM inner_fill
+)
+"""
+
+
+def q_rasterize_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize -i: burn into every pixel NOT covered by any
+    fixture polygon."""
+    polys = raster.pixel_polys(spark, _RAST_POLYS)
+    return raster.rasterize_inverse(polys, width=_RAST_W, height=_RAST_W) \
+        .select(F.col("gx").cast("bigint"), F.col("gy").cast("bigint"), "burn")
+
+
+def sql_rasterize_inverse() -> str:
+    W = _RAST_W
+    return f"""
+WITH polys AS ({_rast_polys_cte()}),
+edges AS (
+  SELECT poly_id, xs[i] AS x0, ys[i] AS y0,
+         xs[(i % len(xs)) + 1] AS x1, ys[(i % len(ys)) + 1] AS y1
+  FROM polys, unnest(generate_series(1, len(xs))) AS u(i)
+),
+grid AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy FROM range({W * W}) r),
+inner_fill AS (
+  SELECT g.gx, g.gy, e.poly_id
+  FROM grid g CROSS JOIN edges e
+  WHERE ((e.y0 > CAST(g.gy AS DOUBLE) + 0.5) != (e.y1 > CAST(g.gy AS DOUBLE) + 0.5))
+    AND (CAST(g.gx AS DOUBLE) + 0.5) <
+        e.x0 + ((CAST(g.gy AS DOUBLE) + 0.5) - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)
+  GROUP BY 1, 2, 3 HAVING count(*) % 2 = 1
+)
+SELECT CAST(g.gx AS BIGINT) AS gx, CAST(g.gy AS BIGINT) AS gy,
+       CAST(255 AS BIGINT) AS burn
+FROM grid g ANTI JOIN (SELECT DISTINCT gx, gy FROM inner_fill) f
+  ON g.gx = f.gx AND g.gy = f.gy
+"""
+
+
+_RASTERIZE_PARTS = [
+    ("merge", [], ["gx", "gy", "burn", "burn_replace"]),
+    ("all_touched", [], ["gx", "gy", "poly_id"]),
+    ("inverse", [], ["gx", "gy", "burn"]),
+]
+
+
+def q_rasterize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterize surface in one gate row: ADD+REPLACE merge algebra
+    (geo-space cell-join path), ALL_TOUCHED boundary walk, and -i
+    inverse burn (pixel-space literal fixture)."""
+    subs = {"merge": q_rasterize_add, "all_touched": q_rasterize_all_touched,
+            "inverse": q_rasterize_inverse}
+    return _suite(
+        [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTERIZE_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
+def sql_rasterize_suite() -> str:
+    subs = {"merge": sql_rasterize_add,
+            "all_touched": sql_rasterize_all_touched,
+            "inverse": sql_rasterize_inverse}
+    return _suite_sql(
+        [(t, subs[t](), sc, nc) for t, sc, nc in _RASTERIZE_PARTS],
+        n_str=0, n_num=4,
+    )
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector: distributed 4-connected CCL with cross-tile
     stitch (alg/polygonize.cpp:73-87); checkerboard fixture has an
@@ -4955,7 +5090,7 @@ QUERIES = {
     "reproject_lcc": q_reproject_lcc,
     # --- raster
     "overview_suite": q_overview_suite,
-    "rasterize_add": q_rasterize_add,
+    "rasterize_suite": q_rasterize_suite,
     "polygonize": q_polygonize,
     "raster_utility_suite": q_raster_utility_suite,
     "proximity": q_proximity,
@@ -5013,7 +5148,7 @@ ORACLES = {
     "reproject_suite": sql_reproject_suite,
     "reproject_lcc": sql_reproject_lcc,
     "overview_suite": sql_overview_suite,
-    "rasterize_add": sql_rasterize_add,
+    "rasterize_suite": sql_rasterize_suite,
     "polygonize": sql_polygonize,
     "raster_utility_suite": sql_raster_utility_suite,
     "proximity": sql_proximity,

@@ -105,3 +105,27 @@ def test_checksum_float_conversion(spark):
     got = raster.checksum_image(df, width=6, floating=True).collect()[0]["checksum"]
     ints = [math.floor(v + 0.5) for v in vals]
     assert got == _ref_checksum(ints, 6)
+
+
+def test_rasterize_all_touched_superset_and_boundary(spark):
+    # thin triangle: boundary crosses many cells whose centers are outside
+    polys = raster.pixel_polys(spark, [(0, [1.3, 10.6, 1.4], [1.2, 2.9, 3.1])])
+    at = {(r["gx"], r["gy"]) for r in
+          raster.rasterize_all_touched(polys, width=16, height=8).collect()}
+    inner = {(r["gx"], r["gy"]) for r in
+             raster.rasterize_interior(polys, width=16, height=8).collect()}
+    assert inner <= at
+    assert len(at) > len(inner)          # boundary-only pixels exist
+    assert (10, 2) in at                 # apex cell touched
+    # every touched pixel is within the triangle's bbox cells
+    assert all(1 <= x <= 10 and 1 <= y <= 3 for x, y in at)
+
+
+def test_rasterize_inverse_complements_fill(spark):
+    polys = raster.pixel_polys(spark, [(0, [2.2, 6.7, 6.6, 2.3], [2.1, 2.4, 6.8, 6.7])])
+    inv = {(r["gx"], r["gy"]) for r in
+           raster.rasterize_inverse(polys, width=10, height=10).collect()}
+    inner = {(r["gx"], r["gy"]) for r in
+             raster.rasterize_interior(polys, width=10, height=10).collect()}
+    assert inv.isdisjoint(inner)
+    assert len(inv) + len(inner) == 100
