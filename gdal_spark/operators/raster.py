@@ -450,9 +450,11 @@ def rasterize_inverse(polys: DataFrame, *, width: int, height: int,
 
 
 def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
-                 tile: int = 64) -> DataFrame:
+                 tile: int = 64, connect: int = 4) -> DataFrame:
     """Sieve: merge raster polygons smaller than `threshold` pixels into
-    their largest neighboring polygon (alg/gdalsievefilter.cpp, 4-conn).
+    their largest neighboring polygon (alg/gdalsievefilter.cpp;
+    nConnectedness 4 or 8 applies to both component building and the
+    neighbor search, gdalsievefilter.cpp:124).
 
     One merge round (sufficient when small components are isolated
     islands; the reference iterates for cascades — chain calls to
@@ -462,14 +464,16 @@ def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
     largest neighbor (ties -> smallest component label). Returns the
     sieved raster (px, py, value).
     """
-    lab = label_pixels(pixels, width=width, tile=tile)
+    lab = label_pixels(pixels, width=width, tile=tile, connect=connect)
     sizes = lab.groupBy("comp").agg(F.count("*").alias("n"))
     small = sizes.filter(F.col("n") < threshold).select("comp")
-    # adjacency: 4-neighbors with different component labels
+    # adjacency: neighbors (per connectedness) with different labels
     a = lab.select(F.col("px").alias("ax"), F.col("py").alias("ay"),
                    F.col("comp").alias("al"))
+    adj_offs = ((1, 0), (0, 1)) if connect == 4 else \
+        ((1, 0), (0, 1), (1, 1), (-1, 1))
     edges = []
-    for dx, dy in ((1, 0), (0, 1)):
+    for dx, dy in adj_offs:
         b = lab.select((F.col("px") - dx).alias("ax"), (F.col("py") - dy).alias("ay"),
                        F.col("comp").alias("bl"))
         e = a.join(b, ["ax", "ay"]).filter(F.col("al") != F.col("bl"))
@@ -560,9 +564,11 @@ def raster_calc(pixels: DataFrame, expr: str, *, value_cols: dict[str, str] | No
 _CCL_SCHEMA = "tile_x bigint, tile_y bigint, px bigint, py bigint, value bigint, label bigint"
 
 
-def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
-    """4-connected two-pass CCL within one tile (alg/polygonize.cpp:174
-    first pass builds equivalences, :234 second pass resolves).
+def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int,
+              connect: int = 4) -> pd.DataFrame:
+    """4/8-connected two-pass CCL within one tile (alg/polygonize.cpp:174
+    first pass builds equivalences, :234 second pass resolves; 8-conn is
+    the GDALPolygonize 8CONNECTED=8 option, polygonize.cpp:482).
     Labels are provisional global pixel ids (min pid in the tile-local
     component) so the cross-tile merge can take global minima."""
     xs = pdf["px"].to_numpy()
@@ -596,11 +602,12 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
             else:
                 parent[ra] = rb
 
-    # horizontal and vertical 4-adjacency within the tile
-    for (dy, dx) in ((0, 1), (1, 0)):
+    # horizontal/vertical 4-adjacency, plus both diagonals for 8-conn
+    offs = ((0, 1), (1, 0)) if connect == 4 else ((0, 1), (1, 0), (1, 1), (1, -1))
+    for (dy, dx) in offs:
         ay, ax = np.nonzero(present2d)
         by, bx = ay + dy, ax + dx
-        ok = (by < h) & (bx < w)
+        ok = (by < h) & (bx < w) & (bx >= 0)
         ay, ax, by, bx = ay[ok], ax[ok], by[ok], bx[ok]
         same = present2d[by, bx] & (img[ay, ax] == img[by, bx])
         for a, b in zip(ay[same] * w + ax[same], by[same] * w + bx[same]):
@@ -620,9 +627,12 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int) -> pd.DataFrame:
     return out
 
 
-def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
-    """Distributed 4-connected CCL: per-tile CCL (applyInPandas) then
+def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
+                 connect: int = 4) -> DataFrame:
+    """Distributed 4/8-connected CCL: per-tile CCL (applyInPandas) then
     iterative cross-tile label union via border-edge equivalences.
+    connect=8 adds both diagonal adjacencies (GDALPolygonize
+    8CONNECTED=8, alg/polygonize.cpp:482).
 
     Returns per-pixel rows (px, py, value, pid, comp) with comp = min
     global pixel id of the component (canonical, engine-independent).
@@ -640,17 +650,31 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
     labeled = px.select("tile_x", "tile_y", "px", "py", "value").groupBy(
         "tile_x", "tile_y"
     ).applyInPandas(
-        lambda pdf: _tile_ccl(pdf, tile, width), _CCL_SCHEMA
+        lambda pdf: _tile_ccl(pdf, tile, width, connect), _CCL_SCHEMA
     ).withColumn("pid", F.col("py") * width + F.col("px"))
 
-    # border equivalence pairs: right and down edges crossing tile lines
+    # border equivalence pairs: offsets whose neighbor can land in a
+    # different tile (right/down for 4-conn, + both diagonals for 8)
     a = labeled.select(
         F.col("px").alias("ax"), F.col("py").alias("ay"),
         F.col("value").alias("av"), F.col("label").alias("al"),
     )
+    cross_offs = [(1, 0), (0, 1)] if connect == 4 else \
+        [(1, 0), (0, 1), (1, 1), (-1, 1)]
     eqs = []
-    for dx, dy in ((1, 0), (0, 1)):
-        border = (F.col("ax") + dx) % tile == 0 if dx else (F.col("ay") + dy) % tile == 0
+    for dx, dy in cross_offs:
+        # keep only pixels whose (dx,dy) neighbor is in another tile —
+        # same-tile pairs were already unioned by the local CCL pass
+        conds = []
+        if dx == 1:
+            conds.append((F.col("ax") + 1) % tile == 0)
+        elif dx == -1:
+            conds.append(F.col("ax") % tile == 0)
+        if dy == 1:
+            conds.append((F.col("ay") + 1) % tile == 0)
+        border = conds[0]
+        for c in conds[1:]:
+            border = border | c
         b = labeled.select(
             F.col("px").alias("bx"), F.col("py").alias("by"),
             F.col("value").alias("bv"), F.col("label").alias("bl"),
@@ -662,7 +686,10 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
             .select(F.col("al").alias("l1"), F.col("bl").alias("l2"))
         )
         eqs.append(e)
-    edges = eqs[0].unionByName(eqs[1]).distinct()
+    edges = eqs[0]
+    for e in eqs[1:]:
+        edges = edges.unionByName(e)
+    edges = edges.distinct()
     # undirected
     edges = edges.unionByName(
         edges.select(F.col("l2").alias("l1"), F.col("l1").alias("l2"))
@@ -992,11 +1019,13 @@ def fill_nodata(band: DataFrame, *, nodata, max_dist: int = 3) -> DataFrame:
     return keep.unionByName(filled)
 
 
-def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64) -> DataFrame:
+def polygonize_ccl(pixels: DataFrame, *, width: int, tile: int = 64,
+                   connect: int = 4) -> DataFrame:
     """Raster->vector polygonize (alg/polygonize.cpp:73): one row per
     connected component — (label, value, n_pixels), label = min global
-    pixel id (canonical)."""
-    final = label_pixels(pixels, width=width, tile=tile)
+    pixel id (canonical). connect=8 ≙ the 8CONNECTED=8 option
+    (alg/polygonize.cpp:482)."""
+    final = label_pixels(pixels, width=width, tile=tile, connect=connect)
     return (
         final.groupBy("comp", "value")
         .agg(F.count("*").alias("n_pixels"), F.min("pid").alias("label"))

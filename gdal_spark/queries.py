@@ -1383,22 +1383,47 @@ def sql_rasterize_suite() -> str:
     )
 
 
+_POLYGONIZE_PARTS = [
+    ("conn4", [], ["label", "value", "n_pixels"]),
+    ("conn8", [], ["label", "value", "n_pixels"]),
+]
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raster->vector: distributed 4-connected CCL with cross-tile
-    stitch (alg/polygonize.cpp:73-87); checkerboard fixture has an
-    analytic component oracle."""
+    """Raster->vector: distributed CCL with cross-tile stitch
+    (alg/polygonize.cpp:73-87); checkerboard fixture has an analytic
+    component oracle. conn4: each 20x20 block is its own component.
+    conn8 (8CONNECTED=8, polygonize.cpp:482): same-value blocks touch
+    at corners, so the whole board collapses to one component per
+    value; tile=16 puts block corner (80,80) on a tile line so the
+    cross-tile DIAGONAL stitch is exercised, not just the local pass."""
     px = raster.synth_raster(spark, width=96, height=96, block=20, n_values=2)
-    return raster.polygonize_ccl(px, width=96, tile=32)
+    c4 = raster.polygonize_ccl(px, width=96, tile=32)
+    c8 = raster.polygonize_ccl(px, width=96, tile=16, connect=8)
+    return _suite(
+        [("conn4", c4, [], ["label", "value", "n_pixels"]),
+         ("conn8", c8, [], ["label", "value", "n_pixels"])],
+        n_str=0, n_num=3,
+    )
 
 
 def sql_polygonize() -> str:
-    return """
+    base = """
 WITH px AS (SELECT r.range % 96 AS gx, r.range // 96 AS gy FROM range(9216) r)
 SELECT min(gy * 96 + gx) AS label,
        ((gx // 20) + (gy // 20)) % 2 AS value,
        count(*) AS n_pixels
-FROM px GROUP BY gx // 20, gy // 20, ((gx // 20) + (gy // 20)) % 2
+FROM px GROUP BY {groups}
 """
+    # conn8: diagonal corner contacts chain every same-value block into
+    # one component per checkerboard colour
+    c4 = base.format(groups="gx // 20, gy // 20, ((gx // 20) + (gy // 20)) % 2")
+    c8 = base.format(groups="((gx // 20) + (gy // 20)) % 2")
+    return _suite_sql(
+        [("conn4", c4, [], ["label", "value", "n_pixels"]),
+         ("conn8", c8, [], ["label", "value", "n_pixels"])],
+        n_str=0, n_num=3,
+    )
 
 
 def _band_val_sql(pid_expr: str) -> str:

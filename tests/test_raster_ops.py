@@ -50,6 +50,43 @@ def test_polygonize_checkerboard_components(spark):
     assert got == expect
 
 
+def test_polygonize_conn8_checkerboard_collapses(spark):
+    # 8-conn (GDALPolygonize 8CONNECTED=8): same-value checkerboard
+    # blocks touch at corners, so the board collapses to one component
+    # per colour. tile=24 puts block corner (48,48) on a tile line, so
+    # the cross-tile DIAGONAL stitch is exercised too.
+    px = raster.synth_raster(spark, 64, 64, block=24, n_values=2)
+    out = raster.polygonize_ccl(px, width=64, tile=24, connect=8).toPandas()
+    got = {int(r.value): (int(r.label), int(r.n_pixels)) for r in out.itertuples()}
+    widths = [24, 24, 16]
+    n_by_val = {0: 0, 1: 0}
+    for by, h in enumerate(widths):
+        for bx, w in enumerate(widths):
+            n_by_val[(bx + by) % 2] += w * h
+    assert got == {0: (0, n_by_val[0]), 1: (24, n_by_val[1])}
+
+
+def test_sieve_connectedness_changes_component_size(spark):
+    # two value-7 pixels touching only diagonally: conn4 sees two
+    # 1-px components (both < threshold 2, absorbed into background);
+    # conn8 sees one 2-px component (>= threshold, survives).
+    # gdalsievefilter.cpp applies nConnectedness to both the component
+    # build and the neighbor search.
+    base = spark.range(0, 16 * 16).select(
+        (F.col("id") % 16).alias("px"),
+        (F.col("id") / 16).cast("bigint").alias("py"),
+    )
+    island = ((F.col("px") == 5) & (F.col("py") == 5)) | (
+        (F.col("px") == 6) & (F.col("py") == 6))
+    pix = base.withColumn("value", F.when(island, F.lit(7)).otherwise(F.lit(0)))
+    out4 = raster.sieve_filter(pix, width=16, threshold=2, tile=8).toPandas()
+    assert set(out4["value"]) == {0}
+    out8 = raster.sieve_filter(pix, width=16, threshold=2, tile=8,
+                               connect=8).toPandas()
+    kept = out8[out8["value"] == 7]
+    assert {(int(r.px), int(r.py)) for r in kept.itertuples()} == {(5, 5), (6, 6)}
+
+
 def test_polygonize_single_value_is_one_component(spark):
     px = raster.synth_raster(spark, 48, 48, block=100, n_values=1)
     out = raster.polygonize_ccl(px, width=48, tile=16).toPandas()
