@@ -30,6 +30,17 @@ def get_spark(app: str = "gdal_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("GDAL_SPARK_DRIVER_MEM", "24g"))
+        # InferFiltersFromGenerate adds `size(e) > 0 AND isnotnull(e)`
+        # under every explode and pushes it to the scan, substituting
+        # the generator-input ALIASES into the predicate. Our geometry
+        # fixtures build vertex arrays from deep closed-form column
+        # math, so the inferred (always-true: the arrays are literal-
+        # built and non-empty) predicate textually duplicates that
+        # whole chain and blew janino's 64 KB whole-stage-codegen limit
+        # on the explode stages. Excluding the rule keeps explode
+        # stages codegen'd; real input filters are unaffected.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
