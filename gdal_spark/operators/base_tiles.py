@@ -395,6 +395,107 @@ def antialias_shrink(qpx: DataFrame, *, tile_size: int, qs: int) -> DataFrame:
     )
 
 
+PIL_PRECISION_BITS = 32 - 8 - 2  # Pillow Resample.c 8bpc fixed point
+
+
+def pil_u8_taps(qs: int, ts: int) -> list[tuple[int, int, list[int]]]:
+    """INT32-quantized tap table for PIL's uint8 image path (Pillow
+    Resample.c normalize_coeffs_8bpc): k = (int)(w * 2^22 +/- 0.5),
+    rounded half away from zero, C-cast truncation toward zero."""
+    S = 1 << PIL_PRECISION_BITS
+    out = []
+    for d, xmin, ws in pil_lanczos_taps(qs, ts):
+        kk = [int(w * S + 0.5) if w >= 0.0 else int(w * S - 0.5) for w in ws]
+        out.append((d, xmin, kk))
+    return out
+
+
+def _clip8_expr(s: str) -> str:
+    """Pillow Resample.c clip8: <=0 -> 0, >= 1<<30 -> 255, else >>22.
+    The shift branch only sees positive sums, so integral `div`
+    (truncation) == the C right shift."""
+    hi = 1 << (PIL_PRECISION_BITS + 8)
+    return (f"CASE WHEN {s} <= 0 THEN 0 WHEN {s} >= {hi} THEN 255 "
+            f"ELSE {s} div {1 << PIL_PRECISION_BITS} END")
+
+
+def antialias_shrink_u8(qpx: DataFrame, *, tile_size: int, qs: int) -> DataFrame:
+    """PIL ANTIALIAS shrink, uint8 fixed-point semantics — the path
+    Pillow actually takes for the 8-bit tile buffers gdal2tiles feeds
+    it (gdal2tiles.py scale_query_to_tile -> Image.resize on mode-L/
+    RGBA images; Resample.c ImagingResampleHorizontal_8bpc):
+    per-pass INT32 coefficients (x 2^22, half-away rounding), integer
+    accumulate seeded with 2^21, clip8 after EACH pass (horizontal
+    first, then vertical over the clipped uint8 intermediate).
+    Integer addition is associative, so unlike the float twin no
+    ordered fold is needed: both passes are plain whole-stage-codegen
+    joins + sums, and the result is bit-exact on any engine."""
+    spark = qpx.sparkSession
+    ts = tile_size
+    taps = pil_u8_taps(qs, ts)
+    rows = [(d, xmin + k, c) for d, xmin, cs in taps for k, c in enumerate(cs)]
+    tap_df = spark.createDataFrame(rows, "d bigint, j bigint, k bigint")
+    bias = 1 << (PIL_PRECISION_BITS - 1)
+
+    def fold(df: DataFrame, axis: str, keep: list[str]) -> DataFrame:
+        j = df.join(F.broadcast(tap_df), df[axis] == tap_df["j"])
+        g = j.groupBy(*keep, "d").agg(
+            (F.lit(bias) + F.sum(F.col("k") * F.col("value").cast("long")))
+            .alias("_s")
+        )
+        return g.withColumn("value", F.expr(_clip8_expr("_s"))).drop("_s")
+
+    h = fold(qpx, "px", ["tz", "tx", "ty", "py"]) \
+        .select("tz", "tx", "ty", F.col("d").alias("hx"), "py", "value")
+    v = fold(h, "py", ["tz", "tx", "ty", "hx"])
+    return v.select(
+        "tz", "tx", "ty",
+        (F.col("d") * ts + F.col("hx")).alias("pos"),
+        F.col("value").cast("long").alias("value"),
+    )
+
+
+def antialias_u8_sql(tz: int, tile_size: int, *, salt: int = SALT_SRC,
+                     src_val_sql: str | None = None) -> str:
+    """DuckDB twin of antialias_shrink_u8: identical INT32 tap
+    literals, integer sums (order-free), clip8 per pass. `//` is floor
+    division, equal to the C shift on the positive-only branch."""
+    ts = tile_size
+    qs = 4 * ts
+    taps = pil_u8_taps(qs, ts)
+    tap_rows = ", ".join(
+        f"({d}, {xmin + k}, {c})"
+        for d, xmin, cs in taps for k, c in enumerate(cs)
+    )
+    bias = 1 << (PIL_PRECISION_BITS - 1)
+    hi = 1 << (PIL_PRECISION_BITS + 8)
+    shift = 1 << PIL_PRECISION_BITS
+
+    def clip8(s: str) -> str:
+        return (f"CASE WHEN {s} <= 0 THEN 0 WHEN {s} >= {hi} THEN 255 "
+                f"ELSE {s} // {shift} END")
+
+    ctes = sql_ctes(tz=tz, tile_size=ts, querysize=qs, salt=salt,
+                    src_val_sql=src_val_sql).strip()
+    return f"""
+WITH {ctes},
+taps(d, j, k) AS (VALUES {tap_rows}),
+hf AS (
+  SELECT tz, tx, ty, py, t.d AS hx,
+         {clip8(f"({bias} + sum(t.k * CAST(b.value AS BIGINT)))")} AS value
+  FROM base b JOIN taps t ON t.j = b.px
+  GROUP BY 1, 2, 3, 4, 5
+),
+vf AS (
+  SELECT tz, tx, ty, hx, t.d AS vy,
+         {clip8(f"({bias} + sum(t.k * h.value))")} AS value
+  FROM hf h JOIN taps t ON t.j = h.py
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT tz, tx, ty, vy * {ts} + hx AS pos, CAST(value AS BIGINT) AS value FROM vf
+"""
+
+
 def antialias_sql(tz: int, tile_size: int, *, salt: int = SALT_SRC,
                   src_val_sql: str | None = None) -> str:
     """DuckDB twin of base_tiles(query, 4x) + antialias_shrink: the

@@ -63,3 +63,46 @@ def test_base_tiles_pixels(spark):
         spark.createDataFrame(base), tz=2, tile_size=16
     ).collect()
     assert {(r["tz"], r["tx"], r["ty"]) for r in ov} <= {(1, 0, 1)}
+
+
+def test_antialias_u8_matches_dense_numpy_reference(spark):
+    # independent check of the join-based fixed-point shrink: build the
+    # dense qs x qs query image per tile (absent -> 0, the zero-init MEM
+    # buffer), apply the Resample.c 8bpc passes directly in numpy
+    # (horizontal then vertical, clip8 after each), compare every pixel.
+    ts, qs = 16, 64
+    src = BT.src_pixels(spark, salt=BT.SALT_SRC, byte_range=True)
+    qpx = BT.base_tiles(spark, tz=2, tile_size=ts, resampling="query",
+                        query_factor=4, src=src)
+    got = BT.antialias_shrink_u8(qpx, tile_size=ts, qs=qs).toPandas()
+    raw = qpx.toPandas()
+
+    taps = BT.pil_u8_taps(qs, ts)
+    bias = 1 << (BT.PIL_PRECISION_BITS - 1)
+    hi = 1 << (BT.PIL_PRECISION_BITS + 8)
+
+    def clip8(s):
+        out = s >> BT.PIL_PRECISION_BITS
+        out[s <= 0] = 0
+        out[s >= hi] = 255
+        return out
+
+    for (tz, tx, ty), g in raw.groupby(["tz", "tx", "ty"]):
+        img = np.zeros((qs, qs), dtype=np.int64)
+        img[g["py"].to_numpy(), g["px"].to_numpy()] = g["value"].to_numpy()
+        h = np.zeros((qs, ts), dtype=np.int64)
+        for d, xmin, kk in taps:
+            h[:, d] = clip8(bias + img[:, xmin:xmin + len(kk)]
+                            @ np.asarray(kk, dtype=np.int64))
+        v = np.zeros((ts, ts), dtype=np.int64)
+        for d, xmin, kk in taps:
+            v[d, :] = clip8(bias + np.asarray(kk, dtype=np.int64)
+                            @ h[xmin:xmin + len(kk), :])
+        sub = got[(got["tz"] == tz) & (got["tx"] == tx) & (got["ty"] == ty)]
+        expect = {int(r.pos): int(r.value) for r in sub.itertuples()}
+        dense = {dy * ts + dx: int(v[dy, dx])
+                 for dy in range(ts) for dx in range(ts)}
+        # the engine emits only positions with at least one source tap
+        # row; positions it omits must be 0 in the dense reference
+        for pos, val in dense.items():
+            assert expect.get(pos, 0) == val, (tz, tx, ty, pos)
