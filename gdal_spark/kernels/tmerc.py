@@ -171,6 +171,50 @@ def atanh_sql(x: str) -> str:
     return f"(0.5 * ln((1.0 + ({x})) / (1.0 - ({x}))))"
 
 
+def fwd_series_terms(xi_p: str = "xi_p", eta_p: str = "eta_p") -> tuple[str, str]:
+    """(xi_terms, eta_terms) of the forward Krüger series as SQL over
+    the named conformal coordinates — shared by the DuckDB CTE twin
+    and the Spark pure-codegen column path."""
+    xi_terms = " + ".join(
+        f"{_r(aj)} * sin({2 * j}.0 * {xi_p}) * {cosh_sql(f'{2 * j}.0 * {eta_p}')}"
+        for j, aj in enumerate(ALPHA, start=1)
+    )
+    eta_terms = " + ".join(
+        f"{_r(aj)} * cos({2 * j}.0 * {xi_p}) * {sinh_sql(f'{2 * j}.0 * {eta_p}')}"
+        for j, aj in enumerate(ALPHA, start=1)
+    )
+    return xi_terms, eta_terms
+
+
+def inv_series_terms(xi: str = "xi", eta: str = "eta") -> tuple[str, str]:
+    """(xi_terms, eta_terms) of the inverse series (BETA coefficients)."""
+    xi_terms = " + ".join(
+        f"{_r(bj)} * sin({2 * j}.0 * {xi}) * {cosh_sql(f'{2 * j}.0 * {eta}')}"
+        for j, bj in enumerate(BETA, start=1)
+    )
+    eta_terms = " + ".join(
+        f"{_r(bj)} * cos({2 * j}.0 * {xi}) * {sinh_sql(f'{2 * j}.0 * {eta}')}"
+        for j, bj in enumerate(BETA, start=1)
+    )
+    return xi_terms, eta_terms
+
+
+def newton_step_sql(tau: str, tp: str) -> tuple[str, str, str]:
+    """One Newton step of Karney eq. 19-21 as SQL: returns
+    (t1_expr, sig_expr_over(t1), next_tau_expr_over(t1, sig)) with
+    `t1`/`sig` as the free variable names the caller must bind."""
+    ecc = _r(ECC)
+    e2 = _r(E2)
+    t1_expr = f"sqrt(1.0 + {tau}*{tau})"
+    sig_expr = sinh_sql(f"{ecc} * " + atanh_sql(f"{ecc} * {tau} / t1"))
+    next_expr = (
+        f"{tau} - (({tau} * sqrt(1.0 + sig*sig) - sig * t1 - {tp})"
+        f" / ((sqrt((1.0 + sig*sig) * (1.0 + {tau}*{tau})) - sig * {tau})"
+        f" * (1.0 - {e2}) * t1 / (1.0 + (1.0 - {e2}) * {tau}*{tau})))"
+    )
+    return t1_expr, sig_expr, next_expr
+
+
 def forward_sql_ctes(src: str, zone: int, *, lon: str = "lon",
                      lat: str = "lat", keep: str = "id") -> str:
     """CTE chain computing (easting, northing) from `src`(keep, lon,
@@ -180,14 +224,7 @@ def forward_sql_ctes(src: str, zone: int, *, lon: str = "lon",
     deg = _r(DEG)
     ecc = _r(ECC)
     ka = _r(K0 * AHAT)
-    xi_terms = " + ".join(
-        f"{_r(aj)} * sin({2 * j}.0 * xi_p) * {cosh_sql(f'{2 * j}.0 * eta_p')}"
-        for j, aj in enumerate(ALPHA, start=1)
-    )
-    eta_terms = " + ".join(
-        f"{_r(aj)} * cos({2 * j}.0 * xi_p) * {sinh_sql(f'{2 * j}.0 * eta_p')}"
-        for j, aj in enumerate(ALPHA, start=1)
-    )
+    xi_terms, eta_terms = fwd_series_terms()
     return f"""
 _t0 AS (
   SELECT {keep}, (({lon}) - {lon0}) * {deg} AS lam, ({lat}) * {deg} AS phi
@@ -225,14 +262,7 @@ def inverse_sql_ctes(src: str, zone: int, *, easting: str = "easting",
     ecc = _r(ECC)
     e2 = _r(E2)
     ka = _r(K0 * AHAT)
-    xi_terms = " + ".join(
-        f"{_r(bj)} * sin({2 * j}.0 * xi) * {cosh_sql(f'{2 * j}.0 * eta')}"
-        for j, bj in enumerate(BETA, start=1)
-    )
-    eta_terms = " + ".join(
-        f"{_r(bj)} * cos({2 * j}.0 * xi) * {sinh_sql(f'{2 * j}.0 * eta')}"
-        for j, bj in enumerate(BETA, start=1)
-    )
+    xi_terms, eta_terms = inv_series_terms()
 
     def step(i: int) -> str:
         t = f"tau{i}"

@@ -69,3 +69,33 @@ def test_approx_transform_exact_at_zero_tolerance_probes():
     xs = np.linspace(0, 100, 1025)
     out = reproject.approx_transform_line(xs, f, tol=1e-12)
     np.testing.assert_allclose(out, f(xs), atol=1e-9)
+
+
+def test_utm_sql_impl_matches_arrow_impl_and_is_python_free(spark):
+    # the codegen column path and the numpy/Arrow path consume the same
+    # kernels.tmerc literals; they may differ only at libm-ulp level
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    pts = spark.range(5000).selectExpr(
+        "id",
+        "CAST(-0.9 + (id % 617) / 350.0 AS DOUBLE) AS lon",
+        "CAST(36.0 + (id % 401) / 67.0 AS DOUBLE) AS lat",
+    )
+    a = reproject.utm_inverse_cols(
+        reproject.utm_forward_cols(pts, 31, impl="sql"), 31, impl="sql"
+    ).orderBy("id").toPandas()
+    b = reproject.utm_inverse_cols(
+        reproject.utm_forward_cols(pts, 31, impl="arrow"), 31, impl="arrow"
+    ).orderBy("id").toPandas()
+    assert np.abs(a["easting"] - b["easting"]).max() < 1e-6   # meters
+    assert np.abs(a["northing"] - b["northing"]).max() < 1e-6
+    assert np.abs(a["lon_inv"] - b["lon_inv"]).max() < 1e-11  # degrees
+    assert np.abs(a["lat_inv"] - b["lat_inv"]).max() < 1e-11
+    # the sql plan must be pure JVM: no Python evaluation nodes at all
+    plan = (
+        reproject.utm_inverse_cols(
+            reproject.utm_forward_cols(pts, 31, impl="sql"), 31, impl="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
