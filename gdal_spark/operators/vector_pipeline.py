@@ -512,6 +512,81 @@ def swap_xy(df: DataFrame, xs: str = "xs", ys: str = "ys") -> DataFrame:
     )
 
 
+def wrapdateline_vertices(df: DataFrame, id_col: str = "id", k: str = "k",
+                          x: str = "x", y: str = "y") -> DataFrame:
+    """ogr2ogr -wrapdateline for LineStrings
+    (ogr/ogrgeometryfactory.cpp SplitLineStringAtDateline): split a
+    line whose consecutive wrapped longitudes jump by more than 180
+    degrees into antimeridian-bounded parts, inserting the exact
+    interpolated crossing point as (+-180, y_b) at the end of one part
+    and (-+180, y_b) at the start of the next.
+
+    Input: vertex rows (id, k, x, y), lon already wrapped to
+    [-180, 180]. Output: (id, part_idx, k2, x, y) vertex rows — a
+    MultiLineString per id. Plan shape: one window over id (single
+    shuffle), conditional 3-way explode, re-rank — all JVM codegen,
+    no Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(k)
+    d = df.select(
+        F.col(id_col).alias("id"), F.col(k).alias("k"),
+        F.col(x).alias("x"), F.col(y).alias("y"),
+        F.lag(x).over(w).alias("px"), F.lag(y).over(w).alias("py"),
+    )
+    d = d.withColumn(
+        "_cross", F.col("px").isNotNull() & (F.abs(F.col("x") - F.col("px")) > 180.0)
+    ).withColumn("part", F.sum(F.col("_cross").cast("int")).over(w))
+    # unwrap the current vertex to the previous one's sheet to
+    # interpolate the crossing latitude on the RAW segment
+    d = d.withColumn(
+        "_xu", F.when(F.col("px") > 0, F.col("x") + 360.0).otherwise(F.col("x") - 360.0)
+    ).withColumn(
+        "_xe", F.when(F.col("px") > 0, F.lit(180.0)).otherwise(F.lit(-180.0))
+    ).withColumn(
+        "_t", (F.col("_xe") - F.col("px")) / (F.col("_xu") - F.col("px"))
+    ).withColumn(
+        "_yb", F.col("py") + F.col("_t") * (F.col("y") - F.col("py"))
+    )
+    v = F.struct(F.col("part").alias("p"), F.col("k").alias("kk"),
+                 F.lit(2).alias("sub"), F.col("x").alias("vx"),
+                 F.col("y").alias("vy"))
+    b_end = F.struct((F.col("part") - 1).alias("p"), F.col("k").alias("kk"),
+                     F.lit(0).alias("sub"), F.col("_xe").alias("vx"),
+                     F.col("_yb").alias("vy"))
+    b_start = F.struct(F.col("part").alias("p"), F.col("k").alias("kk"),
+                       F.lit(1).alias("sub"), (-F.col("_xe")).alias("vx"),
+                       F.col("_yb").alias("vy"))
+    rows = d.select(
+        "id",
+        F.explode(F.when(F.col("_cross"), F.array(b_end, b_start, v))
+                  .otherwise(F.array(v))).alias("r"),
+    ).select("id", F.col("r.p").alias("part_idx"), "r.kk", "r.sub",
+             F.col("r.vx").alias("x"), F.col("r.vy").alias("y"))
+    w2 = Window.partitionBy("id", "part_idx").orderBy("kk", "sub")
+    return rows.withColumn("k2", F.row_number().over(w2) - 1) \
+               .select("id", "part_idx", "k2", "x", "y")
+
+
+def wrapdateline(df: DataFrame, id_col: str = "id",
+                 xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """Array-geometry form of -wrapdateline: (id, xs, ys) ->
+    (id, part_idx, xs, ys) MultiLineString parts."""
+    verts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.arrays_zip(xs, ys)).alias("k", "_p"),
+    ).select("id", "k", F.col(f"_p.{xs}").alias("x"),
+             F.col(f"_p.{ys}").alias("y"))
+    parts = wrapdateline_vertices(verts)
+    return (
+        parts.groupBy("id", "part_idx")
+        .agg(F.sort_array(F.collect_list(F.struct("k2", "x", "y"))).alias("_v"))
+        .select("id", "part_idx",
+                F.expr("transform(_v, p -> p.x)").alias(xs),
+                F.expr("transform(_v, p -> p.y)").alias(ys))
+    )
+
+
 class VectorPipeline:
     """`gdal vector pipeline read ! ... ! write` as a builder
     (step registry parity: apps/gdalalg_vector_pipeline.cpp:104-165).
@@ -521,7 +596,8 @@ class VectorPipeline:
     clip_dst (ogr2ogr_lib.cpp:6902-7243)."""
 
     _GEOM_ORDER = ["explode_collections", "buffer", "segmentize", "simplify",
-                   "clip_src", "reproject", "clip_dst", "make_valid"]
+                   "clip_src", "reproject", "clip_dst", "make_valid",
+                   "wrapdateline"]
 
     def __init__(self, df: DataFrame):
         self.df = df
@@ -570,6 +646,13 @@ class VectorPipeline:
 
     def swap_xy(self):
         self.df = swap_xy(self.df)
+        return self
+
+    def wrapdateline(self, id_col: str = "id"):
+        # applied LAST like ogr2ogr's write-side -wrapdateline
+        # (ogr2ogr_lib.cpp WRAPDATELINE translation option); output
+        # grows a part_idx column (MultiLineString parts)
+        self._stages["wrapdateline"] = lambda d: wrapdateline(d, id_col)
         return self
 
     def build(self) -> DataFrame:

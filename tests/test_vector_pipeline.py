@@ -244,3 +244,34 @@ def test_buffer_union_matches_reflex_small_distance(spark):
                           np.append(r["ys"], r["ys"][0])])
     assert len(u) == 1
     assert abs(_rings_signed_area(u) - ring_area(rr)) < 1e-3
+
+
+def test_wrapdateline_double_crossing_and_passthrough(spark):
+    # line A: walks east >360deg raw -> crosses the dateline twice ->
+    # 3 parts; line B: far from the dateline -> passes through whole.
+    raw_a = [100.0, 170.0, -150.0, -80.0, -10.0, 60.0, 130.0, -160.0]
+    ys_a = [float(i) for i in range(len(raw_a))]
+    df = spark.createDataFrame(
+        [(1, raw_a, ys_a), (2, [10.0, 20.0, 30.0], [0.0, 1.0, 2.0])],
+        "id bigint, xs array<double>, ys array<double>")
+    out = VP.wrapdateline(df).orderBy("id", "part_idx").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[2]) == 1 and by_id[2][0]["xs"] == [10.0, 20.0, 30.0]
+    parts = by_id[1]
+    assert len(parts) == 3
+    # part 0 ends at +180, part 1 starts at -180 and ends at +180,
+    # part 2 starts at -180; crossing latitudes are the linear
+    # interpolation on the unwrapped segments
+    assert parts[0]["xs"][-1] == 180.0 and parts[1]["xs"][0] == -180.0
+    assert parts[1]["xs"][-1] == 180.0 and parts[2]["xs"][0] == -180.0
+    t1 = (180.0 - 170.0) / ((-150.0 + 360.0) - 170.0)
+    yb1 = 1.0 + t1 * (2.0 - 1.0)
+    assert abs(parts[0]["ys"][-1] - yb1) < 1e-12
+    assert abs(parts[1]["ys"][0] - yb1) < 1e-12
+    t2 = (180.0 - 130.0) / ((-160.0 + 360.0) - 130.0)
+    yb2 = 6.0 + t2 * (7.0 - 6.0)
+    assert abs(parts[1]["ys"][-1] - yb2) < 1e-12
+    # interior vertices preserved in order
+    assert parts[1]["xs"][1:-1] == [-150.0, -80.0, -10.0, 60.0, 130.0]
