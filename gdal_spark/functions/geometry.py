@@ -235,3 +235,51 @@ def geodesic_area_sql(xs_list: str, ys_list: str) -> str:
         f"(({lam2}) - ({lam1})) * (2.0 + sin({phi1}) + sin({phi2})))), "
         f"(a, b) -> a + b)) * {R_AUTH * R_AUTH / 2.0!r}"
     )
+
+
+def point_on_surface_cols(df: DataFrame, xs: str = "xs", ys: str = "ys",
+                          out_x: str = "pos_x", out_y: str = "pos_y") -> DataFrame:
+    """ST_PointOnSurface / OGR_G_PointOnSurface for a single-ring
+    polygon (OPEN vertex arrays) — GEOS InteriorPointArea semantics:
+
+    1. safe bisector: c0 = (ymin + ymax)/2; loY = max{vy : vy <= c0}
+       (init ymin), hiY = min{vy : vy > c0} (init ymax);
+       Y = (loY + hiY)/2 — a horizontal line guaranteed to avoid every
+       vertex ordinate, so no degenerate crossings;
+    2. crossing xs of ring edges with the line y = Y (strict
+       upper-inclusion parity rule), sorted ascending;
+    3. consecutive crossing pairs are the interior intervals; the
+       result is the midpoint of the WIDEST interval (ties: leftmost,
+       the deterministic left-fold outcome).
+
+    All higher-order-function column math — no Python, no shuffle.
+    Intermediates are materialized one projection at a time so the
+    crossing array is computed once (not re-inlined per use)."""
+    n = f"size({xs})"
+    c0 = f"((array_min({ys}) + array_max({ys})) / 2.0)"
+    lo = f"array_max(filter({ys}, v -> v <= {c0}))"
+    hi = f"coalesce(array_min(filter({ys}, v -> v > {c0})), array_max({ys}))"
+    d = df.withColumn("_posY", F.expr(f"(({lo}) + ({hi})) / 2.0"))
+    edges = (
+        f"transform(sequence(1, {n}), i -> named_struct("
+        f"'x0', element_at({xs}, i), 'y0', element_at({ys}, i), "
+        f"'x1', element_at({xs}, 1 + i % {n}), "
+        f"'y1', element_at({ys}, 1 + i % {n})))"
+    )
+    d = d.withColumn("_posC", F.expr(
+        f"sort_array(transform(filter({edges}, "
+        f"e -> (e.y0 > _posY) != (e.y1 > _posY)), "
+        f"e -> e.x0 + (_posY - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)))"))
+    lo_i = "element_at(_posC, CAST(2*k+1 AS INT))"
+    hi_i = "element_at(_posC, CAST(2*k+2 AS INT))"
+    d = d.withColumn("_posB", F.expr(
+        f"aggregate(sequence(0, size(_posC) div 2 - 1), "
+        f"named_struct('w', CAST(-1.0 AS DOUBLE), 'm', CAST(0.0 AS DOUBLE)), "
+        f"(acc, k) -> if({hi_i} - {lo_i} > acc.w, "
+        f"named_struct('w', {hi_i} - {lo_i}, "
+        f"'m', ({lo_i} + {hi_i}) / 2.0), acc))"))
+    return (
+        d.withColumn(out_x, F.col("_posB.m"))
+        .withColumn(out_y, F.col("_posY"))
+        .drop("_posY", "_posC", "_posB")
+    )

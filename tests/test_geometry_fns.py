@@ -75,3 +75,26 @@ def test_geodesic_length_meridian_quarter(spark):
     row = df.select(G.geodesic_length_expr().alias("l")).collect()[0]
     expect = 2.0 * G.R_AUTH * math.pi / 2.0
     assert abs(row["l"] - expect) < 1e-9 * expect
+
+
+def test_point_on_surface_interior_where_centroid_is_not(spark):
+    # deep-U: the area centroid lands in the void between the prongs;
+    # GEOS InteriorPointArea must return a point INSIDE (here, the
+    # wider left prong's midline)
+    xs = [0.0, 10.0, 10.0, 9.0, 9.0, 3.0, 3.0, 0.0]
+    ys = [0.0, 0.0, 8.0, 8.0, 1.0, 1.0, 8.0, 8.0]
+    df = spark.createDataFrame(
+        [(1, xs, ys)], "id bigint, xs array<double>, ys array<double>")
+    r = G.point_on_surface_cols(df).collect()[0]
+    # closed form: bisector Y = ((0+1) ... loY=1 (<=4), hiY=8 -> 4.5;
+    # intervals [0,3] (w=3) and [9,10] (w=1) -> left midpoint
+    assert r["pos_x"] == 1.5 and r["pos_y"] == 4.5
+    from gdal_spark.kernels.pip import point_in_polygon
+    ring = np.column_stack([xs + [xs[0]], ys + [ys[0]]])
+    assert point_in_polygon(
+        np.array([r["pos_x"]]), np.array([r["pos_y"]]), [ring])[0]
+    # centroid is NOT interior (it sits in the void)
+    cx, cy = G.centroid_exprs()
+    c = df.select(cx.alias("cx"), cy.alias("cy")).collect()[0]
+    assert not point_in_polygon(
+        np.array([c["cx"]]), np.array([c["cy"]]), [ring])[0]
