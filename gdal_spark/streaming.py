@@ -119,3 +119,25 @@ def run_to_memory(stream_out: DataFrame, *, name: str, mode: str = "append"):
         .outputMode(mode)
         .start()
     )
+
+
+def stream_spatial_join(stream_df: DataFrame, cover: DataFrame, *,
+                        res: int = 6,
+                        keep_point_cols: list[str] | None = None) -> DataFrame:
+    """Stream-static spatial join: the batch cell-bucketed PIP join
+    (operators.spatial_join, broadcast strategy) composed unchanged
+    onto a streaming DataFrame. Every stage is stateless — cell
+    assignment is codegen column math, the polygon cover is a static
+    broadcast (rings cross to each executor once via the broadcast
+    dict), and the exact-PIP Arrow UDF is per-row — so the same plan
+    that runs the batch flagship runs continuously with exactly-once
+    sink semantics from the checkpoint. The one structural difference
+    vs batch: the static side is collected ONCE at query start and
+    pinned for the stream's lifetime (reference a fresh cover to pick
+    up polygon updates)."""
+    from .operators.spatial_join import spatial_join_points_in_polygons
+
+    return spatial_join_points_in_polygons(
+        stream_df, cover, res=res, strategy="broadcast",
+        keep_point_cols=keep_point_cols,
+    )

@@ -206,3 +206,47 @@ def test_curvepolygon_with_hole(spark):
     assert abs(rows[1]["ring_area"] - math.pi) < 1e-2
     assert abs(rows[0]["polygon_area"] - math.pi * 3.0) < 3e-2
     assert rows[0]["polygon_area"] == rows[1]["polygon_area"]
+
+
+def test_streaming_spatial_join_matches_batch(spark):
+    from gdal_spark import streaming
+    from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+    from gdal_spark.sources import docs as D
+    from gdal_spark.sources import polygons
+
+    cover = polygons.countries64_cover(spark, res=5)
+    stream = streaming.docs_rate_stream(spark, rows_per_second=500)
+    joined = streaming.stream_spatial_join(
+        stream, cover, res=5, keep_point_cols=["doc_id", "doc_index"])
+    q = streaming.run_to_memory(
+        joined.select("doc_index", "poly_id"), name="sj_stream")
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) c FROM sj_stream").collect()[0]["c"]
+            if n >= 50:
+                break
+            time.sleep(1)
+        assert n >= 50
+        got = {
+            (r["doc_index"], r["poly_id"])
+            for r in spark.sql(
+                "SELECT doc_index, poly_id FROM sj_stream WHERE doc_index < 300"
+            ).collect()
+        }
+        batch = {
+            (r["doc_index"], r["poly_id"])
+            for r in spatial_join_points_in_polygons(
+                D.synth_docs(spark, 300), cover, res=5,
+                keep_point_cols=["doc_id", "doc_index"],
+            ).select("doc_index", "poly_id").collect()
+        }
+        # every streamed pair is exactly a batch pair (same ids)
+        assert got <= batch
+        seen_ids = {i for i, _ in got}
+        # and for the doc ids fully processed, the pair sets agree
+        assert {(i, p) for i, p in batch if i in seen_ids} == got
+    finally:
+        q.stop()
