@@ -142,6 +142,7 @@ def main() -> None:
         )
 
     from gdal_spark.operators import dedup as dedup_ops
+    from gdal_spark.operators import raster as raster_mod
     from gdal_spark.operators import reproject as reproj_ops
 
     def bench_utm(s, d):
@@ -206,7 +207,11 @@ def main() -> None:
         "reproject_utm_2m": bench_utm,
         "rasterize_add": Q.q_rasterize_add,
         "overview_avg": Q.q_overview_avg,
-        "polygonize": Q.q_polygonize,
+        # conn4 operator direct (the gate query grew a conn8 part in
+        # r3; bench the same work as r1/r2 for cross-round deltas)
+        "polygonize": lambda s, d: raster_mod.polygonize_ccl(
+            raster_mod.synth_raster(s, width=96, height=96, block=20, n_values=2),
+            width=96, tile=32),
         "slope_tiles_1m": bench_slope_tiles,
         "viewshed_1k": bench_viewshed_1k,
         "base_tiles": Q.q_base_tiles,

@@ -311,26 +311,34 @@ FROM (WITH {ctes} SELECT * FROM base) GROUP BY 1, 2, 3
 def q_base_tiles_antialias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal2tiles ANTIALIAS scaling flavor: 4x-supersampled query grid
     shrunk by the separable PIL Lanczos-3 resize (scale_query_to_tile,
-    gdal2tiles.py options.resampling == 'antialias'; float-image PIL
-    semantics — no per-pass uint8 rounding, documented). Tap weights
-    are computed once in Python and shared as literals with the
-    oracle, so only +/* remain and the values are bit-exact."""
+    gdal2tiles.py options.resampling == 'antialias'). Two parts:
+    `float` — real-valued PIL semantics, tap weights computed once in
+    Python and shared as literals with the oracle so only +/* remain;
+    `u8` — the fixed-point path Pillow actually takes on the 8-bit
+    tile buffers (Resample.c 8bpc: INT32 taps x 2^22, 2^21 bias,
+    clip8 after each pass) — pure integer math, bit-exact."""
     from .operators import base_tiles as BT
 
     src = BT.src_pixels(spark, salt=BT.SALT_SRC, byte_range=True)
     qpx = BT.base_tiles(spark, tz=2, tile_size=16, resampling="query",
                         query_factor=4, src=src)
-    out = BT.antialias_shrink(qpx, tile_size=16, qs=64)
-    return out.select("tz", "tx", "ty", "pos",
-                      F.round("value", 9).alias("value"))
+    fl = BT.antialias_shrink(qpx, tile_size=16, qs=64).select(
+        "tz", "tx", "ty", "pos", F.round("value", 9).alias("value"))
+    u8 = BT.antialias_shrink_u8(qpx, tile_size=16, qs=64)
+    cols = ["tz", "tx", "ty", "pos", "value"]
+    return _suite([("float", fl, [], cols), ("u8", u8, [], cols)],
+                  n_str=0, n_num=5)
 
 
 def sql_base_tiles_antialias() -> str:
     from .operators import base_tiles as BT
 
-    return BT.antialias_sql(
-        2, 16, src_val_sql=_band_src_sql(BT.SALT_SRC, byte_range=True)
-    )
+    v = _band_src_sql(BT.SALT_SRC, byte_range=True)
+    cols = ["tz", "tx", "ty", "pos", "value"]
+    return _suite_sql(
+        [("float", BT.antialias_sql(2, 16, src_val_sql=v), [], cols),
+         ("u8", BT.antialias_u8_sql(2, 16, src_val_sql=v), [], cols)],
+        n_str=0, n_num=5)
 
 
 def q_tile_assign_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1896,9 +1904,18 @@ def q_explode_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _read(spark, sf_dir, "supplier")
     i = F.col("s_suppkey")
-    cx = F.lit(-100.0) + F.lit(200.0) * docs.hash01_col(i, 34)
-    cy = F.lit(-60.0) + F.lit(120.0) * docs.hash01_col(i, 35)
-    r = F.lit(1.0) + F.lit(3.0) * docs.hash01_col(i, 36)
+    # materialize the LCG-derived scalars in their OWN projection: each
+    # is referenced ~22x by the vertex arrays below, and inlining the
+    # full hash chain per use blew the Generate stage past janino's
+    # 64 KB codegen limit (CollapseProject keeps the stage split
+    # because the aliases are non-cheap and multiply referenced)
+    s = s.select(
+        i.alias("s_suppkey"),
+        (F.lit(-100.0) + F.lit(200.0) * docs.hash01_col(i, 34)).alias("_cx"),
+        (F.lit(-60.0) + F.lit(120.0) * docs.hash01_col(i, 35)).alias("_cy"),
+        (F.lit(1.0) + F.lit(3.0) * docs.hash01_col(i, 36)).alias("_r"),
+    )
+    cx, cy, r = F.col("_cx"), F.col("_cy"), F.col("_r")
     # part0: CCW diamond; part1: CW square (reversed order); part2:
     # degenerate [p, q, p]
     p0 = F.struct(
@@ -2006,6 +2023,110 @@ SELECT id, CAST(j.range AS BIGINT) AS k,
        round(CASE j.range WHEN 0 THEN x0 WHEN 1 THEN x0 + 2.0 ELSE x0 + 4.0 END, 9) AS vx,
        round(CASE j.range WHEN 0 THEN y0 WHEN 1 THEN y0 + hh ELSE y0 END, 9) AS vy
 FROM k CROSS JOIN range(3) j
+"""
+
+
+def q_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -wrapdateline (ogr/ogrgeometryfactory.cpp
+    SplitLineStringAtDateline): 5-vertex walks that cross the
+    antimeridian east- or westward (ids % 5 == 0 stay far away and
+    must pass through unsplit). The engine splits via one window +
+    conditional explode (no Python); the oracle replays the identical
+    lag/interpolation arithmetic."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    far = (i % 5) == 0
+    dirn = F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    s = s.select(
+        i.alias("id"),
+        F.when(far, F.lit(-60.0) + F.lit(10.0) * docs.hash01_col(i, 211))
+         .otherwise(dirn * (F.lit(150.0) + F.lit(25.0) * docs.hash01_col(i, 211)))
+         .alias("x0"),
+        F.when(far, F.lit(1.0) + F.lit(2.0) * docs.hash01_col(i, 212))
+         .otherwise(dirn * (F.lit(12.0) + F.lit(10.0) * docs.hash01_col(i, 212)))
+         .alias("step"),
+        (F.lit(-50.0) + F.lit(100.0) * docs.hash01_col(i, 213)).alias("y0"),
+        (F.lit(4.0) * docs.hash01_col(i, 214) - F.lit(2.0)).alias("dy"),
+    )
+    verts = s.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+        "x0", "step", "y0", "dy",
+    ).select(
+        "id", F.col("k").cast("bigint").alias("k"),
+        (F.col("x0") + F.col("k") * F.col("step")).alias("_raw"),
+        (F.col("y0") + F.col("k") * F.col("dy")).alias("y"),
+    ).select(
+        "id", "k", "y",
+        F.when(F.col("_raw") > 180.0, F.col("_raw") - 360.0)
+         .when(F.col("_raw") < -180.0, F.col("_raw") + 360.0)
+         .otherwise(F.col("_raw")).alias("x"),
+    )
+    out = VP.wrapdateline_vertices(verts)
+    return out.select("id", "part_idx", "k2",
+                      F.round("x", 9).alias("vx"),
+                      F.round("y", 9).alias("vy"))
+
+
+def sql_wrapdateline() -> str:
+    hx = lambda salt: derive.hash01_sql("s_suppkey", salt)
+    return f"""
+WITH base AS (
+  SELECT s_suppkey AS id,
+         CASE WHEN s_suppkey % 5 = 0 THEN -60.0 + 10.0 * ({hx(211)})
+              ELSE (CASE WHEN s_suppkey % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                   * (150.0 + 25.0 * ({hx(211)})) END AS x0,
+         CASE WHEN s_suppkey % 5 = 0 THEN 1.0 + 2.0 * ({hx(212)})
+              ELSE (CASE WHEN s_suppkey % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                   * (12.0 + 10.0 * ({hx(212)})) END AS step,
+         -50.0 + 100.0 * ({hx(213)}) AS y0,
+         4.0 * ({hx(214)}) - 2.0 AS dy
+  FROM supplier
+),
+verts AS (
+  SELECT id, CAST(j.range AS BIGINT) AS k,
+         x0 + j.range * step AS raw,
+         y0 + j.range * dy AS y
+  FROM base CROSS JOIN range(5) j
+),
+wrapped AS (
+  SELECT id, k, y,
+         CASE WHEN raw > 180.0 THEN raw - 360.0
+              WHEN raw < -180.0 THEN raw + 360.0 ELSE raw END AS x
+  FROM verts
+),
+lagd AS (
+  SELECT id, k, x, y,
+         lag(x) OVER (PARTITION BY id ORDER BY k) AS px,
+         lag(y) OVER (PARTITION BY id ORDER BY k) AS py
+  FROM wrapped
+),
+flags AS (
+  SELECT *, (px IS NOT NULL AND abs(x - px) > 180.0) AS crossed FROM lagd
+),
+parts AS (
+  SELECT *,
+         sum(CASE WHEN crossed THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY k) AS part,
+         CASE WHEN px > 0 THEN x + 360.0 ELSE x - 360.0 END AS xu,
+         CASE WHEN px > 0 THEN 180.0 ELSE -180.0 END AS xe
+  FROM flags
+),
+interp AS (
+  SELECT *, py + ((xe - px) / (xu - px)) * (y - py) AS yb FROM parts
+),
+rows_out AS (
+  SELECT id, part AS part_idx, k AS kk, 2 AS sub, x AS vx, y AS vy FROM interp
+  UNION ALL
+  SELECT id, part - 1, k, 0, xe, yb FROM interp WHERE crossed
+  UNION ALL
+  SELECT id, part, k, 1, -xe, yb FROM interp WHERE crossed
+)
+SELECT id, part_idx,
+       row_number() OVER (PARTITION BY id, part_idx ORDER BY kk, sub) - 1 AS k2,
+       round(vx, 9) AS vx, round(vy, 9) AS vy
+FROM rows_out
 """
 
 
@@ -4196,14 +4317,29 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                for j in range(_GF_M)]
     inner_y = [cy + ry * F.lit(0.35) * F.sin(F.lit(0.3 + 2.0 * _m.pi * j / _GF_M))
                for j in range(_GF_M)]
+    # point-on-surface fixture: an axis-aligned U (non-convex, TWO
+    # prong intervals on the bisector line; left prong strictly wider)
+    # — the engine runs the full GEOS InteriorPointArea scanline, the
+    # oracle emits the closed form (ux0 + a1/2, (b + hgt)-midline)
+    ux0 = F.lit(-170.0) + F.lit(300.0) * docs.hash01_col(i, 121)
+    uy0 = F.lit(-60.0) + F.lit(100.0) * docs.hash01_col(i, 122)
+    uw = F.lit(8.0) + F.lit(4.0) * docs.hash01_col(i, 123)
+    uh = F.lit(6.0) + F.lit(3.0) * docs.hash01_col(i, 124)
+    a1 = F.lit(2.0) + F.lit(1.0) * docs.hash01_col(i, 125)
+    a2 = F.lit(1.0) + F.lit(0.5) * docs.hash01_col(i, 126)
+    ub = F.lit(1.0) + F.lit(0.5) * docs.hash01_col(i, 127)
     d = s.select(
         i.alias("id"),
         F.array(*outer_x, *inner_x).alias("xs"),
         F.array(*outer_y, *inner_y).alias("ys"),
         F.array(*outer_x).alias("oxs"),
         F.array(*outer_y).alias("oys"),
+        F.array(ux0, ux0 + uw, ux0 + uw, ux0 + uw - a2, ux0 + uw - a2,
+                ux0 + a1, ux0 + a1, ux0).alias("uxs"),
+        F.array(uy0, uy0, uy0 + uh, uy0 + uh, uy0 + ub,
+                uy0 + ub, uy0 + uh, uy0 + uh).alias("uys"),
     )
-    h = G.convex_hull_cols(d)
+    h = G.point_on_surface_cols(G.convex_hull_cols(d), "uxs", "uys")
     ccx, ccy = G.centroid_exprs("oxs", "oys")
     return h.select(
         "id",
@@ -4216,6 +4352,8 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(G.ring_length_expr("oxs", "oys"), 6).alias("perim"),
         F.round(G.geodesic_length_expr("oxs", "oys") / F.lit(1.0e3), 6)
         .alias("gd_len"),
+        F.round("pos_x", 6).alias("pos_x"),
+        F.round("pos_y", 6).alias("pos_y"),
     )
 
 
@@ -4239,10 +4377,16 @@ WITH k AS (
          -150.0 + 300.0 * ({hx(95)}) AS cx,
          -55.0 + 110.0 * ({hx(96)}) AS cy,
          2.0 + 3.0 * ({hx(97)}) AS rx,
-         1.5 + 2.0 * ({hx(98)}) AS ry
+         1.5 + 2.0 * ({hx(98)}) AS ry,
+         -170.0 + 300.0 * ({hx(121)}) AS ux0,
+         -60.0 + 100.0 * ({hx(122)}) AS uy0,
+         6.0 + 3.0 * ({hx(124)}) AS uh,
+         2.0 + 1.0 * ({hx(125)}) AS a1,
+         1.0 + 0.5 * ({hx(127)}) AS ub
   FROM supplier
 ),
-r AS (SELECT id, cx, cy, rx, ry, [{ox}] AS oxs, [{oy}] AS oys FROM k)
+r AS (SELECT id, cx, cy, rx, ry, ux0, uy0, uh, a1, ub,
+      [{ox}] AS oxs, [{oy}] AS oys FROM k)
 SELECT id,
        {_GF_K} AS nv_hull,
        round({hull_area}, 5) AS hull_area,
@@ -4250,7 +4394,9 @@ SELECT id,
        round(cy, 6) AS cy_c,
        round(({gd}) / 1.0e12, 6) AS gd_area,
        round({perim}, 6) AS perim,
-       round(({gd_len}) / 1.0e3, 6) AS gd_len
+       round(({gd_len}) / 1.0e3, 6) AS gd_len,
+       round((ux0 + (ux0 + a1)) / 2.0, 6) AS pos_x,
+       round(((uy0 + ub) + (uy0 + uh)) / 2.0, 6) AS pos_y
 FROM r
 """
 
@@ -5029,21 +5175,24 @@ _VECTOR_PIPE_PARTS = [
     ("explode_make_valid", [], ["id", "part_idx", "nv", "signed_area"]),
     ("simplify_chain", [], ["id", "k", "vx", "vy"]),
     ("buffer_field", [], ["id", "gi", "gj", "member"]),
+    ("wrapdateline", [], ["id", "part_idx", "k2", "vx", "vy"]),
 ]
 
 
 def q_vector_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr pipeline-step surface in one gate row: point buffer,
     convex polygon buffer, CompoundCurve linearization,
-    explode-collections + make-valid."""
+    explode-collections + make-valid, segmentize+simplify chain,
+    within-distance buffer field, antimeridian wrapdateline split."""
     subs = {
         "point_buffer": q_vector_buffer, "polygon_buffer": q_polygon_buffer,
         "compound_curve": q_compound_curve, "explode_make_valid": q_explode_make_valid,
         "simplify_chain": q_simplify_chain, "buffer_field": q_buffer_field,
+        "wrapdateline": q_wrapdateline,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
-        n_str=0, n_num=4,
+        n_str=0, n_num=5,
     )
 
 
@@ -5052,10 +5201,11 @@ def sql_vector_pipeline_suite() -> str:
         "point_buffer": sql_vector_buffer, "polygon_buffer": sql_polygon_buffer,
         "compound_curve": sql_compound_curve, "explode_make_valid": sql_explode_make_valid,
         "simplify_chain": sql_simplify_chain, "buffer_field": sql_buffer_field,
+        "wrapdateline": sql_wrapdateline,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
-        n_str=0, n_num=4,
+        n_str=0, n_num=5,
     )
 
 
