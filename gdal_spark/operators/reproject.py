@@ -151,14 +151,20 @@ def _angle_multiple_stages(s: DataFrame, base: str, pre: str) -> DataFrame:
     return s
 
 
-def _hyper_multiple_exprs(bcol: str) -> tuple[list[str], list[str]]:
-    """sinh/cosh(2j*x) for j=1..6 given bcol = exp(2x): power products
-    of ONE exponential ((B^j ± B^-j)/2) — mults only."""
+def _hyper_multiple_exprs(bcol: str, bicol: str) -> tuple[list[str], list[str]]:
+    """sinh/cosh(2j*x) for j=1..6 given bcol = exp(2x) and
+    bicol = exp(-2x): power products of TWO exponentials
+    ((B^j ± Bi^j)/2) — mults only. Bi is an explicit negative exp, not
+    1/B: under ANSI mode (Spark 4 default) a division by an
+    underflowed exp(2x) == 0 raises DIVIDE_BY_ZERO, whereas exp(-2x)
+    just overflows to inf with the same IEEE value the numpy twin
+    produces for out-of-zone coordinates."""
     sh, ch = [], []
     for j in range(1, 7):
         p = " * ".join([bcol] * j)
-        sh.append(f"(({p}) - 1.0/({p})) / 2.0")
-        ch.append(f"(({p}) + 1.0/({p})) / 2.0")
+        q = " * ".join([bicol] * j)
+        sh.append(f"(({p}) - ({q})) / 2.0")
+        ch.append(f"(({p}) + ({q})) / 2.0")
     return sh, ch
 
 
@@ -182,15 +188,16 @@ def _utm_forward_sql(df: DataFrame, zone: int, lon: str, lat: str) -> DataFrame:
         "*",
         f"{TM.asinh_sql('tan(_phi)')} - {ecc} * "
         f"{TM.atanh_sql(f'{ecc} * sin(_phi)')} AS _psi")
-    s = s.selectExpr("*", "exp(_psi) AS _ep", "cos(_lam) AS _clam")
-    s = s.selectExpr("*", "(_ep - 1.0/_ep) / 2.0 AS _tp")
+    s = s.selectExpr("*", "exp(_psi) AS _ep", "exp(-(_psi)) AS _epi",
+                     "cos(_lam) AS _clam")
+    s = s.selectExpr("*", "(_ep - _epi) / 2.0 AS _tp")
     s = s.selectExpr(
         "*", "atan2(_tp, _clam) AS xi_p",
         "sin(_lam) / sqrt(_tp*_tp + _clam*_clam) AS _w")
     s = s.selectExpr("*", f"{TM.asinh_sql('_w')} AS eta_p")
-    s = s.selectExpr("*", "exp(2.0 * eta_p) AS _B")
+    s = s.selectExpr("*", "exp(2.0 * eta_p) AS _B", "exp(-2.0 * eta_p) AS _Bi")
     s = _angle_multiple_stages(s, "xi_p", "_x")
-    sh, ch = _hyper_multiple_exprs("_B")
+    sh, ch = _hyper_multiple_exprs("_B", "_Bi")
     xi_terms = " + ".join(
         f"{TM._r(aj)} * _xs{j} * ({ch[j - 1]})"
         for j, aj in enumerate(TM.ALPHA, start=1))
@@ -238,9 +245,9 @@ def _utm_inverse_sql(df: DataFrame, zone: int, easting: str,
     keep = df.columns
     s = df.selectExpr("*", f"({northing}) / {ka} AS _xi",
                       f"(({easting}) - {TM._r(TM.FALSE_E)}) / {ka} AS _eta")
-    s = s.selectExpr("*", "exp(2.0 * _eta) AS _B")
+    s = s.selectExpr("*", "exp(2.0 * _eta) AS _B", "exp(-2.0 * _eta) AS _Bi")
     s = _angle_multiple_stages(s, "_xi", "_x")
-    sh, ch = _hyper_multiple_exprs("_B")
+    sh, ch = _hyper_multiple_exprs("_B", "_Bi")
     xi_terms = " + ".join(
         f"{TM._r(bj)} * _xs{j} * ({ch[j - 1]})"
         for j, bj in enumerate(TM.BETA, start=1))
@@ -249,9 +256,9 @@ def _utm_inverse_sql(df: DataFrame, zone: int, easting: str,
         for j, bj in enumerate(TM.BETA, start=1))
     s = s.selectExpr("*", f"_xi - ({xi_terms}) AS xi_p",
                      f"_eta - ({eta_terms}) AS eta_p")
-    s = s.selectExpr("*", "exp(eta_p) AS _epp",
+    s = s.selectExpr("*", "exp(eta_p) AS _epp", "exp(-(eta_p)) AS _eppi",
                      "cos(xi_p) AS cxi", "sin(xi_p) AS sxi")
-    s = s.selectExpr("*", "(_epp - 1.0/_epp) / 2.0 AS sh_eta")
+    s = s.selectExpr("*", "(_epp - _eppi) / 2.0 AS sh_eta")
     s = s.selectExpr(
         "*", "sxi / sqrt(sh_eta*sh_eta + cxi*cxi) AS tp",
         "atan2(sh_eta, cxi) AS _lam2")
@@ -261,15 +268,16 @@ def _utm_inverse_sql(df: DataFrame, zone: int, easting: str,
         s = s.selectExpr("*", f"sqrt(1.0 + {t}*{t}) AS t1")
         s = s.selectExpr("*", f"{ecc} * {t} / t1 AS _nx")
         s = s.selectExpr(
-            "*", f"power((1.0 + _nx) / (1.0 - _nx), {half_ecc}) AS _z")
-        s = s.selectExpr("*", "(_z - 1.0/_z) / 2.0 AS sig")
+            "*", f"power((1.0 + _nx) / (1.0 - _nx), {half_ecc}) AS _z",
+            f"power((1.0 - _nx) / (1.0 + _nx), {half_ecc}) AS _zi")
+        s = s.selectExpr("*", "(_z - _zi) / 2.0 AS sig")
         s = s.selectExpr(
             "*",
             f"{t} - (({t} * sqrt(1.0 + sig*sig) - sig * t1 - tp)"
             f" / ((sqrt((1.0 + sig*sig) * (1.0 + {t}*{t})) - sig * {t})"
             f" * (1.0 - {e2}) * t1 / (1.0 + (1.0 - {e2}) * {t}*{t})))"
             f" AS tau{i + 1}") \
-             .drop("t1", "_nx", "_z", "sig", t)
+             .drop("t1", "_nx", "_z", "_zi", "sig", t)
     return s.selectExpr(
         *keep,
         f"{lon0} + _lam2 / {deg} AS lon_inv",
