@@ -762,24 +762,38 @@ def grid_linear(spark: SparkSession, points_xyv, nodes: DataFrame,
 
 
 def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
-             radius: float, x_col: str = "x", y_col: str = "y",
-             v_col: str = "v") -> DataFrame:
+             radius: float | None = None, x_col: str = "x", y_col: str = "y",
+             v_col: str = "v", radius1: float | None = None,
+             radius2: float | None = None, angle: float = 0.0,
+             smoothing: float = 0.0, min_points: int = 0,
+             max_points: int = 0) -> DataFrame:
     """Inverse-distance-weighted gridding (alg/gdalgrid.cpp:91-199
-    GGA_InverseDistanceToAPower, circular search ellipse):
+    GGA_InverseDistanceToAPower), full parameter surface:
 
       grid node (i,j) at (i*cell, j*cell); value =
-      sum(v_k / d_k^power) / sum(1 / d_k^power) over points with
-      0 < d <= radius; a point exactly on the node (d == 0) wins
-      outright (reference short-circuit); nodes with no points in
-      radius are absent (nodata).
+      sum(v_k / w_k) / sum(1 / w_k) with w_k = (d_k^2 + smoothing^2)
+      ^(power/2) over points inside the SEARCH ELLIPSE (radius1 along
+      the angle-rotated major axis, radius2 minor; `radius` is the
+      circular shorthand). A point exactly on the node with zero
+      smoothing wins outright (reference short-circuit). Nodes with
+      fewer than `min_points` ellipse hits are absent (the reference
+      writes nodata); `max_points` > 0 keeps only the nearest
+      max_points hits, ordered by (distance, point id) — the
+      InverseDistanceToAPowerNearestNeighbor flavor's selection rule.
 
-    Scale shape: points explode to the grid nodes within `radius`
-    (bounded fan-out = (2r/cell+1)^2), then groupBy(node) — the
+    Scale shape: points explode to the grid nodes within the ellipse's
+    bounding reach (bounded fan-out), then groupBy(node) — the
     cell-bucketed replacement for the reference's quadtree search. The
-    per-node fold is an ORDERED list fold (by point id) so the float
-    sum is deterministic and cross-engine exact.
+    per-node fold is an ORDERED list fold (by (d2, pid) when
+    max_points trims, else pid) so the float sum is deterministic and
+    cross-engine exact.
     """
-    reach = int(radius / cell) + 1
+    import math as _m
+
+    r1 = float(radius1 if radius1 is not None else radius)
+    r2 = float(radius2 if radius2 is not None else radius)
+    reach = int(max(r1, r2) / cell) + 1
+    ca, sa = _m.cos(_m.radians(angle)), _m.sin(_m.radians(angle))
     spark = points.sparkSession
     offs = (
         spark.range(-reach, reach + 1).select(F.col("id").alias("_di"))
@@ -801,19 +815,38 @@ def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
         .withColumn("_dx", F.col("i") * cell - F.col("_x"))
         .withColumn("_dy", F.col("j") * cell - F.col("_y"))
         .withColumn("_d2", F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy"))
-        .filter(F.col("_d2") <= F.lit(radius * radius))
     )
-    # ordered fold: collect (pid, d2, v) sorted by pid, then aggregate
+    # ellipse membership in the angle-rotated frame (GDALGridExtractPoint
+    # ellipse test; circular inputs reduce to the plain d2 bound)
+    if r1 == r2 and angle == 0.0:
+        cand = cand.filter(F.col("_d2") <= F.lit(r1 * r1))
+    else:
+        rx = F.col("_dx") * F.lit(ca) + F.col("_dy") * F.lit(sa)
+        ry = -F.col("_dx") * F.lit(sa) + F.col("_dy") * F.lit(ca)
+        cand = cand.filter(
+            (rx * rx) / F.lit(r1 * r1) + (ry * ry) / F.lit(r2 * r2) <= F.lit(1.0)
+        )
+    # ordered fold: nearest-first when max_points trims, pid order else
+    key = F.struct("_d2", "pid", "_v") if max_points > 0 else \
+        F.struct("pid", "_d2", "_v")
     agg = cand.groupBy("i", "j").agg(
-        F.sort_array(F.collect_list(F.struct("pid", "_d2", "_v"))).alias("pts")
+        F.sort_array(F.collect_list(key)).alias("pts")
     )
+    if min_points > 0:
+        agg = agg.filter(F.size("pts") >= min_points)
+    if max_points > 0:
+        agg = agg.withColumn("pts", F.expr(f"slice(pts, 1, {int(max_points)})"))
     if power % 2 != 0:
         raise ValueError("idw_grid supports even powers (d^p = d2^(p/2))")
     pw = power // 2  # d^power == d2^(power/2) for even powers
-    d2p = "s._d2" if pw == 1 else f"power(s._d2, {pw})"
+    s2 = repr(float(smoothing) * float(smoothing))
+    d2s = f"(s._d2 + {s2})"
+    d2p = d2s if pw == 1 else f"power({d2s}, {pw})"
     num = F.expr(f"aggregate(pts, 0D, (a, s) -> a + s._v / {d2p})")
     den = F.expr(f"aggregate(pts, 0D, (a, s) -> a + 1.0 / {d2p})")
-    exact = F.expr("filter(pts, s -> s._d2 = 0D)")
-    val = F.when(F.size(exact) > 0, F.element_at(exact, 1)["_v"].cast("double")) \
-        .otherwise(num / den)
+    val = num / den
+    if smoothing == 0.0:
+        exact = F.expr("filter(pts, s -> s._d2 = 0D)")
+        val = F.when(F.size(exact) > 0,
+                     F.element_at(exact, 1)["_v"].cast("double")).otherwise(val)
     return agg.select("i", "j", val.alias("value"))

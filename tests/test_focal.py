@@ -104,3 +104,34 @@ def test_spatial_partition_coherence(spark):
     assert len(ranges) >= 2
     for a, b in zip(ranges, ranges[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_idw_grid_full_params_closed_form(spark):
+    from gdal_spark.operators import focal
+
+    # three points around node (0,0); cell=1 so node (0,0) exists
+    pts = spark.createDataFrame(
+        [(1, 3.0, 0.0, 10.0),   # d2=9, inside ellipse major axis
+         (2, 0.0, 3.0, 20.0),   # d2=9, along minor axis -> OUTSIDE r2=2
+         (3, 1.0, 0.0, 30.0)],  # d2=1, nearest
+        "pid bigint, x double, y double, v double")
+    # ellipse: r1=4 along x (angle 0), r2=2 along y -> point 2 excluded
+    out = focal.idw_grid(pts, cell=1.0, power=2, radius1=4.0, radius2=2.0,
+                         angle=0.0, smoothing=1.0, min_points=2).toPandas()
+    row = out[(out["i"] == 0) & (out["j"] == 0)].iloc[0]
+    # w = 1/(d2 + 1): v = (10/10 + 30/2) / (1/10 + 1/2)
+    assert abs(row["value"] - (10.0 / 10.0 + 30.0 / 2.0) / (0.1 + 0.5)) < 1e-12
+    # max_points=1 keeps only the nearest (pid 3)
+    out1 = focal.idw_grid(pts, cell=1.0, power=2, radius1=4.0, radius2=2.0,
+                          angle=0.0, smoothing=1.0, max_points=1).toPandas()
+    row1 = out1[(out1["i"] == 0) & (out1["j"] == 0)].iloc[0]
+    assert abs(row1["value"] - 30.0) < 1e-12
+    # min_points=3 drops the node (only 2 ellipse hits)
+    out3 = focal.idw_grid(pts, cell=1.0, power=2, radius1=4.0, radius2=2.0,
+                          angle=0.0, smoothing=1.0, min_points=3).toPandas()
+    assert len(out3[(out3["i"] == 0) & (out3["j"] == 0)]) == 0
+    # rotate the ellipse 90deg: now point 2 is IN, points 1 excluded
+    outr = focal.idw_grid(pts, cell=1.0, power=2, radius1=4.0, radius2=2.0,
+                          angle=90.0, smoothing=1.0, min_points=1).toPandas()
+    rowr = outr[(outr["i"] == 0) & (outr["j"] == 0)].iloc[0]
+    assert abs(rowr["value"] - (20.0 / 10.0 + 30.0 / 2.0) / (0.1 + 0.5)) < 1e-9
