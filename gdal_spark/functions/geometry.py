@@ -283,3 +283,14 @@ def point_on_surface_cols(df: DataFrame, xs: str = "xs", ys: str = "ys",
         .withColumn(out_y, F.col("_posY"))
         .drop("_posY", "_posC", "_posB")
     )
+
+
+def ogr_geometry_name_expr(code_expr: str) -> Column:
+    """OGR_GEOMETRY special field (ogr/ogr_p.h SPF_OGR_GEOMETRY):
+    OGRGeometry::getGeometryName() for the flat 2D wkb codes — the
+    uppercase WKT keyword per type (ogrpoint/ogrlinestring/... .cpp)."""
+    return F.expr(
+        f"CASE {code_expr} WHEN 1 THEN 'POINT' WHEN 2 THEN 'LINESTRING' "
+        f"WHEN 3 THEN 'POLYGON' WHEN 4 THEN 'MULTIPOINT' "
+        f"WHEN 5 THEN 'MULTILINESTRING' WHEN 6 THEN 'MULTIPOLYGON' "
+        f"WHEN 7 THEN 'GEOMETRYCOLLECTION' ELSE 'UNKNOWN' END")

@@ -45,3 +45,30 @@ def write_table(df: DataFrame, path_or_ident: str, *, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path_or_ident)
+
+
+def write_range_partitioned(df: DataFrame, path_or_ident: str, *,
+                            prefix_col: str = "quadkey",
+                            prefix_len: int = 4,
+                            n_files: int | None = None,
+                            mode: str = "overwrite") -> None:
+    """Range-partition the output by CELL PREFIX before writing (the
+    north-star layout rule: co-located tiles/cells land in the same
+    files, so a downstream cell- or tile-range scan prunes to a
+    contiguous file subset).
+
+    quadkey prefixes order tiles along the Z-order curve, so
+    repartitionByRange on the prefix gives spatial file clustering
+    without a custom partitioner; within each range Spark range-samples
+    the ACTUAL key distribution, which is what keeps skewed cell
+    populations balanced across files at 100 TB (static hash buckets
+    would not). `n_files` defaults to spark.sql.shuffle.partitions."""
+    from pyspark.sql import functions as F
+
+    key = F.substring(F.col(prefix_col).cast("string"), 1, prefix_len)
+    d = df.withColumn("_range_key", key)
+    if n_files:
+        d = d.repartitionByRange(n_files, "_range_key", prefix_col)
+    else:
+        d = d.repartitionByRange("_range_key", prefix_col)
+    write_table(d.drop("_range_key"), path_or_ident, mode=mode)

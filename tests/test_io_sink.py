@@ -37,3 +37,30 @@ def test_write_append_mode(spark, tmp_path):
     io.write_table(a, out, mode="overwrite")
     io.write_table(a, out, mode="append")
     assert spark.read.parquet(out).count() == 10
+
+
+def test_write_range_partitioned_clusters_by_prefix(spark, tmp_path):
+    import glob
+
+    from gdal_spark import io as gio
+    from gdal_spark.operators import tiling
+    from gdal_spark.sources import docs as D
+
+    tiled = tiling.assign_tiles(D.synth_docs(spark, 4000), zoom=8)
+    out = str(tmp_path / "ranged")
+    gio.write_range_partitioned(
+        tiled.select("doc_id", "quadkey", "tx", "ty_xyz"), out,
+        prefix_col="quadkey", prefix_len=3, n_files=8)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 2
+    # each file holds a CONTIGUOUS quadkey range: per-file [min, max]
+    # intervals must not interleave
+    spans = []
+    for f in files:
+        pdf = spark.read.parquet(f).select("quadkey").toPandas()
+        if len(pdf):
+            qk = pdf["quadkey"].astype(str)
+            spans.append((qk.min(), qk.max()))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1[:3] <= lo2[:3], (hi1, lo2)
