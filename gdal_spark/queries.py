@@ -1586,6 +1586,88 @@ FROM agg
 """
 
 
+_IDW_FULL = dict(r1=18.0, r2=10.0, angle=30.0, smoothing=1.5,
+                 min_points=2, max_points=4)
+
+
+def q_idw_grid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_grid invdist FULL parameter surface (alg/gdalgrid.cpp:91-199
+    + the NearestNeighbor flavor's nearest-max_points selection):
+    rotated search ellipse (radius1/radius2/angle), smoothing term
+    folded into d^2, min_points nodata gate, nearest-4 trim ordered by
+    (distance, point id)."""
+    from .operators import focal
+
+    p = _read(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    pts = p.select(
+        i.alias("pid"),
+        (docs.hash01_col(i, 11) * 100.0).alias("x"),
+        (docs.hash01_col(i, 12) * 100.0).alias("y"),
+        ((i * 37 + 11) % 1000).alias("v"),
+    )
+    c = _IDW_FULL
+    return focal.idw_grid(
+        pts, cell=10.0, power=2, radius1=c["r1"], radius2=c["r2"],
+        angle=c["angle"], smoothing=c["smoothing"],
+        min_points=c["min_points"], max_points=c["max_points"])
+
+
+def sql_idw_grid_full() -> str:
+    import math as _m
+
+    c = _IDW_FULL
+    ca = repr(_m.cos(_m.radians(c["angle"])))
+    sa = repr(_m.sin(_m.radians(c["angle"])))
+    r1sq, r2sq = repr(c["r1"] * c["r1"]), repr(c["r2"] * c["r2"])
+    s2 = repr(c["smoothing"] * c["smoothing"])
+    reach = int(max(c["r1"], c["r2"]) / 10.0) + 1
+    n_off = 2 * reach + 1
+    x = f"({derive.hash01_sql('p_partkey', 11)}) * 100.0"
+    y = f"({derive.hash01_sql('p_partkey', 12)}) * 100.0"
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS pid, {x} AS _x, {y} AS _y,
+         (p_partkey * 37 + 11) % 1000 AS _v
+  FROM part
+),
+offs AS (SELECT a.range - {reach} AS di, b.range - {reach} AS dj
+         FROM range({n_off}) a CROSS JOIN range({n_off}) b),
+cand AS (
+  SELECT pid, _v,
+         CAST(floor(_x / 10.0) AS BIGINT) + di AS i,
+         CAST(floor(_y / 10.0) AS BIGINT) + dj AS j,
+         (CAST(floor(_x / 10.0) AS BIGINT) + di) * 10.0 - _x AS _dx,
+         (CAST(floor(_y / 10.0) AS BIGINT) + dj) * 10.0 - _y AS _dy
+  FROM pts CROSS JOIN offs
+),
+dist AS (
+  SELECT pid, _v, i, j, _dx * _dx + _dy * _dy AS _d2,
+         _dx * {ca} + _dy * {sa} AS _rx,
+         -_dx * {sa} + _dy * {ca} AS _ry
+  FROM cand
+),
+filt AS (
+  SELECT * FROM dist
+  WHERE (_rx * _rx) / {r1sq} + (_ry * _ry) / {r2sq} <= 1.0
+),
+agg AS (
+  SELECT i, j,
+         list_slice(list({{'d2': _d2, 'pid': pid, 'v': _v}}
+                         ORDER BY _d2, pid), 1, {c["max_points"]}) AS pts,
+         count(*) AS n
+  FROM filt GROUP BY 1, 2 HAVING count(*) >= {c["min_points"]}
+)
+SELECT i, j,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(pts, s -> s.v / (s.d2 + {s2}))), (a, b) -> a + b)
+       / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(pts, s -> 1.0 / (s.d2 + {s2}))), (a, b) -> a + b)
+       AS value
+FROM agg
+"""
+
+
 def q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_grid data metrics (alg/gdalgrid.h:50-88): min/max/range/
     count/average-distance + nearest per node, circular radius, same
@@ -4248,10 +4330,15 @@ def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('PEN(c:#', format_string('%06x', (id * 2654435761) % 16777216), "
         "',w:', cast(1 + id % 5 as string), 'px)')"
     )
+    # OGR_GEOMETRY (ogr_p.h SPF_OGR_GEOMETRY) = getGeometryName() of
+    # the feature's geometry; the fixture tags each id with a wkb flat
+    # code (1 + id%3) the way a mixed layer would carry wkbType
+    gname = G.ogr_geometry_name_expr("1 + id % 3")
     return d.select(
         "id",
         G.wkt_polygon_expr().alias("geom_wkt"),
         style.alias("ogr_style"),
+        gname.alias("ogr_geometry"),
         F.round(G.shoelace_area_expr(), 9).alias("area"),
     )
 
@@ -4284,6 +4371,8 @@ SELECT id,
        {wkt} AS geom_wkt,
        'PEN(c:#' || printf('%06x', (id * 2654435761) % 16777216)
          || ',w:' || CAST(1 + id % 5 AS VARCHAR) || 'px)' AS ogr_style,
+       CASE 1 + id % 3 WHEN 1 THEN 'POINT' WHEN 2 THEN 'LINESTRING'
+            ELSE 'POLYGON' END AS ogr_geometry,
        round({shoelace}, 9) AS area
 FROM g
 """
@@ -4700,7 +4789,7 @@ _OGR_SQL_PARTS = [
     ("expressions", ["name8", "seg_nat", "seg3"], ["c_custkey", "bal_floor", "keymod"]),
     ("like_escape", [], ["id", "lit_both", "any_then_lit", "backslash_esc"]),
     ("geom_area", [], ["poly_id", "area"]),
-    ("special_fields", ["geom_wkt", "ogr_style"], ["id", "area"]),
+    ("special_fields", ["geom_wkt", "ogr_style", "ogr_geometry"], ["id", "area"]),
 ]
 
 
@@ -5147,13 +5236,16 @@ _GRID_PARTS = [
     ("idw", [], ["i", "j", "value"]),
     ("metrics", [], ["i", "j", "cnt", "vmin", "vmax", "vrange", "avg_dist", "nearest_v"]),
     ("linear", [], ["i", "j", "value"]),
+    ("invdist_full", [], ["i", "j", "value"]),
 ]
 
 
 def q_grid_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdal_grid surface in one gate row: IDW, data metrics, Delaunay
-    linear interpolation."""
-    subs = {"idw": q_idw_grid, "metrics": q_grid_metrics, "linear": q_grid_linear}
+    """gdal_grid surface in one gate row: IDW (circular), the FULL
+    invdist parameter set (rotated ellipse + smoothing + min/max
+    points), data metrics, Delaunay linear interpolation."""
+    subs = {"idw": q_idw_grid, "metrics": q_grid_metrics,
+            "linear": q_grid_linear, "invdist_full": q_idw_grid_full}
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _GRID_PARTS],
         n_str=0, n_num=8,
@@ -5161,7 +5253,8 @@ def q_grid_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_grid_suite() -> str:
-    subs = {"idw": sql_idw_grid, "metrics": sql_grid_metrics, "linear": sql_grid_linear}
+    subs = {"idw": sql_idw_grid, "metrics": sql_grid_metrics,
+            "linear": sql_grid_linear, "invdist_full": sql_idw_grid_full}
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _GRID_PARTS],
         n_str=0, n_num=8,
