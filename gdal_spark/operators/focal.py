@@ -475,36 +475,54 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
         far = n >= 2
         if far.any():
             fgx, fgy, fn = gx[far], gy[far], n[far]
-            # samples k = 1..n-1 per pixel, flattened
             reps = (fn - 1).astype(np.int64)
-            pid = np.repeat(np.arange(len(fgx)), reps)
-            k = np.arange(reps.sum()) - np.repeat(
-                np.cumsum(reps) - reps, reps) + 1
-            t = k.astype(np.float64) / fn[pid].astype(np.float64)
-            sx = float(ox) + (fgx[pid] - ox) * t + 0.5
-            sy = float(oy) + (fgy[pid] - oy) * t + 0.5
-            # bilinear with the sample_bilinear clamp/corner rule
-            fx = np.minimum(np.maximum(sx, 0.5), W - 0.5) - 0.5
-            fy = np.minimum(np.maximum(sy, 0.5), H - 0.5) - 0.5
-            x0 = np.minimum(np.floor(fx).astype(np.int64), W - 2)
-            y0 = np.minimum(np.floor(fy).astype(np.int64), H - 2)
-            wx = fx - x0
-            wy = fy - y0
-            # bounds guard: an out-of-bbox gather would wrap silently
-            assert (x0.min() >= x_lo and y0.min() >= y_lo
-                    and x0.max() + 1 - x_lo < patch.shape[1]
-                    and y0.max() + 1 - y_lo < patch.shape[0]), \
-                "viewshed sector wedge pad too small: corner outside bbox"
-            zs = (lookup(x0, y0) * (1 - wx) * (1 - wy)
-                  + lookup(x0 + 1, y0) * wx * (1 - wy)
-                  + lookup(x0, y0 + 1) * (1 - wx) * wy
-                  + lookup(x0 + 1, y0 + 1) * wx * wy)
-            assert not np.isnan(zs).any(), \
-                "viewshed sector wedge pad too small: missing terrain"
-            slope_s = (zs - z_obs) / t
-            max_s = np.full(len(fgx), -np.inf)
-            np.maximum.at(max_s, pid, slope_s)
-            vis[far] = max_s < (zp[far] - z_obs)
+            csum = np.cumsum(reps)
+            max_s_all = np.full(len(fgx), -np.inf)
+            # CHUNK pixels so the flattened sample arrays (~15 of
+            # them) stay bounded: without this a 1024^2 sector holds
+            # O(W^3/S) samples at once (~4 GB/task in temporaries) and
+            # concurrent tasks thrash the allocator — measured 2-4x
+            # wall-clock swings. Per-pixel math is unchanged, so the
+            # output is bit-identical to the unchunked form.
+            CHUNK = 4_000_000
+            start = 0
+            while start < len(fgx):
+                base = int(csum[start - 1]) if start else 0
+                end = int(np.searchsorted(csum, base + CHUNK, side="left")) + 1
+                end = min(max(end, start + 1), len(fgx))
+                cgx, cgy, cn = fgx[start:end], fgy[start:end], fn[start:end]
+                creps = reps[start:end]
+                # samples k = 1..n-1 per pixel, flattened
+                pid = np.repeat(np.arange(len(cgx)), creps)
+                k = np.arange(creps.sum()) - np.repeat(
+                    np.cumsum(creps) - creps, creps) + 1
+                t = k.astype(np.float64) / cn[pid].astype(np.float64)
+                sx = float(ox) + (cgx[pid] - ox) * t + 0.5
+                sy = float(oy) + (cgy[pid] - oy) * t + 0.5
+                # bilinear with the sample_bilinear clamp/corner rule
+                fx = np.minimum(np.maximum(sx, 0.5), W - 0.5) - 0.5
+                fy = np.minimum(np.maximum(sy, 0.5), H - 0.5) - 0.5
+                x0 = np.minimum(np.floor(fx).astype(np.int64), W - 2)
+                y0 = np.minimum(np.floor(fy).astype(np.int64), H - 2)
+                wx = fx - x0
+                wy = fy - y0
+                # bounds guard: an out-of-bbox gather would wrap silently
+                assert (x0.min() >= x_lo and y0.min() >= y_lo
+                        and x0.max() + 1 - x_lo < patch.shape[1]
+                        and y0.max() + 1 - y_lo < patch.shape[0]), \
+                    "viewshed sector wedge pad too small: corner outside bbox"
+                zs = (lookup(x0, y0) * (1 - wx) * (1 - wy)
+                      + lookup(x0 + 1, y0) * wx * (1 - wy)
+                      + lookup(x0, y0 + 1) * (1 - wx) * wy
+                      + lookup(x0 + 1, y0 + 1) * wx * wy)
+                assert not np.isnan(zs).any(), \
+                    "viewshed sector wedge pad too small: missing terrain"
+                slope_s = (zs - z_obs) / t
+                max_s = np.full(len(cgx), -np.inf)
+                np.maximum.at(max_s, pid, slope_s)
+                max_s_all[start:end] = max_s
+                start = end
+            vis[far] = max_s_all < (zp[far] - z_obs)
         return pd.DataFrame({"gx": gx, "gy": gy, "visible": vis})
 
     return both.groupBy("sector").applyInPandas(lambda p: run(p), out_schema)
