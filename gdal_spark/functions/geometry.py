@@ -294,3 +294,62 @@ def ogr_geometry_name_expr(code_expr: str) -> Column:
         f"WHEN 3 THEN 'POLYGON' WHEN 4 THEN 'MULTIPOINT' "
         f"WHEN 5 THEN 'MULTILINESTRING' WHEN 6 THEN 'MULTIPOLYGON' "
         f"WHEN 7 THEN 'GEOMETRYCOLLECTION' ELSE 'UNKNOWN' END")
+
+
+def wkt_parse_polygon_exprs(wkt: str) -> tuple[Column, Column]:
+    """ST_GeomFromText for single-ring 'POLYGON ((x y,x y,...))' text
+    (ogr/ogrgeometryfactory.cpp createFromWkt -> importFromWkt): parse
+    the ring back to OPEN (xs, ys) vertex arrays (the closing vertex is
+    dropped, matching the engine's open-ring storage). Pure JVM string
+    ops — regexp strip + split + cast, no Python."""
+    body = (f"regexp_replace({wkt}, '^POLYGON \\\\(\\\\(|\\\\)\\\\)$', '')")
+    pairs = f"split({body}, ',')"
+    xs = (f"transform({pairs}, p -> "
+          f"CAST(split(trim(p), ' ')[0] AS DOUBLE))")
+    ys = (f"transform({pairs}, p -> "
+          f"CAST(split(trim(p), ' ')[1] AS DOUBLE))")
+    # drop the closing vertex (ring arrives closed in WKT)
+    open_xs = f"slice({xs}, 1, size({xs}) - 1)"
+    open_ys = f"slice({ys}, 1, size({ys}) - 1)"
+    return F.expr(open_xs), F.expr(open_ys)
+
+
+def st_distance_rings_expr(axs: str, ays: str, bxs: str, bys: str) -> Column:
+    """OGRGeometry::Distance (ogr/ogrgeometry.cpp:3564, GEOS-backed)
+    for two DISJOINT single-ring polygons stored as OPEN vertex
+    arrays: min over all (edge-of-A, edge-of-B) pairs of the
+    segment-to-segment distance. For non-crossing segments that is the
+    least of the four point-to-segment distances (endpoint against the
+    other segment), each the clamped-projection formula. Pure
+    higher-order-function column math over the edge cross product —
+    no Python, no shuffle. O(nA*nB) per pair, the right shape for
+    analytics rings; crossing segments (distance 0) are out of
+    contract (polygons disjoint)."""
+    def seg(c, n, i):
+        return (f"element_at({c}, {i})", f"element_at({c}, 1 + {i} % {n})")
+
+    na, nb = f"size({axs})", f"size({bxs})"
+    ax0, ax1 = seg(axs, na, "i"); ay0, ay1 = seg(ays, na, "i")
+    bx0, bx1 = seg(bxs, nb, "j"); by0, by1 = seg(bys, nb, "j")
+
+    def pt_seg(px, py, qx0, qy0, qx1, qy1):
+        dx, dy = f"(({qx1}) - ({qx0}))", f"(({qy1}) - ({qy0}))"
+        l2 = f"({dx}*{dx} + {dy}*{dy})"
+        t = (f"greatest(0D, least(1D, "
+             f"((({px}) - ({qx0})) * {dx} + (({py}) - ({qy0})) * {dy})"
+             f" / nullif({l2}, 0D)))")
+        t = f"coalesce({t}, 0D)"  # degenerate zero-length edge
+        ex = f"(({px}) - (({qx0}) + {t} * {dx}))"
+        ey = f"(({py}) - (({qy0}) + {t} * {dy}))"
+        return f"sqrt({ex}*{ex} + {ey}*{ey})"
+
+    dij = "least({}, {}, {}, {})".format(
+        pt_seg(ax0, ay0, bx0, by0, bx1, by1),
+        pt_seg(ax1, ay1, bx0, by0, bx1, by1),
+        pt_seg(bx0, by0, ax0, ay0, ax1, ay1),
+        pt_seg(bx1, by1, ax0, ay0, ax1, ay1),
+    )
+    return F.expr(
+        f"array_min(flatten(transform(sequence(1, {na}), i -> "
+        f"transform(sequence(1, {nb}), j -> {dij}))))"
+    )

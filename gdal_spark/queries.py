@@ -4417,6 +4417,20 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = F.lit(2.0) + F.lit(1.0) * docs.hash01_col(i, 125)
     a2 = F.lit(1.0) + F.lit(0.5) * docs.hash01_col(i, 126)
     ub = F.lit(1.0) + F.lit(0.5) * docs.hash01_col(i, 127)
+    # ST_Distance fixture: two diagonally-separated disjoint rectangles
+    # — the nearest features are opposing corners, so the closed-form
+    # oracle is the corner gap while the engine runs the full
+    # segment-pair clamped-projection kernel
+    ax0 = F.lit(-100.0) + F.lit(150.0) * docs.hash01_col(i, 131)
+    ay0 = F.lit(-40.0) + F.lit(60.0) * docs.hash01_col(i, 132)
+    wa = F.lit(2.0) + F.lit(2.0) * docs.hash01_col(i, 133)
+    ha = F.lit(2.0) + F.lit(2.0) * docs.hash01_col(i, 134)
+    gpx = F.lit(1.0) + F.lit(3.0) * docs.hash01_col(i, 135)
+    gpy = F.lit(1.0) + F.lit(3.0) * docs.hash01_col(i, 136)
+    bx0 = ax0 + wa + gpx
+    by0 = ay0 + ha + gpy
+    wb = F.lit(2.0) + docs.hash01_col(i, 137)
+    hb = F.lit(2.0) + docs.hash01_col(i, 138)
     d = s.select(
         i.alias("id"),
         F.array(*outer_x, *inner_x).alias("xs"),
@@ -4427,8 +4441,22 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ux0 + a1, ux0 + a1, ux0).alias("uxs"),
         F.array(uy0, uy0, uy0 + uh, uy0 + uh, uy0 + ub,
                 uy0 + ub, uy0 + uh, uy0 + uh).alias("uys"),
+        F.array(ax0, ax0 + wa, ax0 + wa, ax0).alias("daxs"),
+        F.array(ay0, ay0, ay0 + ha, ay0 + ha).alias("days"),
+        F.array(bx0, bx0 + wb, bx0 + wb, bx0).alias("dbxs"),
+        F.array(by0, by0, by0 + hb, by0 + hb).alias("dbys"),
     )
     h = G.point_on_surface_cols(G.convex_hull_cols(d), "uxs", "uys")
+    # WKT ROUNDTRIP (ST_AsText -> ST_GeomFromText): render the U ring
+    # at the pinned %.6f, parse it back with the pure-JVM parser, and
+    # re-derive vertex count + shoelace area from the PARSED arrays —
+    # the oracle computes the same area directly over printf-rounded
+    # coordinates, so any parser defect breaks the hash
+    h = h.withColumn("_wkt", G.wkt_polygon_expr("uxs", "uys"))
+    pxs, pys = G.wkt_parse_polygon_exprs("_wkt")
+    h = h.withColumn("_pxs", pxs).withColumn("_pys", pys)
+    h = h.withColumn("nv_parse", F.size("_pxs")) \
+         .withColumn("parse_area", G.shoelace_area_expr("_pxs", "_pys"))
     ccx, ccy = G.centroid_exprs("oxs", "oys")
     return h.select(
         "id",
@@ -4443,6 +4471,10 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gd_len"),
         F.round("pos_x", 6).alias("pos_x"),
         F.round("pos_y", 6).alias("pos_y"),
+        F.col("nv_parse").alias("nv_parse"),
+        F.round("parse_area", 6).alias("parse_area"),
+        F.round(G.st_distance_rings_expr("daxs", "days", "dbxs", "dbys"), 9)
+        .alias("dist_ab"),
     )
 
 
@@ -4469,13 +4501,32 @@ WITH k AS (
          1.5 + 2.0 * ({hx(98)}) AS ry,
          -170.0 + 300.0 * ({hx(121)}) AS ux0,
          -60.0 + 100.0 * ({hx(122)}) AS uy0,
+         8.0 + 4.0 * ({hx(123)}) AS uw,
          6.0 + 3.0 * ({hx(124)}) AS uh,
          2.0 + 1.0 * ({hx(125)}) AS a1,
-         1.0 + 0.5 * ({hx(127)}) AS ub
+         1.0 + 0.5 * ({hx(126)}) AS a2,
+         1.0 + 0.5 * ({hx(127)}) AS ub,
+         -100.0 + 150.0 * ({hx(131)}) AS dax0,
+         -40.0 + 60.0 * ({hx(132)}) AS day0,
+         2.0 + 2.0 * ({hx(133)}) AS dwa,
+         2.0 + 2.0 * ({hx(134)}) AS dha,
+         1.0 + 3.0 * ({hx(135)}) AS dgx,
+         1.0 + 3.0 * ({hx(136)}) AS dgy
   FROM supplier
 ),
 r AS (SELECT id, cx, cy, rx, ry, ux0, uy0, uh, a1, ub,
-      [{ox}] AS oxs, [{oy}] AS oys FROM k)
+      dax0 + dwa AS daxr, day0 + dha AS dayt,
+      (dax0 + dwa) + dgx AS dbx0, (day0 + dha) + dgy AS dby0,
+      [{ox}] AS oxs, [{oy}] AS oys,
+      list_transform(
+        [ux0, ux0 + uw, ux0 + uw, ux0 + uw - a2, ux0 + uw - a2,
+         ux0 + a1, ux0 + a1, ux0],
+        v -> CAST(printf('%.6f', v) AS DOUBLE)) AS pxs,
+      list_transform(
+        [uy0, uy0, uy0 + uh, uy0 + uh, uy0 + ub,
+         uy0 + ub, uy0 + uh, uy0 + uh],
+        v -> CAST(printf('%.6f', v) AS DOUBLE)) AS pys
+      FROM k)
 SELECT id,
        {_GF_K} AS nv_hull,
        round({hull_area}, 5) AS hull_area,
@@ -4485,7 +4536,14 @@ SELECT id,
        round({perim}, 6) AS perim,
        round(({gd_len}) / 1.0e3, 6) AS gd_len,
        round((ux0 + (ux0 + a1)) / 2.0, 6) AS pos_x,
-       round(((uy0 + ub) + (uy0 + uh)) / 2.0, 6) AS pos_y
+       round(((uy0 + ub) + (uy0 + uh)) / 2.0, 6) AS pos_y,
+       8 AS nv_parse,
+       round(abs(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(range(1, len(pxs) + 1), i ->
+           pxs[i] * pys[1 + i % len(pxs)] - pxs[1 + i % len(pxs)] * pys[i])),
+         (a, b) -> a + b)) / 2, 6) AS parse_area,
+       round(sqrt((daxr - dbx0) * (daxr - dbx0)
+                  + (dayt - dby0) * (dayt - dby0)), 9) AS dist_ab
 FROM r
 """
 

@@ -98,3 +98,43 @@ def test_point_on_surface_interior_where_centroid_is_not(spark):
     c = df.select(cx.alias("cx"), cy.alias("cy")).collect()[0]
     assert not point_in_polygon(
         np.array([c["cx"]]), np.array([c["cy"]]), [ring])[0]
+
+
+def test_wkt_parse_polygon_roundtrip(spark):
+    xs = [0.125, -10.5, -10.5, 0.125]
+    ys = [-3.25, -3.25, 7.75, 7.75]
+    df = spark.createDataFrame(
+        [(1, xs, ys)], "id bigint, xs array<double>, ys array<double>")
+    d = df.withColumn("wkt", G.wkt_polygon_expr())
+    px, py = G.wkt_parse_polygon_exprs("wkt")
+    r = d.withColumn("pxs", px).withColumn("pys", py).collect()[0]
+    # dyadic coords render exactly at %.6f, so the roundtrip is exact
+    assert r["pxs"] == xs and r["pys"] == ys
+    # direct literal parse too
+    lit = spark.sql(
+        "SELECT 'POLYGON ((1.5 2.5,3.5 2.5,3.5 4.5,1.5 2.5))' AS w")
+    px2, py2 = G.wkt_parse_polygon_exprs("w")
+    r2 = lit.withColumn("pxs", px2).withColumn("pys", py2).collect()[0]
+    assert r2["pxs"] == [1.5, 3.5, 3.5] and r2["pys"] == [2.5, 2.5, 4.5]
+
+
+def test_st_distance_rings_cases(spark):
+    # edge-facing rectangles: distance = the horizontal gap (projection
+    # interior, t in (0,1)); corner case covered by the gate oracle
+    df = spark.createDataFrame([(1,
+        [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0],
+        [5.0, 7.0, 7.0, 5.0], [0.5, 0.5, 1.5, 1.5])],
+        "id bigint, axs array<double>, ays array<double>, "
+        "bxs array<double>, bys array<double>")
+    r = df.select(G.st_distance_rings_expr(
+        "axs", "ays", "bxs", "bys").alias("d")).collect()[0]
+    assert r["d"] == 3.0
+    # touching rectangles -> 0
+    df2 = spark.createDataFrame([(1,
+        [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0],
+        [2.0, 4.0, 4.0, 2.0], [0.0, 0.0, 2.0, 2.0])],
+        "id bigint, axs array<double>, ays array<double>, "
+        "bxs array<double>, bys array<double>")
+    r2 = df2.select(G.st_distance_rings_expr(
+        "axs", "ays", "bxs", "bys").alias("d")).collect()[0]
+    assert r2["d"] == 0.0
