@@ -7,9 +7,10 @@ list order, median split at cumsum >= total/2 with the i==first bump,
 both halves shrunk to occupied bounds) and the nearest-entry
 assignment of the dither path (alg/gdaldither.cpp:397 — squared-RGB
 distance, first strictly-smaller entry wins, i.e. lowest index on
-ties). Floyd-Steinberg error diffusion itself is a serial scanline
-recurrence and is NOT composed here (documented: this is the
-non-dithered assignment slice, what gdalattachpct applies).
+ties). r3 adds the full GDALDitherRGB2PCT error-diffusion recurrence
+(`dither_rgb2pct` below): serial within an image, one applyInPandas
+group per image — images parallelize, scanlines don't (the
+reference streams scanlines for the same reason).
 
 Scale shape: the color histogram is bounded by the color cube
 (2^(3*nbits) cells — 32768 at the default 5 bits), NOT by the pixel
@@ -177,3 +178,68 @@ def pct2rgb(df: DataFrame, palette: list[tuple[int, int, int]], *,
           .withColumn("g", F.expr(f"element_at({pg}, {at})"))
           .withColumn("b", F.expr(f"element_at({pb}, {at})"))
     )
+
+
+def dither_rgb2pct(df: DataFrame, palette: list[tuple[int, int, int]], *,
+                   img_col: str = "img_id", x_col: str = "px",
+                   y_col: str = "py", r_col: str = "r", g_col: str = "g",
+                   b_col: str = "b") -> DataFrame:
+    """GDALDitherRGB2PCT (alg/gdaldither.cpp): error-diffusion
+    quantization to a color table. Per pixel, scanning rows top-down
+    and left-to-right: add the accumulated integer error per channel,
+    clamp to 0..255, pick the nearest palette entry (squared-RGB
+    distance, lowest index on ties — the same rule as
+    assign_expr_spark), then distribute the per-channel error with the
+    reference's kernel: 3/8 to the right neighbor, 3/8 to the pixel
+    below, 2/8 to the pixel below-right, each with C truncating
+    integer division ((err*3)/8, (err*2)/8 toward zero).
+
+    The recurrence is inherently serial WITHIN an image (like the
+    reference, which streams scanlines), so the distributed shape is
+    one applyInPandas group PER IMAGE — images parallelize, scanlines
+    don't. Returns (img, px, py, idx)."""
+    import numpy as np
+    import pandas as pd
+
+    pal = np.asarray(palette, dtype=np.int64)  # (n, 3)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x_col].to_numpy().astype(np.int64)
+        ys = pdf[y_col].to_numpy().astype(np.int64)
+        x0, y0 = int(xs.min()), int(ys.min())
+        w = int(xs.max()) - x0 + 1
+        h = int(ys.max()) - y0 + 1
+        img = np.zeros((h, w, 3), dtype=np.int64)
+        for c, col in enumerate((r_col, g_col, b_col)):
+            img[ys - y0, xs - x0, c] = pdf[col].to_numpy()
+        idx = np.zeros((h, w), dtype=np.int64)
+        err_down = np.zeros((w, 3), dtype=np.int64)
+        for y in range(h):
+            err_right = np.zeros(3, dtype=np.int64)
+            err_next_down = np.zeros((w, 3), dtype=np.int64)
+            for x in range(w):
+                v = img[y, x] + err_right + err_down[x]
+                v = np.minimum(np.maximum(v, 0), 255)
+                d2 = ((pal - v) ** 2).sum(axis=1)
+                k = int(np.argmin(d2))  # argmin takes the first min
+                idx[y, x] = k
+                e = v - pal[k]
+                # C truncating division toward zero
+                e3 = np.fix(e * 3 / 8).astype(np.int64)
+                e2 = np.fix(e * 2 / 8).astype(np.int64)
+                err_right = e3
+                err_next_down[x] += e3
+                if x + 1 < w:
+                    err_next_down[x + 1] += e2
+            err_down = err_next_down
+        out = pdf[[img_col]].iloc[:1].copy()
+        rows = {
+            img_col: np.repeat(out[img_col].iloc[0], h * w),
+            "px": np.tile(np.arange(w) + x0, h),
+            "py": np.repeat(np.arange(h) + y0, w),
+            "idx": idx.reshape(-1),
+        }
+        return pd.DataFrame(rows)
+
+    schema = f"{img_col} bigint, px bigint, py bigint, idx bigint"
+    return df.groupBy(img_col).applyInPandas(lambda p: run(p), schema)

@@ -73,3 +73,39 @@ def test_pct2rgb_roundtrip_on_palette_colors(spark):
     rows = {r["idx"]: (r["r"], r["g"], r["b"])
             for r in P.pct2rgb(df, pal).collect()}
     assert rows == {i: pal[i] for i in range(3)}
+
+
+def test_dither_hand_computed_row(spark):
+    # 1x4 row of mid-gray against a black/white table — the error
+    # diffusion sequence is hand-computed with the reference's
+    # 3/8-right truncating kernel:
+    # p0: 128 -> white (127^2 < 128^2), err -127, right += -47
+    # p1: 81 -> black, err 81, right += 30
+    # p2: 158 -> white, err -97, right += -36
+    # p3: 92 -> black
+    from gdal_spark.operators import palette as P
+
+    rows = [(7, x, 0, 128, 128, 128) for x in range(4)]
+    df = spark.createDataFrame(
+        rows, "img_id bigint, px bigint, py bigint, r bigint, g bigint, b bigint")
+    out = P.dither_rgb2pct(df, [(0, 0, 0), (255, 255, 255)]) \
+        .orderBy("px").collect()
+    assert [r["idx"] for r in out] == [1, 0, 1, 0]
+
+
+def test_dither_preserves_mean_better_than_nearest(spark):
+    from gdal_spark.operators import palette as P
+
+    # 16x16 uniform 100-gray: nearest-assignment gives all-black
+    # (100 < 127.5), mean error 100; dithering must mix black/white
+    # so the reconstructed mean lands near 100
+    rows = [(1, x, y, 100, 100, 100) for y in range(16) for x in range(16)]
+    df = spark.createDataFrame(
+        rows, "img_id bigint, px bigint, py bigint, r bigint, g bigint, b bigint")
+    pal = [(0, 0, 0), (255, 255, 255)]
+    out = P.dither_rgb2pct(df, pal).collect()
+    mean = sum(pal[r["idx"]][0] for r in out) / len(out)
+    assert abs(mean - 100.0) < 10.0
+    nearest = P.rgb2pct(df, pal).collect()
+    mean_n = sum(pal[r["idx"]][0] for r in nearest) / len(nearest)
+    assert mean_n == 0.0
