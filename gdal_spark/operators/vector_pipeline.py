@@ -126,6 +126,97 @@ def simplify(df: DataFrame, tolerance: float, xs: str = "xs", ys: str = "ys") ->
     return df.mapInPandas(run, df.schema)
 
 
+def _proper_cross(p1, p2, p3, p4) -> bool:
+    """Strict segment crossing (interior x interior). Shared endpoints
+    and mere touches do NOT count — matching the GEOS simplifier's
+    treatment of section-adjacent segments."""
+    def cr(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    d1, d2 = cr(p3, p4, p1), cr(p3, p4, p2)
+    d3, d4 = cr(p1, p2, p3), cr(p1, p2, p4)
+    return ((d1 > 0) != (d2 > 0)) and (d1 != 0 and d2 != 0) \
+        and ((d3 > 0) != (d4 > 0)) and (d3 != 0 and d4 != 0)
+
+
+def _tps_simplify(xs: np.ndarray, ys: np.ndarray, tol: float):
+    """Topology-preserving Douglas-Peucker
+    (OGRGeometry::SimplifyPreserveTopology -> GEOS
+    TopologyPreservingSimplifier / TaggedLineStringSimplifier): the
+    same farthest-point recursion as _dp_simplify, but a section is
+    only flattened if the candidate segment does not PROPERLY cross
+    any segment of the current working line outside the section (a
+    live index that mixes already-flattened and still-original
+    segments, exactly the GEOS LineSegmentIndex discipline). When the
+    flatten would cross, the section splits at its farthest vertex
+    instead — keeping the extra vertex that preserves topology."""
+    n = len(xs)
+    if n < 3:
+        return xs, ys
+    pts = np.column_stack([xs, ys])
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    segs: set = {(i, i + 1) for i in range(n - 1)}
+
+    def farthest(a: int, b: int):
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        seg = np.hypot(bx - ax, by - ay)
+        idx = np.arange(a + 1, b)
+        if seg == 0:
+            d = np.hypot(xs[idx] - ax, ys[idx] - ay)
+        else:
+            d = np.abs((bx - ax) * (ys[idx] - ay)
+                       - (xs[idx] - ax) * (by - ay)) / seg
+        k = int(np.argmax(d))
+        return a + 1 + k, float(d[k])
+
+    def section(a: int, b: int):
+        if b - a < 2:
+            return
+        m, dmax = farthest(a, b)
+        if dmax <= tol:
+            bad = any(
+                not (a <= i and j <= b)
+                and _proper_cross(pts[a], pts[b], pts[i], pts[j])
+                for (i, j) in segs
+            )
+            if not bad:
+                for i in range(a, b):
+                    segs.discard((i, i + 1))
+                segs.add((a, b))
+                return
+        keep[m] = True
+        section(a, m)
+        section(m, b)
+
+    section(0, n - 1)
+    return xs[keep], ys[keep]
+
+
+def simplify_preserve_topology(df: DataFrame, tolerance: float,
+                               xs: str = "xs", ys: str = "ys") -> DataFrame:
+    """SimplifyPreserveTopology over (xs, ys) chains — same
+    Arrow-batched mapInPandas shape as simplify(); chains keep both
+    endpoints (callers pass rings closed)."""
+
+    def run(batches):
+        for pdf in batches:
+            oxs, oys = [], []
+            for xv, yv in zip(pdf[xs], pdf[ys]):
+                sx, sy = _tps_simplify(
+                    np.asarray(xv, dtype=np.float64),
+                    np.asarray(yv, dtype=np.float64), tolerance,
+                )
+                oxs.append(sx.tolist())
+                oys.append(sy.tolist())
+            pdf = pdf.copy()
+            pdf[xs] = oxs
+            pdf[ys] = oys
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
 def _sh_clip(xs: np.ndarray, ys: np.ndarray, minx, miny, maxx, maxy):
     """Sutherland-Hodgman polygon clip against an axis-aligned rect."""
     pts = list(zip(xs, ys))
@@ -628,8 +719,11 @@ class VectorPipeline:
         self._stages["segmentize"] = lambda d: segmentize(d, max_length)
         return self
 
-    def simplify(self, tolerance: float):
-        self._stages["simplify"] = lambda d: simplify(d, tolerance)
+    def simplify(self, tolerance: float, preserve_topology: bool = False):
+        # ogr2ogr -simplify is plain DP; SimplifyPreserveTopology is the
+        # GEOS-checked variant (ogrgeometry.cpp:6362 vs :6422)
+        fn = simplify_preserve_topology if preserve_topology else simplify
+        self._stages["simplify"] = lambda d: fn(d, tolerance)
         return self
 
     def clip_src(self, *rect):
