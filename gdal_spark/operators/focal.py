@@ -203,11 +203,16 @@ def sample_bilinear(band: DataFrame, points: DataFrame, *, width: int, height: i
     return out.select(id_col, val.alias("value"))
 
 
-def proximity(band: DataFrame, *, target, max_dist: int) -> DataFrame:
+def proximity(band: DataFrame, *, target=None, max_dist: int,
+              targets: list | None = None,
+              fixed_buf_val=None) -> DataFrame:
     """Proximity map (alg/gdalproximity.cpp): for every pixel, squared
-    euclidean distance to the nearest TARGET pixel (value == target)
-    within `max_dist` pixels; pixels with no target in range are
-    absent (the reference writes nodata).
+    euclidean distance to the nearest TARGET pixel within `max_dist`
+    pixels; pixels with no target in range are absent (the reference
+    writes nodata). `target` is the single-value form; `targets` the
+    VALUES=v1,v2,... option (nearest pixel of ANY listed value);
+    `fixed_buf_val` the FIXED_BUF_VAL option — every in-range pixel
+    reports that constant instead of its distance (buffer mask mode).
 
     The reference's two-pass forward/backward chamfer scan is inherently
     sequential; the distributed form is a bounded-fanout join: each
@@ -225,11 +230,12 @@ def proximity(band: DataFrame, *, target, max_dist: int) -> DataFrame:
         .crossJoin(spark.range(-r, r + 1).select(F.col("id").alias("_dy")))
         .filter(F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy") <= r * r)
     )
-    targets = band.filter(F.col("value") == target).select(
+    vals = list(targets) if targets is not None else [target]
+    tgt = band.filter(F.col("value").isin(vals)).select(
         F.col("gx").alias("_tx"), F.col("gy").alias("_ty")
     )
     served = (
-        targets.crossJoin(F.broadcast(offs))
+        tgt.crossJoin(F.broadcast(offs))
         .select(
             (F.col("_tx") + F.col("_dx")).alias("gx"),
             (F.col("_ty") + F.col("_dy")).alias("gy"),
@@ -238,7 +244,10 @@ def proximity(band: DataFrame, *, target, max_dist: int) -> DataFrame:
         .groupBy("gx", "gy")
         .agg(F.min("_d2").alias("d2"))
     )
-    return band.select("gx", "gy").join(served, ["gx", "gy"]).select("gx", "gy", "d2")
+    out = band.select("gx", "gy").join(served, ["gx", "gy"])
+    if fixed_buf_val is not None:
+        return out.select("gx", "gy", F.lit(fixed_buf_val).alias("d2"))
+    return out.select("gx", "gy", "d2")
 
 
 def footprint(pixels: DataFrame, *, width: int, valid, tile: int = 64) -> DataFrame:
@@ -380,7 +389,10 @@ def footprint_rings(pixels: DataFrame, *, width: int, valid,
 
 def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
              obs_height: float = 2.0, height: int | None = None,
-             n_sectors: int = 32) -> DataFrame:
+             n_sectors: int = 32, curve_coeff: float = 0.0,
+             cell_size: float = 1.0,
+             earth_diameter: float = 12756274.0,
+             mode: str = "NORMAL") -> DataFrame:
     """Viewshed (alg/viewshed/viewshed.cpp semantics, uniform-ray
     sampling): pixel p is visible from the observer iff no intermediate
     sample along the observer->p ray subtends an equal-or-greater
@@ -398,7 +410,22 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
     ray samples IN NUMPY: Spark row count is O(W^2 * sector overlap)
     instead of O(W^3), with the identical per-sample doubles (same op
     order as the SQL oracle). Sector assignment only routes work; it
-    cannot affect values. Returns (gx, gy, visible)."""
+    cannot affect values. Returns (gx, gy, visible).
+
+    curve_coeff > 0 enables earth-curvature/refraction correction
+    (gdal_viewshed -cc, alg/viewshed: adjusted z = z - coeff * d^2 /
+    earth_diameter with d the ground distance = pixel distance *
+    cell_size; GDAL's default coeff is 0.85714 = 1 - 1/7 refraction).
+    Applied to every intermediate sample (at its own d) and to the
+    target pixel; coeff = 0 reproduces the uncorrected contract
+    bit-for-bit (the correction branch is skipped entirely).
+
+    mode (gdal_viewshed -om): 'NORMAL' -> (gx, gy, visible);
+    'GROUND' -> additional ground_req column = height that would have
+    to be ADDED at the pixel to become visible (0 when visible);
+    'DEM' -> dem_min column = minimum absolute (adjusted) elevation
+    at the pixel that is visible. Both derive from the same max ray
+    slope; chebyshev<2 pixels are always visible (req 0 / own z)."""
     import math
 
     import pandas as pd
@@ -447,6 +474,10 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
     both = pix.unionByName(ter)
 
     out_schema = "gx bigint, gy bigint, visible boolean"
+    if mode == "GROUND":
+        out_schema += ", ground_req double"
+    elif mode == "DEM":
+        out_schema += ", dem_min double"
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -517,13 +548,42 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
                       + lookup(x0 + 1, y0 + 1) * wx * wy)
                 assert not np.isnan(zs).any(), \
                     "viewshed sector wedge pad too small: missing terrain"
+                if curve_coeff > 0.0:
+                    d2 = ((cgx[pid] - ox).astype(np.float64) ** 2
+                          + (cgy[pid] - oy).astype(np.float64) ** 2) \
+                        * (t * t) * (cell_size * cell_size)
+                    zs = zs - curve_coeff * d2 / earth_diameter
                 slope_s = (zs - z_obs) / t
                 max_s = np.full(len(cgx), -np.inf)
                 np.maximum.at(max_s, pid, slope_s)
                 max_s_all[start:end] = max_s
                 start = end
-            vis[far] = max_s_all < (zp[far] - z_obs)
-        return pd.DataFrame({"gx": gx, "gy": gy, "visible": vis})
+            zp_far = zp[far]
+            drop = 0.0
+            if curve_coeff > 0.0:
+                dp2 = ((fgx - ox).astype(np.float64) ** 2
+                       + (fgy - oy).astype(np.float64) ** 2) \
+                    * (cell_size * cell_size)
+                drop = curve_coeff * dp2 / earth_diameter
+                zp_far = zp_far - drop
+            vis[far] = max_s_all < (zp_far - z_obs)
+            if mode != "NORMAL":
+                # minimum raw elevation at the pixel that clears every
+                # ray sample: z_obs + max slope (+ the curvature drop
+                # folded back into raw units)
+                dem_far = z_obs + max_s_all + drop
+        out = {"gx": gx, "gy": gy, "visible": vis}
+        if mode == "GROUND":
+            req = np.zeros(len(gx))
+            if far.any():
+                req[far] = np.maximum(0.0, dem_far - zp[far])
+            out["ground_req"] = req
+        elif mode == "DEM":
+            demv = np.full(len(gx), np.nan)
+            if far.any():
+                demv[far] = dem_far
+            out["dem_min"] = demv
+        return pd.DataFrame(out)
 
     return both.groupBy("sector").applyInPandas(lambda p: run(p), out_schema)
 

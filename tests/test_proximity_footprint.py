@@ -43,3 +43,23 @@ def test_footprint_bounding_boxes(spark):
     a, b = out
     assert (a["minx"], a["miny"], a["maxx"], a["maxy"], a["n_pixels"]) == (0, 0, 1, 1, 4)
     assert (b["minx"], b["miny"], b["maxx"], b["maxy"], b["n_pixels"]) == (5, 5, 6, 6, 4)
+
+
+def test_proximity_values_list_and_fixed_buf(spark):
+    from gdal_spark.operators import focal
+
+    rows = [(x, y, (7 if (x, y) == (2, 2) else (9 if (x, y) == (8, 8) else 0)))
+            for y in range(12) for x in range(12)]
+    band = spark.createDataFrame(rows, "gx bigint, gy bigint, value bigint")
+    # VALUES=7,9: nearest of EITHER target
+    out = {(r["gx"], r["gy"]): r["d2"] for r in focal.proximity(
+        band, targets=[7, 9], max_dist=3).collect()}
+    assert out[(2, 2)] == 0 and out[(8, 8)] == 0
+    assert out[(4, 2)] == 4      # served by (2,2)
+    assert out[(8, 6)] == 4      # served by (8,8)
+    assert (6, 2) not in out     # distance 4 > max_dist 3
+    # FIXED_BUF_VAL: every in-range pixel reports the constant
+    buf = {(r["gx"], r["gy"]): r["d2"] for r in focal.proximity(
+        band, targets=[7, 9], max_dist=3, fixed_buf_val=255).collect()}
+    assert set(buf.keys()) == set(out.keys())
+    assert set(buf.values()) == {255}

@@ -51,3 +51,74 @@ def test_pansharpen_ratio_identity(spark):
         gid = r["gy"] * 8 + r["gx"]
         assert r["b1_sharp"] == pytest.approx(gid + 10, abs=1e-9)
         assert r["b2_sharp"] == pytest.approx(gid + 30, abs=1e-9)
+
+
+def test_viewshed_curvature_horizon(spark):
+    # flat terrain + earth-curvature correction: visibility must end at
+    # a horizon ring; verified against an independent per-pixel python
+    # reference of the same -cc formula (gdal_viewshed -cc semantics)
+    import numpy as np
+    from gdal_spark.operators import focal
+
+    W = 48
+    flat = spark.range(W * W).selectExpr(
+        f"id % {W} AS gx", f"CAST(id / {W} AS BIGINT) AS gy",
+        "CAST(100 AS BIGINT) AS value")
+    cc, cell, diam = 0.85714, 500.0, 12756274.0
+    out = focal.viewshed(flat, width=W, ox=W // 2, oy=W // 2,
+                         obs_height=2.0, curve_coeff=cc, cell_size=cell,
+                         earth_diameter=diam).collect()
+    got = {(r["gx"], r["gy"]): r["visible"] for r in out}
+
+    z_obs = 102.0
+    for (gx, gy), v in got.items():
+        n = max(abs(gx - W // 2), abs(gy - W // 2))
+        if n < 2:
+            assert v
+            continue
+        d2p = (gx - W // 2) ** 2 + (gy - W // 2) ** 2
+        best = -np.inf
+        for k in range(1, n):
+            t = k / n
+            zs = 100.0 - cc * (d2p * t * t * cell * cell) / diam
+            best = max(best, (zs - z_obs) / t)
+        zp = 100.0 - cc * (d2p * cell * cell) / diam
+        assert v == (best < (zp - z_obs)), (gx, gy)
+    # sanity: the correction actually bites — some pixels invisible,
+    # near pixels visible
+    vis_count = sum(got.values())
+    assert 0 < vis_count < W * W
+    # and without curvature everything is visible from above
+    out0 = focal.viewshed(flat, width=W, ox=W // 2, oy=W // 2,
+                          obs_height=2.0).collect()
+    assert all(r["visible"] for r in out0)
+
+
+def test_viewshed_ground_and_dem_modes(spark):
+    # ridge fixture: observer at (1,4); a z=50 wall at x=4 hides the
+    # plain behind it. GROUND mode must report exactly the height
+    # deficit; DEM mode the minimum visible elevation.
+    import numpy as np
+    from gdal_spark.operators import focal
+
+    W = 12
+    rows = [(x, y, (50 if x == 4 else 0)) for y in range(W) for x in range(W)]
+    band = spark.createDataFrame(rows, "gx bigint, gy bigint, value bigint")
+    g = {(r["gx"], r["gy"]): r for r in focal.viewshed(
+        band, width=W, ox=1, oy=4, obs_height=2.0, mode="GROUND").collect()}
+    d = {(r["gx"], r["gy"]): r for r in focal.viewshed(
+        band, width=W, ox=1, oy=4, obs_height=2.0, mode="DEM").collect()}
+    # pixel straight behind the wall along the ray y=4: (8,4), n=7,
+    # max slope from the wall sample at t=3/7: (50-2)/(3/7) = 112
+    p = (8, 4)
+    assert not g[p]["visible"]
+    assert abs(g[p]["ground_req"] - (2.0 + 48.0 / (3.0 / 7.0))) < 1e-9
+    assert abs(d[p]["dem_min"] - (2.0 + 48.0 / (3.0 / 7.0) + 0.0)) < 1e-9
+    # visible pixel in front of the wall: zero deficit
+    q = (3, 4)
+    assert g[q]["visible"] and g[q]["ground_req"] == 0.0
+    # GROUND deficit is always max(0, dem_min - z)
+    for k, rv in g.items():
+        if d[k]["dem_min"] is not None and not np.isnan(d[k]["dem_min"]):
+            z = 50.0 if k[0] == 4 else 0.0
+            assert abs(rv["ground_req"] - max(0.0, d[k]["dem_min"] - z)) < 1e-9
