@@ -508,6 +508,37 @@ def boolean_areas_general(
     )
 
 
+def pip_hof_condition(lon: str, lat: str, xs: str, ys: str):
+    """The exact OGR crossing rule (ogrlinearring.cpp:462-531, the
+    same relative-endpoint form as kernels.pip.point_in_ring) as a
+    pure Spark higher-order-function fold — ZERO Python in the exact
+    stage. Works on open or closed rings (the wrap edge of a closed
+    ring is zero-length and never straddles). Division is guarded by
+    the straddle test (nested CASE; straddle implies y2 != y1), so it
+    is ANSI-safe.
+
+    Trade vs the Arrow broadcast-dict UDF: the fold is evaluated by
+    Spark's interpreted HOF path per candidate row (O(ring vertices)
+    each), while the UDF pays Arrow transfer + numpy vectorized
+    kernel. Small rings (<~100 vertices) favor this form; huge rings
+    favor the dict UDF. Single-ring rows only — multi-part/hole
+    layers stay on the Arrow path."""
+    n = f"size({xs})"
+    y2 = f"(element_at({ys}, i) - {lat})"
+    y1 = f"(element_at({ys}, 1 + i % {n}) - {lat})"
+    x2 = f"(element_at({xs}, i) - {lon})"
+    x1 = f"(element_at({xs}, 1 + i % {n}) - {lon})"
+    straddle = f"(({y1} > 0D AND {y2} <= 0D) OR ({y2} > 0D AND {y1} <= 0D))"
+    inter = f"(({x1} * {y2} - {x2} * {y1}) / ({y2} - {y1}))"
+    toggle = (f"CASE WHEN {straddle} THEN "
+              f"(CASE WHEN {inter} > 0D THEN true ELSE false END) "
+              f"ELSE false END")
+    return F.expr(
+        f"aggregate(sequence(1, {n}), false, "
+        f"(acc, i) -> CASE WHEN {toggle} THEN NOT acc ELSE acc END)"
+    )
+
+
 def spatial_join_points_in_polygons(
     points: DataFrame,
     cover: DataFrame,
@@ -531,7 +562,14 @@ def spatial_join_points_in_polygons(
     """
     pts = assign_cell(points, lon, lat, res)
 
-    if strategy == "shuffle":
+    if strategy == "jvm":
+        # zero-Python exact stage: the OGR crossing rule as a
+        # higher-order-function fold over the ring arrays carried by
+        # the broadcast join — see pip_hof_condition for when this
+        # beats the Arrow path
+        cov = cover
+        pip_pred = pip_hof_condition(lon, lat, "xs", "ys")
+    elif strategy == "shuffle":
         cov = cover
         pip_pred = _pip_udf(
             F.col(lon), F.col(lat), F.col("poly_id"), F.col("xs"), F.col("ys")

@@ -93,3 +93,24 @@ def test_span_sequence_preserved_through_join(spark):
     assert after  # join is non-empty
     for k, v in after.items():
         assert before[k] == v
+
+
+def test_jvm_hof_strategy_matches_arrow_paths(spark):
+    from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+    from gdal_spark.sources import docs as D
+    from gdal_spark.sources import polygons
+
+    pts = D.synth_docs(spark, 20000).select("doc_id", "doc_index", "lon", "lat")
+    cov = polygons.countries64_cover(spark, res=5)
+    got = {}
+    for st in ("broadcast", "shuffle", "jvm"):
+        got[st] = set(map(tuple, spatial_join_points_in_polygons(
+            pts, cov, res=5, strategy=st, keep_point_cols=["doc_index"])
+            .select("doc_index", "poly_id").collect()))
+    assert got["jvm"] == got["broadcast"] == got["shuffle"]
+    assert len(got["jvm"]) > 0
+    # and the jvm plan is entirely Python-free
+    plan = spatial_join_points_in_polygons(
+        pts, cov, res=5, strategy="jvm", keep_point_cols=["doc_index"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
