@@ -353,3 +353,89 @@ def st_distance_rings_expr(axs: str, ays: str, bxs: str, bys: str) -> Column:
         f"array_min(flatten(transform(sequence(1, {na}), i -> "
         f"transform(sequence(1, {nb}), j -> {dij}))))"
     )
+
+
+def line_locate_point_expr(xs: str, ys: str, px: str, py: str) -> Column:
+    """ogrlineref --get-pos semantics (apps/ogrlineref.cpp; the
+    GetPosition operation projects the point onto the line and reports
+    the distance along it): measure m of the closest point of the
+    polyline to (px, py) — per edge the clamped-projection foot (the
+    same formula as st_distance_rings_expr), argmin over edges by
+    (squared distance, edge index), measure = cumulative length before
+    the edge + t * edge length. Pure HOF fold, no Python."""
+    n = f"size({xs})"
+    x0, y0 = f"element_at({xs}, i)", f"element_at({ys}, i)"
+    x1, y1 = f"element_at({xs}, i + 1)", f"element_at({ys}, i + 1)"
+    dx, dy = f"({x1} - {x0})", f"({y1} - {y0})"
+    l2 = f"({dx}*{dx} + {dy}*{dy})"
+    t = (f"coalesce(greatest(0D, least(1D, "
+         f"((({px}) - {x0}) * {dx} + (({py}) - {y0}) * {dy})"
+         f" / nullif({l2}, 0D))), 0D)")
+    ex = f"(({px}) - ({x0} + {t} * {dx}))"
+    ey = f"(({py}) - ({y0} + {t} * {dy}))"
+    d2 = f"({ex}*{ex} + {ey}*{ey})"
+    # prefix length before edge i. NB: Spark's sequence(1, 0) is
+    # DESCENDING [1, 0], so the i = 1 case must short-circuit
+    pre = (f"if(i = 1, 0D, aggregate(sequence(1, i - 1), 0D, (a, j) -> a + "
+           f"sqrt((element_at({xs}, j + 1) - element_at({xs}, j)) * "
+           f"(element_at({xs}, j + 1) - element_at({xs}, j)) + "
+           f"(element_at({ys}, j + 1) - element_at({ys}, j)) * "
+           f"(element_at({ys}, j + 1) - element_at({ys}, j)))))")
+    m_at = f"({pre} + {t} * sqrt({l2}))"
+    # argmin fold: acc = (best_d2, best_m); strict < keeps the FIRST
+    # minimal edge (ogrlineref scans in order)
+    return F.expr(
+        f"aggregate(sequence(1, {n} - 1), "
+        f"named_struct('d', CAST('Infinity' AS DOUBLE), 'm', 0D), "
+        f"(acc, i) -> if({d2} < acc.d, named_struct('d', {d2}, 'm', {m_at}), acc)"
+        f").m")
+
+
+def line_substring_exprs(xs: str, ys: str, m0: str, m1: str):
+    """ogrlineref --get-subline: the sub-polyline between measures
+    m0 < m1 (clamped to [0, total length]) — interpolated endpoints
+    plus every original vertex whose cumulative measure lies strictly
+    between. Returns (sub_xs, sub_ys) array columns. Pure HOFs: one
+    prefix-length fold, then a filter + transform per boundary."""
+    n = f"size({xs})"
+    # cums[k] = length of the first k edges, k = 0..n-1 (array built
+    # by an array-accumulating fold — n is small analytics geometry)
+    cums = (f"aggregate(sequence(1, {n} - 1), array(0D), (a, j) -> "
+            f"array_append(a, element_at(a, -1) + "
+            f"sqrt((element_at({xs}, j + 1) - element_at({xs}, j)) * "
+            f"(element_at({xs}, j + 1) - element_at({xs}, j)) + "
+            f"(element_at({ys}, j + 1) - element_at({ys}, j)) * "
+            f"(element_at({ys}, j + 1) - element_at({ys}, j)))))")
+
+    def interp(m: str, c: str) -> str:
+        # point at measure m: find edge i with cums[i] <= m <= cums[i+1]
+        # (last such i via fold), lerp inside it
+        i = (f"aggregate(sequence(1, {n} - 1), 1, (a, j) -> "
+             f"if(element_at(_lrc, j) <= ({m}), j, a))")
+        den = f"nullif(element_at(_lrc, {i} + 1) - element_at(_lrc, {i}), 0D)"
+        tt = f"coalesce((({m}) - element_at(_lrc, {i})) / {den}, 0D)"
+        return (f"element_at({c}, {i}) + {tt} * "
+                f"(element_at({c}, {i} + 1) - element_at({c}, {i}))")
+
+    # same descending-sequence guard for 2-vertex lines (n - 1 < 2)
+    mids = (f"filter(if({n} < 3, array(), sequence(2, {n} - 1)), j -> "
+            f"element_at(_lrc, j) > ({m0}) AND element_at(_lrc, j) < ({m1}))")
+    sub_x = (f"concat(array({interp(m0, xs)}), "
+             f"transform({mids}, j -> element_at({xs}, j)), "
+             f"array({interp(m1, xs)}))")
+    sub_y = (f"concat(array({interp(m0, ys)}), "
+             f"transform({mids}, j -> element_at({ys}, j)), "
+             f"array({interp(m1, ys)}))")
+    return F.expr(cums), F.expr(sub_x), F.expr(sub_y)
+
+
+def line_substring_cols(df: DataFrame, m0: str, m1: str,
+                        xs: str = "xs", ys: str = "ys",
+                        out_xs: str = "sub_xs",
+                        out_ys: str = "sub_ys") -> DataFrame:
+    """DataFrame form: adds (out_xs, out_ys) sub-polyline arrays; the
+    prefix-length array is materialized once in its own projection so
+    the boundary interpolations don't re-inline the fold."""
+    cums, sx, sy = line_substring_exprs(xs, ys, m0, m1)
+    return (df.withColumn("_lrc", cums)
+            .withColumn(out_xs, sx).withColumn(out_ys, sy).drop("_lrc"))

@@ -4446,7 +4446,39 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(bx0, bx0 + wb, bx0 + wb, bx0).alias("dbxs"),
         F.array(by0, by0, by0 + hb, by0 + hb).alias("dbys"),
     )
+    # ogrlineref fixture: L-shaped polyline (horizontal then vertical
+    # edge); a probe point above the first edge (measure = its
+    # projection), and a substring between measures inside edge 1 and
+    # edge 2. The oracle replays the identical float op order
+    # (sqrt(x*x) == |x| exactly, so the engine's cum-length array
+    # equals the closed forms bitwise).
+    lx0 = F.lit(-150.0) + F.lit(280.0) * docs.hash01_col(i, 141)
+    ly0 = F.lit(-60.0) + F.lit(100.0) * docs.hash01_col(i, 142)
+    lw = F.lit(8.0) + F.lit(4.0) * docs.hash01_col(i, 143)
+    lh = F.lit(6.0) + F.lit(3.0) * docs.hash01_col(i, 144)
+    fpx = F.lit(0.1) + F.lit(0.5) * docs.hash01_col(i, 145)
+    fm0 = F.lit(0.1) + F.lit(0.3) * docs.hash01_col(i, 146)
+    fm1 = F.lit(0.2) + F.lit(0.5) * docs.hash01_col(i, 147)
+    d = d.join(
+        s.select(
+            i.alias("id"),
+            F.array(lx0, lx0 + lw, lx0 + lw).alias("lxs"),
+            F.array(ly0, ly0, ly0 + lh).alias("lys"),
+            (lx0 + fpx * lw).alias("_lpx"),
+            (ly0 + F.lit(2.0)).alias("_lpy"),
+            (fm0 * lw).alias("_lm0"),
+            (lw + fm1 * lh).alias("_lm1"),
+        ), "id")
     h = G.point_on_surface_cols(G.convex_hull_cols(d), "uxs", "uys")
+    h = h.withColumn("m_loc", G.line_locate_point_expr(
+        "lxs", "lys", "_lpx", "_lpy"))
+    h = G.line_substring_cols(h, "_lm0", "_lm1", xs="lxs", ys="lys")
+    sub_len = F.expr(
+        "aggregate(sequence(1, size(sub_xs) - 1), 0D, (a, i) -> a + "
+        "sqrt((element_at(sub_xs, i + 1) - element_at(sub_xs, i)) * "
+        "(element_at(sub_xs, i + 1) - element_at(sub_xs, i)) + "
+        "(element_at(sub_ys, i + 1) - element_at(sub_ys, i)) * "
+        "(element_at(sub_ys, i + 1) - element_at(sub_ys, i))))")
     # WKT ROUNDTRIP (ST_AsText -> ST_GeomFromText): render the U ring
     # at the pinned %.6f, parse it back with the pure-JVM parser, and
     # re-derive vertex count + shoelace area from the PARSED arrays —
@@ -4475,6 +4507,9 @@ def q_geometry_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("parse_area", 6).alias("parse_area"),
         F.round(G.st_distance_rings_expr("daxs", "days", "dbxs", "dbys"), 9)
         .alias("dist_ab"),
+        F.round("m_loc", 9).alias("m_loc"),
+        F.size("sub_xs").alias("sub_nv"),
+        F.round(sub_len, 9).alias("sub_len"),
     )
 
 
@@ -4511,8 +4546,36 @@ WITH k AS (
          2.0 + 2.0 * ({hx(133)}) AS dwa,
          2.0 + 2.0 * ({hx(134)}) AS dha,
          1.0 + 3.0 * ({hx(135)}) AS dgx,
-         1.0 + 3.0 * ({hx(136)}) AS dgy
+         1.0 + 3.0 * ({hx(136)}) AS dgy,
+         -150.0 + 280.0 * ({hx(141)}) AS lx0,
+         -60.0 + 100.0 * ({hx(142)}) AS ly0,
+         8.0 + 4.0 * ({hx(143)}) AS lwid,
+         6.0 + 3.0 * ({hx(144)}) AS lhgt,
+         0.1 + 0.5 * ({hx(145)}) AS fpx,
+         0.1 + 0.3 * ({hx(146)}) AS fm0,
+         0.2 + 0.5 * ({hx(147)}) AS fm1
   FROM supplier
+),
+lref AS (
+  -- bit-exact replay of the engine's lineref arithmetic on the
+  -- L-polyline: dxe/dy2 are the engine's fl-computed edge deltas;
+  -- sqrt(x*x) == |x| makes the cum-length array equal these forms
+  SELECT id,
+         (lx0 + lwid) - lx0 AS dxe,
+         (ly0 + lhgt) - ly0 AS dy2,
+         lx0 + fpx * lwid AS lpx,
+         fm0 * lwid AS lm0,
+         lwid + fm1 * lhgt AS lm1,
+         lx0, ly0, lwid, lhgt
+  FROM k
+),
+lref2 AS (
+  SELECT id,
+         (((lpx - lx0) * dxe) / (dxe * dxe)) * dxe AS m_loc_raw,
+         lx0 + (lm0 / dxe) * dxe AS sx,
+         ly0 + (((lm1 - dxe) / ((dxe + dy2) - dxe)) * dy2) AS ey,
+         lx0, ly0, lwid
+  FROM lref
 ),
 r AS (SELECT id, cx, cy, rx, ry, ux0, uy0, uh, a1, ub,
       dax0 + dwa AS daxr, day0 + dha AS dayt,
@@ -4543,8 +4606,11 @@ SELECT id,
            pxs[i] * pys[1 + i % len(pxs)] - pxs[1 + i % len(pxs)] * pys[i])),
          (a, b) -> a + b)) / 2, 6) AS parse_area,
        round(sqrt((daxr - dbx0) * (daxr - dbx0)
-                  + (dayt - dby0) * (dayt - dby0)), 9) AS dist_ab
-FROM r
+                  + (dayt - dby0) * (dayt - dby0)), 9) AS dist_ab,
+       round(l2.m_loc_raw, 9) AS m_loc,
+       3 AS sub_nv,
+       round(((l2.lx0 + l2.lwid) - l2.sx) + (l2.ey - l2.ly0), 9) AS sub_len
+FROM r JOIN lref2 l2 USING (id)
 """
 
 

@@ -138,3 +138,29 @@ def test_st_distance_rings_cases(spark):
     r2 = df2.select(G.st_distance_rings_expr(
         "axs", "ays", "bxs", "bys").alias("d")).collect()[0]
     assert r2["d"] == 0.0
+
+
+def test_line_locate_and_substring(spark):
+    # L-shaped polyline: (0,0)->(10,0)->(10,5); total length 15
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0, 10.0], [0.0, 0.0, 5.0])],
+        "id bigint, xs array<double>, ys array<double>")
+    # point above the first edge at x=4 -> measure 4
+    m = df.select(G.line_locate_point_expr(
+        "xs", "ys", "4.0D", "2.0D").alias("m")).collect()[0]["m"]
+    assert m == 4.0
+    # point right of the second edge at y=3 -> measure 10 + 3
+    m2 = df.select(G.line_locate_point_expr(
+        "xs", "ys", "12.0D", "3.0D").alias("m")).collect()[0]["m"]
+    assert m2 == 13.0
+    # beyond the end -> clamps to the last vertex (measure 15)
+    m3 = df.select(G.line_locate_point_expr(
+        "xs", "ys", "20.0D", "20.0D").alias("m")).collect()[0]["m"]
+    assert m3 == 15.0
+    # substring m in [4, 13]: (4,0) .. corner (10,0) .. (10,3)
+    r = G.line_substring_cols(df, "4.0D", "13.0D").collect()[0]
+    assert r["sub_xs"] == [4.0, 10.0, 10.0]
+    assert r["sub_ys"] == [0.0, 0.0, 3.0]
+    # substring inside one edge: no interior vertices
+    r2 = G.line_substring_cols(df, "1.0D", "2.5D").collect()[0]
+    assert r2["sub_xs"] == [1.0, 2.5] and r2["sub_ys"] == [0.0, 0.0]
