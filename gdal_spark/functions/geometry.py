@@ -439,3 +439,30 @@ def line_substring_cols(df: DataFrame, m0: str, m1: str,
     cums, sx, sy = line_substring_exprs(xs, ys, m0, m1)
     return (df.withColumn("_lrc", cums)
             .withColumn(out_xs, sx).withColumn(out_ys, sy).drop("_lrc"))
+
+
+def line_points_at_step_cols(df: DataFrame, step: str,
+                             xs: str = "xs", ys: str = "ys",
+                             out: str = "marks") -> DataFrame:
+    """ogrlineref --create: reference marks along the line every
+    `step` units of measure (0, step, 2*step, ... <= total length).
+    Adds `out` = array<struct<m, x, y>>. Same interp machinery as
+    line_substring_cols; pure HOFs."""
+    cums, _, _ = line_substring_exprs(xs, ys, "0D", "0D")
+    d = df.withColumn("_lrc", cums)
+    n = f"size({xs})"
+    i_of = (f"aggregate(sequence(1, {n} - 1), 1, (a, j) -> "
+            f"if(element_at(_lrc, j) <= m, j, a))")
+    den = f"nullif(element_at(_lrc, {i_of} + 1) - element_at(_lrc, {i_of}), 0D)"
+    tt = f"coalesce((m - element_at(_lrc, {i_of})) / {den}, 0D)"
+
+    def at(c: str) -> str:
+        return (f"element_at({c}, {i_of}) + {tt} * "
+                f"(element_at({c}, {i_of} + 1) - element_at({c}, {i_of}))")
+
+    marks = (
+        f"transform(sequence(0, CAST(floor(element_at(_lrc, -1) / ({step})) AS INT)), "
+        f"k -> (CAST(k AS DOUBLE) * ({step}))) ")
+    d = d.withColumn(out, F.expr(
+        f"transform({marks}, m -> named_struct('m', m, 'x', {at(xs)}, 'y', {at(ys)}))"))
+    return d.drop("_lrc")

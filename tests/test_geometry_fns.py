@@ -164,3 +164,14 @@ def test_line_locate_and_substring(spark):
     # substring inside one edge: no interior vertices
     r2 = G.line_substring_cols(df, "1.0D", "2.5D").collect()[0]
     assert r2["sub_xs"] == [1.0, 2.5] and r2["sub_ys"] == [0.0, 0.0]
+
+
+def test_line_points_at_step(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0, 10.0], [0.0, 0.0, 5.0])],
+        "id bigint, xs array<double>, ys array<double>")
+    r = G.line_points_at_step_cols(df, "4.0D").collect()[0]["marks"]
+    got = [(p["m"], p["x"], p["y"]) for p in r]
+    # total length 15: marks at 0, 4, 8, 12 (12 -> 2 up the vertical)
+    assert got == [(0.0, 0.0, 0.0), (4.0, 4.0, 0.0),
+                   (8.0, 8.0, 0.0), (12.0, 10.0, 2.0)]
