@@ -28,9 +28,16 @@ crosses to each executor ONCE. With real layers (10^4-10^5 vertices
 per ring) x millions of candidates per cell, rings-as-columns would
 multiply the UDF input volume by orders of magnitude; the broadcast
 dict makes exact-stage transfer 8 bytes/row regardless of polygon
-complexity. The 'shuffle' strategy (cover too big to broadcast at
-all) keeps the rings-in-row form — there a driver-side dict is the
-thing that doesn't scale.
+complexity. When the cover is too big to broadcast at all (10^8
+polygons — exactly the regime where a driver dict is impossible),
+the 'grouped' strategy (= 'shuffle' since r4) ships each ring ONCE
+PER (cell, poly_id) GROUP via a cogrouped applyInPandas: candidates
+shuffle at 24 B + keep-cols per row, rings ride the cogroup's other
+side one copy per group, and the exact stage zips them
+executor-side. The old rings-in-row form ('rowrings') is kept only
+as the measured ablation control (tools/bench_isolated.py):
+64 KiB/candidate at 4096 vertices, 6-30x slower — the cliff the
+grouped form removes.
 
 The 3-stage short-circuit order (bbox reject → envelope accept → exact)
 is preserved: envelope compare happens before the pandas UDF, and the
@@ -233,7 +240,48 @@ def spatial_join_wkb(
     have, ogr/ogr_core.h:405-443 wkbMultiPolygon)."""
     pts = decode_point_cols(points, geom)
     pts = assign_cell(pts, "lon", "lat", res)
-    if strategy == "shuffle":
+    if strategy in ("shuffle", "grouped"):
+        # no-broadcast regime: WKB ships once per (cell, poly_id)
+        # cogroup, decoded once per group executor-side — same scale
+        # shape as _grouped_shuffle_pip
+        from ..kernels import wkb as wkb_mod
+        from ..kernels.pip import point_in_polygon
+
+        keep = keep_point_cols or [c for c in points.columns if c != geom]
+        env = (
+            (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+            & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
+        )
+        carry = list(dict.fromkeys(keep + ["lon", "lat"]))
+        cand = (
+            pts.join(cover.drop("wkb"), "cell").filter(env)
+            .select(*carry, "cell", "poly_id")
+        )
+        geoms = cover.select(
+            F.col("cell").alias("r_cell"),
+            F.col("poly_id").alias("r_poly_id"), "wkb",
+        )
+        out_cols = list(dict.fromkeys(keep + ["poly_id"]))
+        cand_schema = {f.name: f for f in cand.schema.fields}
+        out_schema = T.StructType([cand_schema[c] for c in out_cols])
+
+        def exact(key, cand_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cand_pdf.empty or geom_pdf.empty:
+                return cand_pdf.iloc[0:0].reindex(columns=out_cols)
+            polys = wkb_mod.decode_multipolygon(bytes(geom_pdf["wkb"].iloc[0]))
+            xv = cand_pdf["lon"].to_numpy(dtype=np.float64)
+            yv = cand_pdf["lat"].to_numpy(dtype=np.float64)
+            hit = np.zeros(len(cand_pdf), dtype=bool)
+            for rings in polys:
+                hit |= point_in_polygon(xv, yv, rings)
+            return cand_pdf.loc[hit, out_cols]
+
+        return (
+            cand.groupBy("cell", "poly_id")
+            .cogroup(geoms.groupBy("r_cell", "r_poly_id"))
+            .applyInPandas(exact, out_schema)
+        )
+    if strategy == "rowrings":
         joined = pts.join(cover, "cell")
         pip_pred = _pip_wkb_udf(
             F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("wkb")
@@ -539,6 +587,83 @@ def pip_hof_condition(lon: str, lat: str, xs: str, ys: str):
     )
 
 
+def _grouped_shuffle_pip(
+    pts: DataFrame,
+    cover: DataFrame,
+    *,
+    lon: str,
+    lat: str,
+    keep: list[str],
+    keep_poly: list[str],
+) -> DataFrame:
+    """Exact PIP stage for the no-broadcast regime: ship each ring
+    ONCE PER (cell, poly_id) GROUP instead of once per candidate row.
+
+    Plan: cell equi-join against the ring-free cover (cell, poly_id,
+    envelope) -> JVM envelope short-circuit -> cogroup candidates with
+    the ring table on (cell, poly_id) -> one vectorized ray-cast per
+    group (ogrlinearring.cpp:503-531 crossing rule, identical math to
+    the broadcast-dict arm).
+
+    Shuffle volume: candidates at 24 B + keep-cols each (the same
+    24 B/row the broadcast-dict arm ships through Arrow), plus ONE
+    ring copy per (cell, poly_id) — vs 2*8*V bytes PER CANDIDATE in
+    the rings-in-row form. At 10^8 polygons (broadcast impossible)
+    this is the path that runs; group size is bounded by cell
+    granularity, so AQE-visible and salt-able like any equi-join."""
+    from ..kernels.pip import point_in_ring
+
+    cov_cols = ["cell", "poly_id", "minx", "miny", "maxx", "maxy"] + [
+        c for c in keep_poly if c not in ("cell", "poly_id", "minx", "miny",
+                                          "maxx", "maxy", "xs", "ys")
+    ]
+    cov_lite = cover.select(*dict.fromkeys(cov_cols))
+    env = (
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy"))
+    )
+    carry = list(dict.fromkeys(
+        keep + [lon, lat] + [c for c in keep_poly if c != "poly_id"]
+    ))
+    cand = (
+        pts.join(cov_lite, "cell").filter(env)
+        .select(*carry, F.col("cell"), F.col("poly_id"))
+    )
+    # fresh names on the ring side: cand's poly_id descends from the
+    # same cover plan, and cogroup rejects the ambiguous attribute
+    rings = cover.select(
+        F.col("cell").alias("r_cell"), F.col("poly_id").alias("r_poly_id"),
+        "xs", "ys",
+    )
+
+    out_cols = list(dict.fromkeys(keep + keep_poly))
+    cand_schema = {f.name: f for f in cand.schema.fields}
+    out_schema = T.StructType([
+        cand_schema[c] if c in cand_schema else T.StructField(c, T.LongType())
+        for c in out_cols
+    ])
+
+    def exact(key, cand_pdf: pd.DataFrame, ring_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or ring_pdf.empty:
+            return cand_pdf.iloc[0:0].reindex(columns=out_cols)
+        ring = np.column_stack([
+            np.asarray(ring_pdf["xs"].iloc[0], dtype=np.float64),
+            np.asarray(ring_pdf["ys"].iloc[0], dtype=np.float64),
+        ])
+        mask = point_in_ring(
+            cand_pdf[lon].to_numpy(dtype=np.float64),
+            cand_pdf[lat].to_numpy(dtype=np.float64),
+            ring,
+        )
+        return cand_pdf.loc[mask, out_cols]
+
+    return (
+        cand.groupBy("cell", "poly_id")
+        .cogroup(rings.groupBy("r_cell", "r_poly_id"))
+        .applyInPandas(exact, out_schema)
+    )
+
+
 def spatial_join_points_in_polygons(
     points: DataFrame,
     cover: DataFrame,
@@ -562,6 +687,15 @@ def spatial_join_points_in_polygons(
     """
     pts = assign_cell(points, lon, lat, res)
 
+    if strategy in ("shuffle", "grouped"):
+        # no-broadcast regime: grouped-shuffle exact stage (ring ships
+        # once per (cell, poly_id) group — see _grouped_shuffle_pip)
+        keep = keep_point_cols or [c for c in points.columns]
+        keep_poly = keep_poly_cols or ["poly_id"]
+        return _grouped_shuffle_pip(
+            pts, cover, lon=lon, lat=lat, keep=keep, keep_poly=keep_poly
+        )
+
     if strategy == "jvm":
         # zero-Python exact stage: the OGR crossing rule as a
         # higher-order-function fold over the ring arrays carried by
@@ -569,7 +703,10 @@ def spatial_join_points_in_polygons(
         # beats the Arrow path
         cov = cover
         pip_pred = pip_hof_condition(lon, lat, "xs", "ys")
-    elif strategy == "shuffle":
+    elif strategy == "rowrings":
+        # ablation control ONLY (tools/bench_isolated.py): rings-in-row
+        # exact stage — 2*8*V bytes per candidate through Arrow. This
+        # is the measured cliff the grouped strategy replaces.
         cov = cover
         pip_pred = _pip_udf(
             F.col(lon), F.col(lat), F.col("poly_id"), F.col("xs"), F.col("ys")
@@ -598,7 +735,7 @@ def spatial_join_points_in_polygons(
             ),
         )
         joined = pts.join(F.broadcast(salted_cov), ["cell", "salt"])
-    elif strategy == "shuffle":
+    elif strategy == "rowrings":
         joined = pts.join(cov, "cell")
     else:
         joined = pts.join(F.broadcast(cov), "cell")

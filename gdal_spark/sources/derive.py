@@ -240,13 +240,17 @@ SELECT pid_ AS {id_col}, p AS poly_id FROM crossings WHERE c % 2 = 1
 
 
 def pip_join_sql(points_cte: str, id_col: str = "id", x_col: str = "x",
-                 y_col: str = "y", skew: bool = False) -> str:
+                 y_col: str = "y", skew: bool = False,
+                 nv_override: int | None = None) -> str:
     """DuckDB SQL computing the exact spatial join (point-in-polygon) of
     derived points vs countries64 with the REFERENCE crossing rule
     (ogrlinearring.cpp:503-531): bbox prefilter, then per-edge straddle
     test ((y1>0 & y2<=0)|(y2>0 & y1<=0)) and strict 0 < cross/(y2-y1).
     skew=True inflates polygon 0 by SKEW_FACTOR about its cell center
     with the world clip — the FIXTURES F3 hot-polygon case.
+    nv_override replays the dense fixture (countries64_dense_cover):
+    every ring resampled at exactly nv_override vertices, same
+    cx + rx*cos(phase + 2*pi*j/nv) op sequence.
     Returns rows ({id_col}, poly_id)."""
     if skew:
         eff = f"""
@@ -258,10 +262,15 @@ FROM ({polygons_sql_cte()})"""
         eff = polygons_sql_cte()
     # vertex coords, clipped to the world box (identity for unskewed
     # polygons — their vertices never reach the clip bounds)
+    nv_sql = "CAST(nv AS DOUBLE)" if nv_override is None else (
+        f"CAST({nv_override} AS DOUBLE)")
+    nv_mod = "nv" if nv_override is None else str(nv_override)
+    range_n = 12 if nv_override is None else nv_override
+    edge_filter = " WHERE e.range < cand.nv" if nv_override is None else ""
     vx = (lambda idx: f"least(greatest(cx + rx*cos(phase + 2*pi()*CAST({idx} AS DOUBLE)"
-          f"/CAST(nv AS DOUBLE)), -{SKEW_CLIP_X}), {SKEW_CLIP_X})")
+          f"/{nv_sql}), -{SKEW_CLIP_X}), {SKEW_CLIP_X})")
     vy = (lambda idx: f"least(greatest(cy + ry*sin(phase + 2*pi()*CAST({idx} AS DOUBLE)"
-          f"/CAST(nv AS DOUBLE)), -{SKEW_CLIP_Y}), {SKEW_CLIP_Y})")
+          f"/{nv_sql}), -{SKEW_CLIP_Y}), {SKEW_CLIP_Y})")
     return f"""
 WITH pts AS ({points_cte}),
 polys AS ({eff}),
@@ -276,9 +285,9 @@ edges AS (
   SELECT cand.*, CAST(e.range AS BIGINT) AS j,
     {vx("e.range")} - px_ AS x2,
     {vy("e.range")} - py_ AS y2,
-    {vx("(e.range+1)%nv")} - px_ AS x1,
-    {vy("(e.range+1)%nv")} - py_ AS y1
-  FROM cand CROSS JOIN range(12) e WHERE e.range < cand.nv
+    {vx(f"(e.range+1)%{nv_mod}")} - px_ AS x1,
+    {vy(f"(e.range+1)%{nv_mod}")} - py_ AS y1
+  FROM cand CROSS JOIN range({range_n}) e{edge_filter}
 ),
 crossings AS (
   SELECT pid_, p,

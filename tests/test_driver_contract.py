@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SUBSET = ["tile_assign_suite", "spatial_join", "ogr_summary", "text_suite", "similarity_topk"]
+SUBSET = ["tile_assign_suite", "spatial_join", "spatial_join_bigring",
+          "ogr_summary", "text_suite", "similarity_topk"]
 
 
 @pytest.fixture(scope="module")

@@ -9,6 +9,7 @@ every join strategy.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from gdal_spark.kernels.pip import point_in_ring
@@ -93,6 +94,39 @@ def test_span_sequence_preserved_through_join(spark):
     assert after  # join is non-empty
     for k, v in after.items():
         assert before[k] == v
+
+
+def test_wkb_grouped_shuffle_matches_broadcast_dict(spark):
+    """The no-broadcast WKB path (rings cogrouped once per
+    (cell, poly_id)) must equal the broadcast-dict path on the
+    multipolygon-with-holes fixture."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark.kernels import wkb as wkb_mod
+    from gdal_spark.operators.spatial_join import spatial_join_wkb
+    from gdal_spark.sources import docs as D
+    from gdal_spark.sources import polygons as P
+
+    pts = D.synth_docs(spark, 4000).select("doc_index", "lon", "lat")
+
+    @F.pandas_udf("binary")
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(wkb_mod.encode_points(
+            lon.to_numpy(dtype=np.float64), lat.to_numpy(dtype=np.float64)))
+
+    wkb_pts = pts.select("doc_index", _enc("lon", "lat").alias("geom"))
+    cov = P.countries64_mp_cover(spark, res=6)
+    got = {}
+    for st in ("broadcast", "shuffle"):
+        got[st] = sorted(
+            (int(r["doc_index"]), int(r["poly_id"]))
+            for r in spatial_join_wkb(
+                wkb_pts, cov, res=6, strategy=st,
+                keep_point_cols=["doc_index"]).collect()
+        )
+    assert got["shuffle"] == got["broadcast"]
+    assert len(got["broadcast"]) > 100
 
 
 def test_jvm_hof_strategy_matches_arrow_paths(spark):
