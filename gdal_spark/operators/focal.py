@@ -425,7 +425,9 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
     to be ADDED at the pixel to become visible (0 when visible);
     'DEM' -> dem_min column = minimum absolute (adjusted) elevation
     at the pixel that is visible. Both derive from the same max ray
-    slope; chebyshev<2 pixels are always visible (req 0 / own z)."""
+    slope; chebyshev<2 pixels are always visible (req 0, dem_min =
+    own raw z). Non-NORMAL outputs are clamped at max(0, .) like the
+    reference (viewshed_executor.cpp:184-186)."""
     import math
 
     import pandas as pd
@@ -579,10 +581,14 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
                 req[far] = np.maximum(0.0, dem_far - zp[far])
             out["ground_req"] = req
         elif mode == "DEM":
-            demv = np.full(len(gx), np.nan)
+            # near pixels (chebyshev < 2) report their own raw z: the
+            # reference's setOutput(result, cell, dfZ=cell) leaves the
+            # DEM base value untouched (viewshed_executor.cpp:406,443)
+            demv = zp.astype(np.float64).copy()
             if far.any():
                 demv[far] = dem_far
-            out["dem_min"] = demv
+            # non-NORMAL outputs clamp at 0 (viewshed_executor.cpp:184-186)
+            out["dem_min"] = np.maximum(demv, 0.0)
         return pd.DataFrame(out)
 
     return both.groupBy("sector").applyInPandas(lambda p: run(p), out_schema)
@@ -923,8 +929,14 @@ def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
     num = F.expr(f"aggregate(pts, 0D, (a, s) -> a + s._v / {d2p})")
     den = F.expr(f"aggregate(pts, 0D, (a, s) -> a + 1.0 / {d2p})")
     val = num / den
-    if smoothing == 0.0:
-        exact = F.expr("filter(pts, s -> s._d2 = 0D)")
+    # reference singularity guard (alg/gdalgrid.cpp:162,288): use the
+    # point value directly when the SMOOTHED squared distance is under
+    # 1e-13 — not only on a bit-exact node hit. d2 + s^2 < 1e-13
+    # rewritten as d2 < 1e-13 - s^2 (never fires once s^2 >= 1e-13,
+    # exactly like the reference).
+    thr = 1e-13 - float(smoothing) * float(smoothing)
+    if thr > 0.0:
+        exact = F.expr(f"filter(pts, s -> s._d2 < {thr!r})")
         val = F.when(F.size(exact) > 0,
                      F.element_at(exact, 1)["_v"].cast("double")).otherwise(val)
     return agg.select("i", "j", val.alias("value"))

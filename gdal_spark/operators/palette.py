@@ -184,15 +184,25 @@ def dither_rgb2pct(df: DataFrame, palette: list[tuple[int, int, int]], *,
                    img_col: str = "img_id", x_col: str = "px",
                    y_col: str = "py", r_col: str = "r", g_col: str = "g",
                    b_col: str = "b") -> DataFrame:
-    """GDALDitherRGB2PCT (alg/gdaldither.cpp): error-diffusion
-    quantization to a color table. Per pixel, scanning rows top-down
-    and left-to-right: add the accumulated integer error per channel,
-    clamp to 0..255, pick the nearest palette entry (squared-RGB
-    distance, lowest index on ties — the same rule as
-    assign_expr_spark), then distribute the per-channel error with the
-    reference's kernel: 3/8 to the right neighbor, 3/8 to the pixel
-    below, 2/8 to the pixel below-right, each with C truncating
-    integer division ((err*3)/8, (err*2)/8 toward zero).
+    """GDALDitherRGB2PCT (alg/gdaldither.cpp:375-558): Floyd-Steinberg-
+    style error-diffusion quantization to a color table, replayed with
+    the reference's EXACT integer kernel. Scanning rows top-down and
+    pixels left-to-right, with nSixth = nError/6 (C division truncating
+    toward zero):
+
+      right       += 2*nSixth      (applied in-line, clamped on read)
+      below-left  += nSixth        (panError[i*3],   gdaldither.cpp:520)
+      below       += nError - 5*nSixth  (panError[i*3+3])
+      below-right  = nSixth        (panError[i*3+6])
+
+    Clamping is two-stage, like the reference: the previous line's
+    below-error is added and clamped 0..255 FIRST (stored back as a
+    byte, gdaldither.cpp:380-390), then the in-line right error is
+    added and clamped again at pixel read (gdaldither.cpp:407-412).
+    Nearest color is the reference's FindNearestColor: LOWEST L1
+    (sum-of-absolute-differences) distance, first index wins ties
+    (gdaldither.cpp:666-683; the SSE path's _mm_sad_epu8 computes the
+    same metric).
 
     The recurrence is inherently serial WITHIN an image (like the
     reference, which streams scanlines), so the distributed shape is
@@ -213,25 +223,29 @@ def dither_rgb2pct(df: DataFrame, palette: list[tuple[int, int, int]], *,
         for c, col in enumerate((r_col, g_col, b_col)):
             img[ys - y0, xs - x0, c] = pdf[col].to_numpy()
         idx = np.zeros((h, w), dtype=np.int64)
-        err_down = np.zeros((w, 3), dtype=np.int64)
+        # panError analog: slot s is read by next-line pixel s-1, so
+        # pixel x writes slots x (below-left), x+1 (below), x+2
+        # (below-right) — w+2 slots, zeroed per line like the memset
+        below = np.zeros((w + 2, 3), dtype=np.int64)
         for y in range(h):
-            err_right = np.zeros(3, dtype=np.int64)
-            err_next_down = np.zeros((w, 3), dtype=np.int64)
+            # stage-1 clamp: previous-line error applied and stored
+            # back as a byte before any in-line error
+            line = np.clip(img[y] + below[1:w + 1], 0, 255)
+            below = np.zeros((w + 2, 3), dtype=np.int64)
+            last = np.zeros(3, dtype=np.int64)  # 2*nSixth from left
             for x in range(w):
-                v = img[y, x] + err_right + err_down[x]
-                v = np.minimum(np.maximum(v, 0), 255)
-                d2 = ((pal - v) ** 2).sum(axis=1)
-                k = int(np.argmin(d2))  # argmin takes the first min
+                # stage-2 clamp: in-line right error on read
+                v = np.clip(line[x] + last, 0, 255)
+                d1 = np.abs(pal - v).sum(axis=1)
+                k = int(np.argmin(d1))  # first min == reference's <
                 idx[y, x] = k
                 e = v - pal[k]
-                # C truncating division toward zero
-                e3 = np.fix(e * 3 / 8).astype(np.int64)
-                e2 = np.fix(e * 2 / 8).astype(np.int64)
-                err_right = e3
-                err_next_down[x] += e3
-                if x + 1 < w:
-                    err_next_down[x + 1] += e2
-            err_down = err_next_down
+                # nSixth = nError/6, C truncation toward zero
+                sixth = np.sign(e) * (np.abs(e) // 6)
+                below[x] += sixth
+                below[x + 1] += e - 5 * sixth
+                below[x + 2] = sixth  # assignment, as the reference
+                last = 2 * sixth
         out = pdf[[img_col]].iloc[:1].copy()
         rows = {
             img_col: np.repeat(out[img_col].iloc[0], h * w),

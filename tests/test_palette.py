@@ -77,12 +77,12 @@ def test_pct2rgb_roundtrip_on_palette_colors(spark):
 
 def test_dither_hand_computed_row(spark):
     # 1x4 row of mid-gray against a black/white table — the error
-    # diffusion sequence is hand-computed with the reference's
-    # 3/8-right truncating kernel:
-    # p0: 128 -> white (127^2 < 128^2), err -127, right += -47
-    # p1: 81 -> black, err 81, right += 30
-    # p2: 158 -> white, err -97, right += -36
-    # p3: 92 -> black
+    # diffusion sequence hand-computed with the reference's /6 kernel
+    # (gdaldither.cpp:516-520: right = 2*(err/6), C truncation):
+    # p0: 128 -> white (L1 381 < 384), err -127, sixth -21, right -42
+    # p1: clamp(128-42)=86 -> black, err 86, sixth 14, right 28
+    # p2: 128+28=156 -> white, err -99, sixth -16, right -32
+    # p3: 128-32=96 -> black
     from gdal_spark.operators import palette as P
 
     rows = [(7, x, 0, 128, 128, 128) for x in range(4)]
@@ -91,6 +91,64 @@ def test_dither_hand_computed_row(spark):
     out = P.dither_rgb2pct(df, [(0, 0, 0), (255, 255, 255)]) \
         .orderBy("px").collect()
     assert [r["idx"] for r in out] == [1, 0, 1, 0]
+
+
+def _dither_scalar_replay(img, pal):
+    """Independent straight-line transcription of the reference loop
+    (gdaldither.cpp:375-558): byte buffers, panError[(w+2)*3] ints,
+    per-channel scalar ops — no numpy vector shortcuts. Used as the
+    oracle for the vectorized operator."""
+    h = len(img)
+    w = len(img[0])
+    pan = [0] * ((w + 2) * 3)
+    out = [[0] * w for _ in range(h)]
+    line = [[0, 0, 0] for _ in range(w)]
+    for y in range(h):
+        for i in range(w):
+            for c in range(3):
+                line[i][c] = max(0, min(255, img[y][i][c] + pan[i * 3 + c + 3]))
+        pan = [0] * ((w + 2) * 3)
+        last = [0, 0, 0]
+        for i in range(w):
+            vals = [max(0, min(255, line[i][c] + last[c])) for c in range(3)]
+            best_d, best_k = 768, 0
+            for k, p in enumerate(pal):
+                d = (abs(vals[0] - p[0]) + abs(vals[1] - p[1])
+                     + abs(vals[2] - p[2]))
+                if d < best_d:
+                    best_d, best_k = d, k
+            out[y][i] = best_k
+            for c in range(3):
+                err = vals[c] - pal[best_k][c]
+                sixth = int(err / 6)  # python int() truncates like C
+                pan[i * 3 + c] += sixth
+                pan[i * 3 + c + 6] = sixth
+                pan[i * 3 + c + 3] += err - 5 * sixth
+                last[c] = 2 * sixth
+    return out
+
+
+def test_dither_matches_scalar_reference_replay(spark):
+    # deterministic 12x9 RGB fixture with gradients + noise, 6-color
+    # palette: the vectorized operator must match the scalar replay of
+    # the reference loop pixel-for-pixel (kernel taps, both clamp
+    # stages, and the L1 nearest rule all covered)
+    from gdal_spark.operators import palette as P
+
+    w, h = 12, 9
+    img = [[[(x * 37 + y * 91 + c * 53) % 256 for c in range(3)]
+            for x in range(w)] for y in range(h)]
+    pal = [(0, 0, 0), (255, 255, 255), (200, 30, 30), (30, 200, 30),
+           (30, 30, 200), (128, 128, 128)]
+    expected = _dither_scalar_replay(img, pal)
+    rows = [(3, x, y, *img[y][x]) for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(
+        rows, "img_id bigint, px bigint, py bigint, r bigint, g bigint, b bigint")
+    got = {(r["px"], r["py"]): r["idx"]
+           for r in P.dither_rgb2pct(df, pal).collect()}
+    for y in range(h):
+        for x in range(w):
+            assert got[(x, y)] == expected[y][x], (x, y)
 
 
 def test_dither_preserves_mean_better_than_nearest(spark):

@@ -117,8 +117,16 @@ def test_viewshed_ground_and_dem_modes(spark):
     # visible pixel in front of the wall: zero deficit
     q = (3, 4)
     assert g[q]["visible"] and g[q]["ground_req"] == 0.0
-    # GROUND deficit is always max(0, dem_min - z)
+    # near pixels (chebyshev < 2): dem_min is their own raw z, clamped
+    # at 0 like every non-NORMAL output (viewshed_executor.cpp:184-186,
+    # setOutput(result, cell, dfZ=cell) leaves the DEM base untouched)
+    assert d[(1, 4)]["dem_min"] == 0.0  # observer pixel, z=0
+    assert d[(2, 4)]["dem_min"] == 0.0  # adjacent, z=0
+    assert d[(2, 5)]["dem_min"] == 0.0  # diagonal neighbor
+    # GROUND deficit is always max(0, dem_min - z) on far pixels
     for k, rv in g.items():
+        if max(abs(k[0] - 1), abs(k[1] - 4)) < 2:
+            continue
         if d[k]["dem_min"] is not None and not np.isnan(d[k]["dem_min"]):
             z = 50.0 if k[0] == 4 else 0.0
             assert abs(rv["ground_req"] - max(0.0, d[k]["dem_min"] - z)) < 1e-9
