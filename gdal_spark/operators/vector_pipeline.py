@@ -338,10 +338,15 @@ def buffer_convex(df: DataFrame, dist, *, quadrant_segments: int = 8,
     def run(batches):
         for pdf in batches:
             oxs, oys = [], []
-            for ridx, row in pdf.iterrows():
-                vx = np.asarray(row[xs], dtype=np.float64)
-                vy = np.asarray(row[ys], dtype=np.float64)
-                d = float(row[dist_col]) if dist_col else dist_val
+            # zip over raw column arrays, not iterrows() — per-row
+            # Series construction dominates on millions of small
+            # polygons (VERDICT r3 item 3)
+            dv = (pdf[dist_col].to_numpy(dtype=np.float64) if dist_col
+                  else np.full(len(pdf), dist_val))
+            for rxs, rys, d in zip(pdf[xs], pdf[ys], dv):
+                vx = np.asarray(rxs, dtype=np.float64)
+                vy = np.asarray(rys, dtype=np.float64)
+                d = float(d)
                 if vx[0] == vx[-1] and vy[0] == vy[-1]:
                     vx, vy = vx[:-1], vy[:-1]
                 # enforce CCW
@@ -404,10 +409,13 @@ def buffer_reflex(df: DataFrame, dist, *, quadrant_segments: int = 8,
     def run(batches):
         for pdf in batches:
             oxs, oys = [], []
-            for _, row in pdf.iterrows():
-                vx = np.asarray(row[xs], dtype=np.float64)
-                vy = np.asarray(row[ys], dtype=np.float64)
-                d = float(row[dist_col]) if dist_col else dist_val
+            # zip over raw column arrays (VERDICT r3 item 3)
+            dv = (pdf[dist_col].to_numpy(dtype=np.float64) if dist_col
+                  else np.full(len(pdf), dist_val))
+            for rxs, rys, d in zip(pdf[xs], pdf[ys], dv):
+                vx = np.asarray(rxs, dtype=np.float64)
+                vy = np.asarray(rys, dtype=np.float64)
+                d = float(d)
                 if vx[0] == vx[-1] and vy[0] == vy[-1]:
                     vx, vy = vx[:-1], vy[:-1]
                 s2 = float(np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy))
