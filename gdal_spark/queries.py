@@ -1197,6 +1197,65 @@ FROM fe f JOIN utm_inv i USING (id)
 """
 
 
+SALT_OLON, SALT_OLAT = 13, 14
+
+
+def _osgb_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point layer over Britain (EPSG:27700 validity box), anchored on
+    customer keys."""
+    c = _read(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return c.select(
+        i.alias("id"),
+        (F.lit(-5.5) + F.lit(7.0) * docs.hash01_col(i, SALT_OLON)).alias("lon"),
+        (F.lit(50.2) + F.lit(7.8) * docs.hash01_col(i, SALT_OLAT)).alias("lat"),
+    )
+
+
+def _osgb_pts_cte() -> str:
+    lon = f"-5.5 + 7.0 * ({derive.hash01_sql('c_custkey', SALT_OLON)})"
+    lat = f"50.2 + 7.8 * ({derive.hash01_sql('c_custkey', SALT_OLAT)})"
+    return f"SELECT c_custkey AS id, {lon} AS lon, {lat} AS lat FROM customer"
+
+
+def q_reproject_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 -> EPSG:27700 -> 4326: the datum-SHIFTED path (Airy 1830
+    National Grid through the exact-inverse 7-param Helmert,
+    kernels.datum) — the first closed-form TOWGS84 chain (VERDICT r3
+    item 4; reference semantics ogr/ogrct.cpp:2254 via PROJ's TOWGS84
+    pipeline). mm-rounded grid coords + nano-degree round-trip; the
+    oracle replays the identical chain in SQL from shared coefficient
+    literals (incl. the constant inverse Helmert matrix)."""
+    from .operators import reproject
+
+    pts = _osgb_pts(spark, sf_dir)
+    fwd = reproject.osgb_forward_cols(pts)
+    rt = reproject.osgb_inverse_cols(fwd)
+    return rt.select(
+        "id",
+        F.round("easting", 3).alias("easting_mm"),
+        F.round("northing", 3).alias("northing_mm"),
+        F.round("lon_inv", 9).alias("lon_rt"),
+        F.round("lat_inv", 9).alias("lat_rt"),
+    )
+
+
+def sql_reproject_osgb() -> str:
+    from .kernels import datum as DT
+
+    fwd = DT.osgb_forward_sql_ctes("pts").strip()
+    inv = DT.osgb_inverse_sql_ctes("fe").strip()
+    return f"""
+WITH pts AS ({_osgb_pts_cte()}),
+{fwd},
+fe AS (SELECT id, easting, northing FROM osgb_fwd),
+{inv}
+SELECT f.id, round(f.easting, 3) AS easting_mm, round(f.northing, 3) AS northing_mm,
+       round(i.lon, 9) AS lon_rt, round(i.lat, 9) AS lat_rt
+FROM fe f JOIN osgb_inv i USING (id)
+"""
+
+
 def q_overview_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster overview build: z3 int band -> z2 by 2x2 average
     (gcore/overview.cpp semantics; exact integer sum / 4)."""
@@ -5081,14 +5140,17 @@ def sql_base_tiles_suite() -> str:
 _REPROJECT_PARTS = [
     ("merc_roundtrip", [], ["n", "n_ok"]),
     ("utm31", [], ["id", "easting_mm", "northing_mm", "lon_rt", "lat_rt"]),
+    ("osgb", [], ["id", "easting_mm", "northing_mm", "lon_rt", "lat_rt"]),
 ]
 
 
 def q_reproject_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reprojection surface in one gate row: 4326<->3857 round-trip
     error census + the Krueger-series 4326<->32631 forward/inverse
-    (the reference's own benchmark CRS pair)."""
-    subs = {"merc_roundtrip": q_reproject_roundtrip, "utm31": q_reproject_utm}
+    (the reference's own benchmark CRS pair) + the datum-shifted
+    4326<->27700 Helmert chain (r4)."""
+    subs = {"merc_roundtrip": q_reproject_roundtrip,
+            "utm31": q_reproject_utm, "osgb": q_reproject_osgb}
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
         n_str=0, n_num=5,
@@ -5096,7 +5158,8 @@ def q_reproject_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_reproject_suite() -> str:
-    subs = {"merc_roundtrip": sql_reproject_roundtrip, "utm31": sql_reproject_utm}
+    subs = {"merc_roundtrip": sql_reproject_roundtrip,
+            "utm31": sql_reproject_utm, "osgb": sql_reproject_osgb}
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
         n_str=0, n_num=5,
