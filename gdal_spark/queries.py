@@ -3631,7 +3631,17 @@ _GCP_PARTS = [
     ("poly2", [], ["id", "rx", "ry"]),
     ("poly3", [], ["id", "rx", "ry"]),
     ("tps", [], ["id", "rx", "ry"]),
+    ("rpc_fwd", [], ["id", "rx", "ry"]),
+    ("rpc_inv", [], ["id", "rx", "ry"]),
 ]
+
+# RPC scene coordinates anchored on orders keys — EXACT doubles in both
+# engines (integer remainders scaled by power-of-2-free literals kept
+# identical textually)
+_RPC_LON = "2.21 + CAST(o_orderkey % 400 AS DOUBLE) * 0.00045"
+_RPC_LAT = "48.78 + CAST((o_orderkey DIV 400) % 300 AS DOUBLE) * 0.00047"
+_RPC_LON_DUCK = "2.21 + CAST(o_orderkey % 400 AS DOUBLE) * 0.00045"
+_RPC_LAT_DUCK = "48.78 + CAST((o_orderkey // 400) % 300 AS DOUBLE) * 0.00047"
 
 
 def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3656,6 +3666,24 @@ def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gcp_warp.apply_tps(pix, mt).select(
         "id", F.round("geo_x", 6).alias("rx"), F.round("geo_y", 6).alias("ry"))
     parts.append(("tps", out, [], ["id", "rx", "ry"]))
+    # RPC transformer (alg/gdal_rpc.cpp), r4: forward runs the oracle's
+    # exact expression text JVM-side (bit-exact, pure rational
+    # arithmetic); inverse is the 10-step masked fixed-point iteration
+    # in Arrow/numpy, micro-degree-rounded (FMA-contraction drift only)
+    from .operators import rpc_warp
+    rpc = rpc_warp.rpc_fixture()
+    o = _read(spark, sf_dir, "orders")
+    scene = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(_RPC_LON).alias("lon"), F.expr(_RPC_LAT).alias("lat"))
+    fwd = rpc_warp.apply_rpc_forward_sql(scene, rpc).select(
+        "id", F.round("pixel", 6).alias("rx"), F.round("line", 6).alias("ry"))
+    parts.append(("rpc_fwd", fwd, [], ["id", "rx", "ry"]))
+    inv = rpc_warp.apply_rpc_inverse(
+        fwd.select("id", F.col("rx").alias("pixel"), F.col("ry").alias("line")),
+        rpc,
+    ).select("id", F.round("lon", 6).alias("rx"), F.round("lat", 6).alias("ry"))
+    parts.append(("rpc_inv", inv, [], ["id", "rx", "ry"]))
     return _suite(parts, n_str=0, n_num=3)
 
 
@@ -3675,6 +3703,20 @@ def sql_gcp_warp_suite() -> str:
     sql = (f"SELECT id, round({xe}, 6) AS rx, round({ye}, 6) AS ry "
            f"FROM ({_GCP_PIX_CTE})")
     parts.append(("tps", sql, [], ["id", "rx", "ry"]))
+    from .operators import rpc_warp
+    rpc = rpc_warp.rpc_fixture()
+    scene_cte = (f"SELECT o_orderkey AS id, {_RPC_LON_DUCK} AS lon, "
+                 f"{_RPC_LAT_DUCK} AS lat FROM orders")
+    fe, le = rpc_warp.rpc_fwd_sql_exprs(rpc, "lon", "lat")
+    fwd_sql = (f"SELECT id, round({fe}, 6) AS rx, round({le}, 6) AS ry "
+               f"FROM ({scene_cte})")
+    parts.append(("rpc_fwd", fwd_sql, [], ["id", "rx", "ry"]))
+    inv_ctes = rpc_warp.rpc_inv_sql_ctes(rpc, "rpc_scene")
+    inv_sql = (f"WITH rpc_scene AS (SELECT id, rx AS px, ry AS py "
+               f"FROM ({fwd_sql}) s), {inv_ctes} "
+               f"SELECT id, round(lon, 6) AS rx, round(lat, 6) AS ry "
+               f"FROM rpc_inv")
+    parts.append(("rpc_inv", inv_sql, [], ["id", "rx", "ry"]))
     return _suite_sql(parts, n_str=0, n_num=3)
 
 

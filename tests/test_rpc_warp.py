@@ -1,0 +1,115 @@
+"""RPC transformer (operators.rpc_warp) vs alg/gdal_rpc.cpp semantics:
+RPC00B term order, +0.5 corner convention, finite-difference seeded
+fixed-point inverse with the 0.1-px default threshold."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators import rpc_warp as R
+
+
+@pytest.fixture(scope="module")
+def rpc():
+    return R.rpc_fixture()
+
+
+def test_forward_identity_point(rpc):
+    # at the normalization origin all terms except the constant vanish:
+    # pixel = num0/den0 * scale + off + 0.5 exactly
+    px, py = R.rpc_forward(rpc, np.array([rpc.long_off]),
+                           np.array([rpc.lat_off]),
+                           height=rpc.height_off)
+    exp_px = rpc.samp_num[0] / rpc.samp_den[0] * rpc.samp_scale \
+        + rpc.samp_off + 0.5
+    exp_py = rpc.line_num[0] / rpc.line_den[0] * rpc.line_scale \
+        + rpc.line_off + 0.5
+    assert abs(px[0] - exp_px) < 1e-12
+    assert abs(py[0] - exp_py) < 1e-12
+
+
+def test_term_order_matches_rpc00b(rpc):
+    # a coefficient bump on term k must move the output by exactly
+    # term_k * scale (denominator 1): probes the gdal_rpc.cpp:345-369
+    # ordering for a non-trivial (L, P, H)
+    L, P, H = 0.37, -0.52, 0.21
+    lon = rpc.long_off + L * rpc.long_scale
+    lat = rpc.lat_off + P * rpc.lat_scale
+    h = rpc.height_off + H * rpc.height_scale
+    terms = [1.0, L, P, H, L * P, L * H, P * H, L * L, P * P, H * H,
+             L * P * H, L**3, L * P * P, L * H * H, L * L * P, P**3,
+             P * H * H, L * L * H, P * P * H, H**3]
+    base = R.RPC(**{k: getattr(rpc, k) for k in (
+        "long_off", "long_scale", "lat_off", "lat_scale", "height_off",
+        "height_scale", "samp_off", "samp_scale", "line_off", "line_scale")},
+        samp_num=(1.0,) + (0.0,) * 19, samp_den=(1.0,) + (0.0,) * 19,
+        line_num=(1.0,) + (0.0,) * 19, line_den=(1.0,) + (0.0,) * 19)
+    px0, _ = R.rpc_forward(base, np.array([lon]), np.array([lat]), h)
+    for k in range(20):
+        num = [1.0] + [0.0] * 19
+        num[k] += 0.25
+        bumped = R.RPC(**{kk: getattr(rpc, kk) for kk in (
+            "long_off", "long_scale", "lat_off", "lat_scale", "height_off",
+            "height_scale", "samp_off", "samp_scale", "line_off",
+            "line_scale")},
+            samp_num=tuple(num), samp_den=(1.0,) + (0.0,) * 19,
+            line_num=(1.0,) + (0.0,) * 19, line_den=(1.0,) + (0.0,) * 19)
+        px1, _ = R.rpc_forward(bumped, np.array([lon]), np.array([lat]), h)
+        got = (px1[0] - px0[0]) / rpc.samp_scale / 0.25
+        assert abs(got - terms[k]) < 1e-9, f"term {k}"
+
+
+def test_inverse_converges_to_threshold(rpc):
+    lon = np.linspace(rpc.long_off - 0.1, rpc.long_off + 0.1, 400)
+    lat = np.linspace(rpc.lat_off - 0.08, rpc.lat_off + 0.08, 400)
+    px, py = R.rpc_forward(rpc, lon, lat)
+    lo, la = R.rpc_inverse(rpc, px, py)
+    bx, by = R.rpc_forward(rpc, lo, la)
+    err = np.maximum(np.abs(bx - px), np.abs(by - py))
+    assert err.max() < R.DEFAULT_PIX_ERR_THRESHOLD
+
+
+def test_height_term_participates(rpc):
+    lon = np.array([rpc.long_off + 0.05])
+    lat = np.array([rpc.lat_off + 0.03])
+    p0, l0 = R.rpc_forward(rpc, lon, lat, height=0.0)
+    p1, l1 = R.rpc_forward(rpc, lon, lat, height=400.0)
+    # height changes the projection (parallax) — nonzero but bounded
+    assert 1e-6 < abs(p1[0] - p0[0]) < 200.0
+
+
+def test_spark_forward_sql_matches_numpy(spark, rpc):
+    import pyspark.sql.functions as F
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.lit(rpc.long_off - 0.09) + F.col("id") * 0.0009).alias("lon"),
+        (F.lit(rpc.lat_off - 0.07) + F.col("id") * 0.0007).alias("lat"),
+    )
+    out = R.apply_rpc_forward_sql(df, rpc).orderBy("id").collect()
+    lon = np.array([r["lon"] for r in out])
+    lat = np.array([r["lat"] for r in out])
+    px, py = R.rpc_forward(rpc, lon, lat)
+    got_px = np.array([r["pixel"] for r in out])
+    got_py = np.array([r["line"] for r in out])
+    assert np.abs(got_px - px).max() < 1e-7
+    assert np.abs(got_py - py).max() < 1e-7
+    # and the plan is pure JVM codegen — no Python stage
+    plan = R.apply_rpc_forward_sql(df, rpc) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_spark_inverse_udf_matches_numpy(spark, rpc):
+    import pyspark.sql.functions as F
+
+    df = spark.range(150).select(
+        F.col("id"),
+        (F.lit(3000.0) + F.col("id") * 31.0).alias("pixel"),
+        (F.lit(2000.0) + F.col("id") * 23.0).alias("line"),
+    )
+    out = R.apply_rpc_inverse(df, rpc).orderBy("id").collect()
+    lo, la = R.rpc_inverse(rpc, np.array([r["pixel"] for r in out]),
+                           np.array([r["line"] for r in out]))
+    assert np.abs(np.array([r["lon"] for r in out]) - lo).max() < 1e-12
+    assert np.abs(np.array([r["lat"] for r in out]) - la).max() < 1e-12
