@@ -686,6 +686,134 @@ def wrapdateline(df: DataFrame, id_col: str = "id",
     )
 
 
+def simplify_coverage(df: DataFrame, tolerance: float, *,
+                      preserve_boundary: bool = False,
+                      poly_id: str = "poly_id", xs: str = "xs",
+                      ys: str = "ys", decimals: int = 9) -> DataFrame:
+    """`gdal vector simplify-coverage`
+    (apps/gdalalg_vector_simplify_coverage.cpp:30, GEOS >= 3.12
+    CoverageSimplifier): simplify a polygonal COVERAGE so that shared
+    boundaries stay identical between neighbors — no gaps or overlaps
+    are introduced. preserve_boundary=True keeps the exterior (single-
+    owner) boundary verbatim, like the reference's --preserve-boundary.
+
+    Distributed shape (scale design): decompose rings into edges keyed
+    by the canonical (sorted, rounded) endpoint pair, ONE groupBy to
+    derive each edge's owner signature, an equi-join back, then one
+    per-polygon Arrow pass that (a) splits the ring into arcs at
+    signature changes (= coverage nodes), (b) simplifies each arc with
+    Douglas-Peucker anchored at its nodes IN THE ARC'S CANONICAL
+    DIRECTION (lexicographically smaller endpoint first). Because a
+    valid coverage's shared chains carry IDENTICAL vertices on both
+    owners (the same precondition GEOS imposes), the deterministic
+    canonical-direction DP yields byte-identical simplified arcs on
+    both sides WITHOUT any arc-level shuffle — neighbors can never
+    disagree. Junction (3+ polygon) vertices are signature changes, so
+    they are always preserved.
+
+    Input rings open or closed; output rings open, original
+    orientation, starting at the ring's first node."""
+    edge_keep = [poly_id, xs, ys]
+
+    def fmt(c):
+        return F.format_number(F.round(c, decimals), decimals)
+
+    # --- stage 1: edge table with canonical endpoint keys
+    n_edges = F.when(
+        (F.element_at(F.col(xs), 1) == F.element_at(F.col(xs), -1))
+        & (F.element_at(F.col(ys), 1) == F.element_at(F.col(ys), -1)),
+        F.size(F.col(xs)) - 1).otherwise(F.size(F.col(xs)))
+    base = df.select(*edge_keep, n_edges.alias("_nv"))
+    ed = base.select(
+        F.col(poly_id),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, _nv), j -> struct("
+            f"element_at({xs}, j) as x1, element_at({ys}, j) as y1, "
+            f"element_at({xs}, (j % _nv) + 1) as x2, "
+            f"element_at({ys}, (j % _nv) + 1) as y2))"
+        )).alias("eidx", "e"),
+    ).select(
+        F.col(poly_id), "eidx",
+        F.xxhash64(
+            F.least(F.concat_ws(",", fmt(F.col("e.x1")), fmt(F.col("e.y1"))),
+                    F.concat_ws(",", fmt(F.col("e.x2")), fmt(F.col("e.y2")))),
+            F.greatest(F.concat_ws(",", fmt(F.col("e.x1")), fmt(F.col("e.y1"))),
+                       F.concat_ws(",", fmt(F.col("e.x2")), fmt(F.col("e.y2")))),
+        ).alias("ekey"),
+    )
+    # --- stage 2: owner signature per edge key (count + owner fold is
+    # enough to discriminate: a shared edge in a VALID coverage has
+    # exactly two owners)
+    sig = ed.groupBy("ekey").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set(
+            F.col(poly_id).cast("string")))).alias("sig"),
+    )
+    esig = ed.join(sig, "ekey").groupBy(poly_id).agg(
+        F.sort_array(F.collect_list(F.struct("eidx", "sig"))).alias("_esigs"),
+    )
+    full = df.join(esig, poly_id)
+
+    out_schema = T.StructType([
+        full.schema[poly_id],
+        T.StructField(xs, T.ArrayType(T.DoubleType())),
+        T.StructField(ys, T.ArrayType(T.DoubleType())),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for pid, rxs, rys, esigs in zip(
+                pdf[poly_id].to_numpy(), pdf[xs], pdf[ys], pdf["_esigs"],
+            ):
+                vx = np.asarray(rxs, dtype=np.float64)
+                vy = np.asarray(rys, dtype=np.float64)
+                if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+                    vx, vy = vx[:-1], vy[:-1]
+                n = len(vx)
+                sigs = [s["sig"] for s in esigs]
+                own = str(pid)
+                # nodes: vertex j is a node iff edge j-1 and edge j
+                # carry different signatures (edge j runs v_j -> v_j+1)
+                nodes = [j for j in range(n) if sigs[j - 1] != sigs[j]]
+                out_x: list[float] = []
+                out_y: list[float] = []
+
+                def arc_simplify(ax, ay, arc_sig):
+                    if preserve_boundary and arc_sig == own:
+                        return ax, ay
+                    # canonical direction: smaller endpoint first
+                    fwd = (ax[0], ay[0]) <= (ax[-1], ay[-1])
+                    if fwd:
+                        sx, sy = _dp_simplify(ax, ay, tolerance)
+                        return sx, sy
+                    sx, sy = _dp_simplify(ax[::-1], ay[::-1], tolerance)
+                    return sx[::-1], sy[::-1]
+
+                if not nodes:
+                    # closed arc (island ring): anchor at the
+                    # lexicographic minimum vertex so both owners pick
+                    # the same start
+                    j0 = int(np.lexsort((vy, vx))[0])
+                    ax = np.concatenate([vx[j0:], vx[:j0], vx[j0:j0 + 1]])
+                    ay = np.concatenate([vy[j0:], vy[:j0], vy[j0:j0 + 1]])
+                    sx, sy = arc_simplify(ax, ay, sigs[0])
+                    out_x = sx[:-1].tolist()
+                    out_y = sy[:-1].tolist()
+                else:
+                    for a_i in range(len(nodes)):
+                        j0 = nodes[a_i]
+                        j1 = nodes[(a_i + 1) % len(nodes)]
+                        idx = (np.arange(j0, j0 + ((j1 - j0) % n or n) + 1) % n)
+                        sx, sy = arc_simplify(vx[idx], vy[idx], sigs[j0])
+                        out_x.extend(sx[:-1].tolist())
+                        out_y.extend(sy[:-1].tolist())
+                rows.append({poly_id: pid, xs: out_x, ys: out_y})
+            yield pd.DataFrame(
+                rows, columns=[poly_id, xs, ys])
+
+    return full.mapInPandas(run, out_schema)
+
+
 class VectorPipeline:
     """`gdal vector pipeline read ! ... ! write` as a builder
     (step registry parity: apps/gdalalg_vector_pipeline.cpp:104-165).

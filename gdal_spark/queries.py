@@ -2204,6 +2204,91 @@ FROM k CROSS JOIN range(3) j
 """
 
 
+def q_simplify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simplify-coverage pipeline step
+    (apps/gdalalg_vector_simplify_coverage.cpp:30, GEOS >= 3.12
+    CoverageSimplifier contract): per supplier key, a 2-rectangle
+    coverage whose shared vertical boundary carries 3 sub-tolerance
+    zigzag vertices (exact reversed chain on the neighbor) and whose
+    exterior edges carry sub-tolerance midpoints. At tol 0.5 every
+    zigzag/midpoint collapses and each rectangle simplifies to its 4
+    corners with the shared boundary IDENTICAL on both sides — the
+    kept set is closed-form, so the oracle emits it directly; the
+    engine runs the real edge-signature + canonical-direction-DP
+    pipeline. Output rotated to start at the lexicographic-min vertex."""
+    from .operators import vector_pipeline as VP
+
+    s = _read(spark, sf_dir, "supplier")
+    i = F.col("s_suppkey")
+    x0 = F.lit(-170.0) + F.lit(300.0) * docs.hash01_col(i, 311)
+    y0 = F.lit(-60.0) + F.lit(100.0) * docs.hash01_col(i, 312)
+    a1 = F.lit(0.05) + F.lit(0.2) * docs.hash01_col(i, 313)
+    a2 = F.lit(0.05) + F.lit(0.2) * docs.hash01_col(i, 314)
+    x1 = x0 + F.lit(2.0)
+    x2 = x0 + F.lit(4.0)
+    y2 = y0 + F.lit(2.0)
+    left = s.select(
+        (i * 2).alias("poly_id"),
+        F.array(x0, x0 + 1.0, x1, x1 + a1, x1 - a2, x1 + a1,
+                x1, x0 + 1.0, x0, x0 + a2).alias("xs"),
+        F.array(y0, y0 - a2, y0, y0 + 0.5, y0 + 1.0, y0 + 1.5,
+                y2, y2 + a1, y2, y0 + 1.0).alias("ys"),
+    )
+    right = s.select(
+        (i * 2 + 1).alias("poly_id"),
+        F.array(x1, x1 + 1.0, x2, x2 - a2, x2, x1 + 1.0,
+                x1, x1 + a1, x1 - a2, x1 + a1).alias("xs"),
+        F.array(y0, y0 - a1, y0, y0 + 1.0, y2, y2 + a2,
+                y2, y0 + 1.5, y0 + 1.0, y0 + 0.5).alias("ys"),
+    )
+    cov = left.unionByName(right)
+    out = VP.simplify_coverage(cov, tolerance=0.5)
+    # canonical rotation: start the ring at its lexicographic-min vertex
+    out = out.withColumn(
+        "_z", F.expr("arrays_zip(xs, ys)")
+    ).withColumn(
+        "_mi", F.expr("array_position(_z, array_min(_z))")
+    ).withColumn(
+        "_r", F.expr(
+            "concat(slice(_z, _mi, size(_z) - _mi + 1), slice(_z, 1, _mi - 1))")
+    )
+    return out.select(
+        F.col("poly_id").alias("id"),
+        F.posexplode("_r").alias("k", "_p"),
+    ).select(
+        "id", "k",
+        F.round(F.col("_p.xs"), 9).alias("vx"),
+        F.round(F.col("_p.ys"), 9).alias("vy"),
+    )
+
+
+def sql_simplify_coverage() -> str:
+    hx = lambda salt: derive.hash01_sql("s_suppkey", salt)
+    base = (f"SELECT s_suppkey AS sk, "
+            f"-170.0 + 300.0 * ({hx(311)}) AS x0, "
+            f"-60.0 + 100.0 * ({hx(312)}) AS y0 FROM supplier")
+    # expected: left rect corners CCW from (x0, y0); right rect corners
+    # CCW from (x1, y0) — both already lexicographic-min rotated
+    return f"""
+WITH b AS ({base}),
+sides AS (SELECT sk, x0, y0, s.range AS side FROM b CROSS JOIN range(2) s),
+v AS (SELECT sk, side, x0, y0, CAST(k.range AS BIGINT) AS k
+      FROM sides CROSS JOIN range(4) k),
+-- near/far corner x: single additions only (x0, x0 + 2.0, x0 + 4.0)
+-- so the doubles are bit-identical to the engine's x1/x2 columns
+c AS (SELECT sk, side, k, y0,
+             CASE WHEN side = 0 THEN x0 ELSE x0 + 2.0 END AS nx,
+             CASE WHEN side = 0 THEN x0 + 2.0 ELSE x0 + 4.0 END AS fx
+      FROM v)
+SELECT sk * 2 + side AS id, k,
+       round(CASE k WHEN 0 THEN nx WHEN 1 THEN fx
+                    WHEN 2 THEN fx ELSE nx END, 9) AS vx,
+       round(CASE k WHEN 0 THEN y0 WHEN 1 THEN y0
+                    WHEN 2 THEN y0 + 2.0 ELSE y0 + 2.0 END, 9) AS vy
+FROM c
+"""
+
+
 def q_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ogr2ogr -wrapdateline (ogr/ogrgeometryfactory.cpp
     SplitLineStringAtDateline): 5-vertex walks that cross the
@@ -5535,6 +5620,7 @@ _VECTOR_PIPE_PARTS = [
     ("simplify_chain", [], ["id", "k", "vx", "vy"]),
     ("buffer_field", [], ["id", "gi", "gj", "member"]),
     ("wrapdateline", [], ["id", "part_idx", "k2", "vx", "vy"]),
+    ("simplify_coverage", [], ["id", "k", "vx", "vy"]),
 ]
 
 
@@ -5548,6 +5634,7 @@ def q_vector_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compound_curve": q_compound_curve, "explode_make_valid": q_explode_make_valid,
         "simplify_chain": q_simplify_chain, "buffer_field": q_buffer_field,
         "wrapdateline": q_wrapdateline,
+        "simplify_coverage": q_simplify_coverage,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
@@ -5561,6 +5648,7 @@ def sql_vector_pipeline_suite() -> str:
         "compound_curve": sql_compound_curve, "explode_make_valid": sql_explode_make_valid,
         "simplify_chain": sql_simplify_chain, "buffer_field": sql_buffer_field,
         "wrapdateline": sql_wrapdateline,
+        "simplify_coverage": sql_simplify_coverage,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _VECTOR_PIPE_PARTS],
