@@ -72,3 +72,67 @@ def write_range_partitioned(df: DataFrame, path_or_ident: str, *,
     else:
         d = d.repartitionByRange("_range_key", prefix_col)
     write_table(d.drop("_range_key"), path_or_ident, mode=mode)
+
+
+def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
+                    bands: int = 4) -> DataFrame:
+    """Write REAL {z}/{x}/{y}.png artifacts from band-pixel rows — the
+    gdal2tiles tile sink closed end-to-end (gdal2tiles.py tile
+    rendering; artifact checksums test_gdal2tiles.py:121-124).
+
+    px: (tz, tx, ty, band, pos, value) with uint8 values; absent
+    pixels are transparent (alpha 0 + zero channels), matching the
+    reference's unwritten-region semantics. bands=4 expects bands
+    0..2 = RGB, 3 = alpha; bands=1 writes grayscale.
+
+    Distributed shape: ONE groupBy per tile key, each task encodes and
+    writes its own files directly (no driver collect) — at 100 TB the
+    artifact write parallelizes like any shuffle stage. Returns the
+    manifest (tz, tx, ty, path, nbytes, crc32) for verification and
+    downstream indexing.
+
+    Eager (an action runs inside): the write is the side effect.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .kernels import png as png_mod
+
+    schema = ("tz int, tx bigint, ty bigint, path string, nbytes bigint, "
+              "crc32 bigint")
+    ts = tile_size
+    nb = bands
+
+    def write_group(key, pdf):
+        import binascii
+
+        tz, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        if nb == 4:
+            arr = np.zeros((ts, ts, 4), dtype=np.uint8)
+            for b, pos, v in zip(pdf["band"].to_numpy(),
+                                 pdf["pos"].to_numpy(),
+                                 pdf["value"].to_numpy()):
+                arr[int(pos) // ts, int(pos) % ts, int(b)] = np.uint8(int(v) & 0xFF)
+            buf = png_mod.encode_rgba(arr)
+        else:
+            arr = np.zeros((ts, ts), dtype=np.uint8)
+            for pos, v in zip(pdf["pos"].to_numpy(), pdf["value"].to_numpy()):
+                arr[int(pos) // ts, int(pos) % ts] = np.uint8(int(v) & 0xFF)
+            buf = png_mod.encode_gray(arr)
+        d = os.path.join(out_dir, str(tz), str(tx))
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{ty}.png")
+        with open(path, "wb") as f:
+            f.write(buf)
+        return pd.DataFrame([{
+            "tz": tz, "tx": tx, "ty": ty, "path": path,
+            "nbytes": len(buf),
+            "crc32": binascii.crc32(buf) & 0xFFFFFFFF,
+        }])
+
+    manifest = px.groupBy("tz", "tx", "ty").applyInPandas(write_group, schema)
+    # materialize: the files ARE the output
+    manifest = manifest.cache()
+    manifest.count()
+    return manifest

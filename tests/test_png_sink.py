@@ -1,0 +1,82 @@
+"""PNG tile sink: real {z}/{x}/{y}.png artifacts whose decoded bands
+reproduce the exact per-band checksums of the RGBA checksum-grid gate
+query (the test_gdal2tiles.py:121-124 expected_cs pattern)."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.kernels import png as P
+
+
+def test_png_roundtrip_rgba():
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(16, 16, 4)).astype(np.uint8)
+    buf = P.encode_rgba(arr)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    back = P.decode(buf)
+    assert back.shape == (16, 16, 4)
+    assert (back == arr).all()
+
+
+def test_png_roundtrip_gray_and_determinism():
+    arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    b1 = P.encode_gray(arr)
+    b2 = P.encode_gray(arr.copy())
+    assert b1 == b2  # byte-deterministic artifact
+    assert (P.decode(b1) == arr).all()
+
+
+def test_tile_sink_artifacts_match_checksum_grid(spark, tmp_path):
+    """Write the RGBA fixture's base tiles as real PNGs; decode every
+    artifact and recompute sum((1+pos)*value) mod P per band — must
+    equal the oracle-checked checksum grid."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark import io as gio
+    from gdal_spark.operators import base_tiles as BT
+    from gdal_spark.queries import _RGBA_SALTS
+
+    ts = 16
+    px = None
+    for b, salt in enumerate(_RGBA_SALTS):
+        src = BT.src_pixels(spark, salt=salt, byte_range=True)
+        t = BT.base_tiles(spark, tz=2, tile_size=ts, src=src) \
+            .withColumn("band", F.lit(b))
+        px = t if px is None else px.unionByName(t)
+    alpha = BT.base_tiles(spark, tz=2, tile_size=ts, src=BT.src_alpha(spark)) \
+        .withColumn("band", F.lit(3))
+    px = px.unionByName(alpha)
+
+    out_dir = str(tmp_path / "tiles")
+    manifest = gio.write_tile_pngs(px, out_dir, tile_size=ts, bands=4)
+    files = {(r["tz"], r["tx"], r["ty"]): r for r in manifest.collect()}
+    assert files, "no tiles written"
+
+    # expected per-band checksums directly from the pixel rows (the
+    # same reduction the oracle-checked tile_checksums grid gates)
+    from gdal_spark.operators.base_tiles import CHECKSUM_P
+
+    exp = {
+        (r["tz"], r["tx"], r["ty"], r["band"]): r["cs"]
+        for r in px.groupBy("tz", "tx", "ty", "band").agg(
+            (F.sum((F.lit(1) + F.col("pos")) * F.col("value"))
+             % CHECKSUM_P).alias("cs")).collect()
+    }
+
+    for (tz, tx, ty), r in files.items():
+        assert os.path.exists(r["path"])
+        arr = P.decode(open(r["path"], "rb").read())
+        assert arr.shape == (ts, ts, 4)
+        pos = np.arange(ts * ts).reshape(ts, ts)
+        for b in range(4):
+            cs = int((((1 + pos) * arr[:, :, b].astype(np.int64)).sum())
+                     % CHECKSUM_P)
+            key = (tz, tx, ty, b)
+            if key in exp:
+                assert cs == int(exp[key]) % CHECKSUM_P, (key, cs)
+            else:
+                # band absent from the pixel rows -> fully transparent
+                assert cs == 0, key
