@@ -3718,6 +3718,7 @@ _GCP_PARTS = [
     ("tps", [], ["id", "rx", "ry"]),
     ("rpc_fwd", [], ["id", "rx", "ry"]),
     ("rpc_inv", [], ["id", "rx", "ry"]),
+    ("geoloc_fwd", [], ["id", "rx", "ry"]),
 ]
 
 # RPC scene coordinates anchored on orders keys — EXACT doubles in both
@@ -3769,6 +3770,18 @@ def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rpc,
     ).select("id", F.round("lon", 6).alias("rx"), F.round("lat", 6).alias("ry"))
     parts.append(("rpc_inv", inv, [], ["id", "rx", "ry"]))
+    # geolocation-array transformer (alg/gdalgeoloc.cpp PixelLineToXY):
+    # curved-swath grid, bilinear + last-row/col extrapolation
+    from .operators import geoloc_warp
+    gla = geoloc_warp.swath_fixture()
+    swath_pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 1024).cast("double").alias("pixel"),
+        ((F.col("o_orderkey") / 1024).cast("bigint") % 768)
+        .cast("double").alias("line"))
+    gfwd = geoloc_warp.apply_geoloc_forward(swath_pts, gla).select(
+        "id", F.round("geo_x", 9).alias("rx"), F.round("geo_y", 9).alias("ry"))
+    parts.append(("geoloc_fwd", gfwd, [], ["id", "rx", "ry"]))
     return _suite(parts, n_str=0, n_num=3)
 
 
@@ -3802,6 +3815,15 @@ def sql_gcp_warp_suite() -> str:
                f"SELECT id, round(lon, 6) AS rx, round(lat, 6) AS ry "
                f"FROM rpc_inv")
     parts.append(("rpc_inv", inv_sql, [], ["id", "rx", "ry"]))
+    from .operators import geoloc_warp
+    swath_cte = ("SELECT o_orderkey AS id, "
+                 "CAST(o_orderkey % 1024 AS DOUBLE) AS px, "
+                 "CAST((o_orderkey // 1024) % 768 AS DOUBLE) AS py FROM orders")
+    g_ctes = geoloc_warp.swath_forward_sql("swath")
+    g_sql = (f"WITH swath AS ({swath_cte}), {g_ctes.strip()} "
+             f"SELECT id, round(geo_x, 9) AS rx, round(geo_y, 9) AS ry "
+             f"FROM geoloc_fwd")
+    parts.append(("geoloc_fwd", g_sql, [], ["id", "rx", "ry"]))
     return _suite_sql(parts, n_str=0, n_num=3)
 
 
