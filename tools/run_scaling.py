@@ -114,7 +114,18 @@ stage is an Arrow-batched pandas UDF on pre-filtered candidates; the
 only wide operation is the final reduce. On a real 4N-executor cluster
 the same plan adds only O(log n_executors) broadcast fan-out.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve earlier records: the previous file body is appended
+    # under a dated separator instead of being overwritten
+    prior = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = f.read().strip()
+    if prior:
+        md += ("\n\n---\n\n## Superseded earlier record (kept for "
+               "cross-round comparability)\n\n"
+               + "\n".join("> " + ln for ln in prior.splitlines()) + "\n")
+    with open(path, "w") as f:
         f.write(md)
     print(json.dumps({
         f"rate{n}": rate_lo, f"rate{n4}": rate_hi,
