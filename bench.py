@@ -125,9 +125,12 @@ def main() -> None:
     )
     sel = tiling.assign_tiles(joined, zoom=12).select(
         "doc_id", "spans", "poly_id", "tx", "ty_xyz", "quadkey")
-    t0 = time.time()
-    force(sel)
-    timings["headline_join_tile_arrow"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):  # best-of-2: single reps were +-10x on this host
+        t0 = time.time()
+        force(sel)
+        best = min(best, time.time() - t0)
+    timings["headline_join_tile_arrow"] = round(best, 3)
 
     # -- Zipfian corpus for the dedup benches (VERDICT r1: the uniform
     # word-soup corpus makes ~56% of pairs genuine candidates, so the

@@ -18,8 +18,8 @@ import subprocess
 import sys
 
 DEFAULT = ["tile_assign_suite", "pyramid_counts", "spatial_join",
-           "spatial_join_wkb", "rasterize_add", "overview_suite",
-           "similarity_topk", "knn", "minhash_lsh"]
+           "spatial_join_wkb", "spatial_join_bigring", "rasterize_suite",
+           "overview_suite", "similarity_topk", "knn", "minhash_lsh"]
 
 WORKER = r"""
 import json, os, sys, time
