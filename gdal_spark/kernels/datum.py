@@ -119,6 +119,20 @@ WGS84_F_INV = 298.257223563
 WGS84_F = 1.0 / WGS84_F_INV
 WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
 
+# GRS80 (ETRS89 / NAD83 family; differs from WGS84 only in the 12th
+# digit of 1/f)
+GRS80_A = 6378137.0
+GRS80_F_INV = 298.257222101
+
+
+def etrs89_utm(zone: int) -> TMCRS:
+    """EPSG:258xx — ETRS89 / UTM zone `zone` on GRS80. ETRS89<->WGS84
+    is a null transform at 2D mapping accuracy (PROJ applies no datum
+    shift either), so only the ellipsoid differs from kernels.tmerc's
+    WGS84 UTM."""
+    return TMCRS(GRS80_A, GRS80_F_INV, k0=0.9996, lat0=0.0,
+                 lon0=float(zone * 6 - 183), fe=500000.0, fn=0.0)
+
 
 def tm_forward(lon_deg, lat_deg, crs: TMCRS):
     """Geodetic (on the CRS's own datum) -> projected (E, N)."""

@@ -339,6 +339,9 @@ def _closed_form(epsg: int):
         # Helmert chain (kernels.datum) — the first closed-form path
         # through a real TOWGS84 datum shift (VERDICT r3 item 4)
         return ("datum_tm", None)
+    if 25828 <= epsg <= 25838:
+        # ETRS89 / UTM (GRS80; null datum shift vs WGS84 at 2D)
+        return ("tmcrs", epsg % 100)
     return None
 
 
@@ -347,7 +350,8 @@ def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
     """General CRS pair as a batch pandas UDF (the 1:1 mapping of the
     reference's array Transform API, ogrct.cpp:2254). Dispatch order:
     1. closed-form kernels for 4326 <-> {326xx/327xx UTM, 2154
-       Lambert-93, 3413 polar stereographic north} — no dependency;
+       Lambert-93, 3413 polar stereographic north, 27700 OSGB datum
+       shift, 258xx ETRS89/UTM} — no dependency;
     2. pyproj for anything else (gated on the wheel being present).
     Output columns: (x_dst, y_dst)."""
     from ..kernels import conic
@@ -374,6 +378,13 @@ def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
                 from ..kernels import datum as DT
                 f = DT.wgs84_to_osgb if fwd else DT.osgb_to_wgs84
                 ox, oy = f(xv, yv)
+            elif kind == "tmcrs":
+                from ..kernels import datum as DT
+                crs = DT.etrs89_utm(prm)
+                if fwd:
+                    ox, oy = DT.tm_forward(xv, yv, crs)
+                else:
+                    ox, oy = DT.tm_inverse(xv, yv, crs)
             elif kind == "lcc":
                 f = C.lcc_forward if fwd else C.lcc_inverse
                 ox, oy = f(xv, yv, prm)
@@ -390,7 +401,7 @@ def reproject_udf(df: DataFrame, src_epsg: int, dst_epsg: int,
     if not HAVE_PYPROJ:
         raise NotImplementedError(
             "pyproj not available in this environment; closed-form paths "
-            "cover 4326<->{3857, 326xx/327xx, 2154, 3413, 27700}"
+            "cover 4326<->{3857, 326xx/327xx, 2154, 3413, 27700, 258xx}"
         )
     from pyspark.sql import types as T
 

@@ -113,3 +113,31 @@ def test_reproject_udf_dispatches_27700(spark):
         27700, 4326).collect()[0]
     assert abs(back["x_dst"] - (-0.1276)) < 1e-7
     assert abs(back["y_dst"] - 51.5072) < 1e-7
+
+
+def test_etrs89_utm_dispatch(spark):
+    """EPSG:25832 (ETRS89/UTM 32N, GRS80): same Krueger machinery,
+    different ellipsoid — within a few mm of WGS84 UTM32 (the GRS80 vs
+    WGS84 1/f difference), but not identical, and round-trippable."""
+    from gdal_spark.kernels import tmerc
+    from gdal_spark.operators.reproject import reproject_udf
+
+    lon = np.linspace(6.5, 11.5, 200)
+    lat = np.linspace(47.5, 54.5, 200)
+    df = spark.createDataFrame(
+        [(int(i), float(lon[i]), float(lat[i])) for i in range(len(lon))],
+        "id long, lon double, lat double")
+    out = reproject_udf(df, 4326, 25832).orderBy("id").collect()
+    ex = np.array([r["x_dst"] for r in out])
+    ny = np.array([r["y_dst"] for r in out])
+    ew, nw = tmerc.utm_forward(lon, lat, 32)
+    d = np.hypot(ex - ew, ny - nw)
+    assert d.max() < 0.005  # GRS80 vs WGS84: sub-5mm
+    assert d.max() > 0.0    # ...but genuinely a different ellipsoid
+    back = reproject_udf(
+        spark.createDataFrame(
+            [(int(i), float(ex[i]), float(ny[i])) for i in range(len(ex))],
+            "id long, lon double, lat double"),
+        25832, 4326).orderBy("id").collect()
+    assert max(abs(r["x_dst"] - lon[r["id"]]) for r in back) < 1e-10
+    assert max(abs(r["y_dst"] - lat[r["id"]]) for r in back) < 1e-10
