@@ -141,3 +141,27 @@ def stream_spatial_join(stream_df: DataFrame, cover: DataFrame, *,
         stream_df, cover, res=res, strategy="broadcast",
         keep_point_cols=keep_point_cols,
     )
+
+
+def stream_tile_pngs(stream_px: DataFrame, out_dir: str, *,
+                     tile_size: int, bands: int = 4,
+                     checkpoint: str | None = None):
+    """Continuous {z}/{x}/{y}.png production: the batch PNG tile sink
+    (io.write_tile_pngs) composed per micro-batch via foreachBatch —
+    each trigger re-renders exactly the tiles present in that batch,
+    atomically overwriting their files (last-writer-wins per tile, the
+    gdal2tiles re-render semantics). Returns the StreamingQuery.
+
+    stream_px: streaming (tz, tx, ty, band, pos, value) pixel rows."""
+    from . import io as gio
+
+    def do_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        gio.write_tile_pngs(batch_df, out_dir, tile_size=tile_size,
+                            bands=bands)
+
+    w = stream_px.writeStream.foreachBatch(do_batch).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

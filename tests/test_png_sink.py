@@ -80,3 +80,43 @@ def test_tile_sink_artifacts_match_checksum_grid(spark, tmp_path):
             else:
                 # band absent from the pixel rows -> fully transparent
                 assert cs == 0, key
+
+
+def test_streaming_tile_png_sink(spark, tmp_path):
+    """availableNow file-stream of pixel rows -> foreachBatch PNG sink:
+    the artifacts appear and decode to the batch values."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark import streaming as S
+    from gdal_spark.operators import base_tiles as BT
+
+    ts = 16
+    src = BT.src_pixels(spark, salt=7, byte_range=True)
+    px = BT.base_tiles(spark, tz=1, tile_size=ts, src=src) \
+        .withColumn("band", F.lit(0))
+    in_dir = str(tmp_path / "px_in")
+    px.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(px.schema).parquet(in_dir)
+    out_dir = str(tmp_path / "tiles_stream")
+    q = S.stream_tile_pngs(
+        stream, out_dir, tile_size=ts, bands=1,
+        checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    expected = {(r["tz"], r["tx"], r["ty"]) for r in
+                px.select("tz", "tx", "ty").distinct().collect()}
+    got = set()
+    import os as _os
+    for tz in _os.listdir(out_dir):
+        for tx in _os.listdir(_os.path.join(out_dir, tz)):
+            for f in _os.listdir(_os.path.join(out_dir, tz, tx)):
+                got.add((int(tz), int(tx), int(f.removesuffix(".png"))))
+    assert got == expected
+    # spot-decode one tile against the batch pixel values
+    tz, tx, ty = sorted(got)[0]
+    arr = P.decode(open(f"{out_dir}/{tz}/{tx}/{ty}.png", "rb").read())
+    vals = {r["pos"]: r["value"] for r in px.filter(
+        (F.col("tz") == tz) & (F.col("tx") == tx) & (F.col("ty") == ty)
+    ).collect()}
+    for pos, v in vals.items():
+        assert arr[pos // ts, pos % ts] == int(v) & 0xFF
