@@ -106,25 +106,28 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
 
     def write_group(key, pdf):
         import binascii
+        import tempfile
 
         tz, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        val = (pdf["value"].to_numpy(dtype=np.int64) & 0xFF).astype(np.uint8)
         if nb == 4:
-            arr = np.zeros((ts, ts, 4), dtype=np.uint8)
-            for b, pos, v in zip(pdf["band"].to_numpy(),
-                                 pdf["pos"].to_numpy(),
-                                 pdf["value"].to_numpy()):
-                arr[int(pos) // ts, int(pos) % ts, int(b)] = np.uint8(int(v) & 0xFF)
-            buf = png_mod.encode_rgba(arr)
+            arr = np.zeros((ts * ts, 4), dtype=np.uint8)
+            arr[pos, pdf["band"].to_numpy(dtype=np.int64)] = val
+            buf = png_mod.encode_rgba(arr.reshape(ts, ts, 4))
         else:
-            arr = np.zeros((ts, ts), dtype=np.uint8)
-            for pos, v in zip(pdf["pos"].to_numpy(), pdf["value"].to_numpy()):
-                arr[int(pos) // ts, int(pos) % ts] = np.uint8(int(v) & 0xFF)
-            buf = png_mod.encode_gray(arr)
+            arr = np.zeros(ts * ts, dtype=np.uint8)
+            arr[pos] = val
+            buf = png_mod.encode_gray(arr.reshape(ts, ts))
         d = os.path.join(out_dir, str(tz), str(tx))
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{ty}.png")
-        with open(path, "wb") as f:
+        # atomic last-writer-wins: readers (and re-renders from a
+        # streaming micro-batch) never observe a truncated artifact
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".png.tmp")
+        with os.fdopen(fd, "wb") as f:
             f.write(buf)
+        os.replace(tmp, path)
         return pd.DataFrame([{
             "tz": tz, "tx": tx, "ty": ty, "path": path,
             "nbytes": len(buf),
@@ -132,7 +135,9 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
         }])
 
     manifest = px.groupBy("tz", "tx", "ty").applyInPandas(write_group, schema)
-    # materialize: the files ARE the output
+    # materialize ONCE (the files are the output; an uncached manifest
+    # would re-render tiles on every downstream action). Callers that
+    # drop the manifest (the streaming sink) must unpersist it.
     manifest = manifest.cache()
     manifest.count()
     return manifest

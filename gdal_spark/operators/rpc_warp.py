@@ -133,7 +133,11 @@ def rpc_inverse(rpc: RPC, pixel, line, height=0.0,
                 max_iter: int = MAX_ITER_NO_DEM):
     """(pixel, line) -> (lon, lat) at constant height: GDAL's
     fixed-point iteration with per-point stop (vectorized as a freeze
-    mask — identical results to the scalar break)."""
+    mask — identical results to the scalar break). Points that never
+    reach the threshold come back NaN, mirroring the reference's
+    failure marking (gdal_rpc.cpp: HUGE_VAL + panSuccess=FALSE when
+    iIter != -1 after the loop) rather than leaking an arbitrary
+    non-converged iterate."""
     px = np.asarray(pixel, dtype=np.float64)
     py = np.asarray(line, dtype=np.float64)
     gt = rpc_affine(rpc)
@@ -148,7 +152,10 @@ def rpc_inverse(rpc: RPC, pixel, line, height=0.0,
         done = done | (err < pix_err_threshold)
         x = np.where(done, x, x - (dx * gt[1] + dy * gt[2]))
         y = np.where(done, y, y - (dx * gt[4] + dy * gt[5]))
-    return x, y
+    # exactly max_iter residual checks, like the reference loop — a
+    # point that only converges ON the final update is failed by GDAL
+    # too (no post-loop check there either)
+    return np.where(done, x, np.nan), np.where(done, y, np.nan)
 
 
 # ------------------------------------------------------ Spark operators
@@ -262,7 +269,10 @@ rpc_i{i + 1} AS (
 )""")
     parts.append(f"""
 rpc_inv AS (
-  SELECT {keep}, x AS lon, y AS lat FROM rpc_i{max_iter}
+  SELECT {keep},
+         CASE WHEN done THEN x ELSE CAST('nan' AS DOUBLE) END AS lon,
+         CASE WHEN done THEN y ELSE CAST('nan' AS DOUBLE) END AS lat
+  FROM rpc_i{max_iter}
 )""")
     return ",".join(p.strip() for p in parts)
 

@@ -242,44 +242,12 @@ def spatial_join_wkb(
     pts = assign_cell(pts, "lon", "lat", res)
     if strategy in ("shuffle", "grouped"):
         # no-broadcast regime: WKB ships once per (cell, poly_id)
-        # cogroup, decoded once per group executor-side — same scale
-        # shape as _grouped_shuffle_pip
-        from ..kernels import wkb as wkb_mod
-        from ..kernels.pip import point_in_polygon
-
+        # cogroup, decoded once per group executor-side — the shared
+        # grouped plan with the multipolygon mask plugged in
         keep = keep_point_cols or [c for c in points.columns if c != geom]
-        env = (
-            (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
-            & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy"))
-        )
-        carry = list(dict.fromkeys(keep + ["lon", "lat"]))
-        cand = (
-            pts.join(cover.drop("wkb"), "cell").filter(env)
-            .select(*carry, "cell", "poly_id")
-        )
-        geoms = cover.select(
-            F.col("cell").alias("r_cell"),
-            F.col("poly_id").alias("r_poly_id"), "wkb",
-        )
-        out_cols = list(dict.fromkeys(keep + ["poly_id"]))
-        cand_schema = {f.name: f for f in cand.schema.fields}
-        out_schema = T.StructType([cand_schema[c] for c in out_cols])
-
-        def exact(key, cand_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
-            if cand_pdf.empty or geom_pdf.empty:
-                return cand_pdf.iloc[0:0].reindex(columns=out_cols)
-            polys = wkb_mod.decode_multipolygon(bytes(geom_pdf["wkb"].iloc[0]))
-            xv = cand_pdf["lon"].to_numpy(dtype=np.float64)
-            yv = cand_pdf["lat"].to_numpy(dtype=np.float64)
-            hit = np.zeros(len(cand_pdf), dtype=bool)
-            for rings in polys:
-                hit |= point_in_polygon(xv, yv, rings)
-            return cand_pdf.loc[hit, out_cols]
-
-        return (
-            cand.groupBy("cell", "poly_id")
-            .cogroup(geoms.groupBy("r_cell", "r_poly_id"))
-            .applyInPandas(exact, out_schema)
+        return _grouped_shuffle_pip(
+            pts, cover, lon="lon", lat="lat", keep=keep,
+            keep_poly=["poly_id"], geom_cols=("wkb",), mask_fn=_wkb_mask,
         )
     if strategy == "rowrings":
         joined = pts.join(cover, "cell")
@@ -587,6 +555,33 @@ def pip_hof_condition(lon: str, lat: str, xs: str, ys: str):
     )
 
 
+def _ring_mask(geom_pdf: "pd.DataFrame", xv: "np.ndarray",
+               yv: "np.ndarray") -> "np.ndarray":
+    """Exact mask for the rings-as-arrays geometry side (single ring
+    per polygon, the countries64 layer shape)."""
+    from ..kernels.pip import point_in_ring
+
+    ring = np.column_stack([
+        np.asarray(geom_pdf["xs"].iloc[0], dtype=np.float64),
+        np.asarray(geom_pdf["ys"].iloc[0], dtype=np.float64),
+    ])
+    return point_in_ring(xv, yv, ring)
+
+
+def _wkb_mask(geom_pdf: "pd.DataFrame", xv: "np.ndarray",
+              yv: "np.ndarray") -> "np.ndarray":
+    """Exact mask for the WKB geometry side: multipolygon with holes,
+    decoded ONCE per (cell, poly_id) group."""
+    from ..kernels import wkb as wkb_mod
+    from ..kernels.pip import point_in_polygon
+
+    polys = wkb_mod.decode_multipolygon(bytes(geom_pdf["wkb"].iloc[0]))
+    hit = np.zeros(len(xv), dtype=bool)
+    for rings in polys:
+        hit |= point_in_polygon(xv, yv, rings)
+    return hit
+
+
 def _grouped_shuffle_pip(
     pts: DataFrame,
     cover: DataFrame,
@@ -595,27 +590,37 @@ def _grouped_shuffle_pip(
     lat: str,
     keep: list[str],
     keep_poly: list[str],
+    geom_cols: tuple[str, ...] = ("xs", "ys"),
+    mask_fn=_ring_mask,
 ) -> DataFrame:
-    """Exact PIP stage for the no-broadcast regime: ship each ring
-    ONCE PER (cell, poly_id) GROUP instead of once per candidate row.
+    """Exact PIP stage for the no-broadcast regime: ship each polygon's
+    geometry ONCE PER (cell, poly_id) GROUP instead of once per
+    candidate row.
 
-    Plan: cell equi-join against the ring-free cover (cell, poly_id,
-    envelope) -> JVM envelope short-circuit -> cogroup candidates with
-    the ring table on (cell, poly_id) -> one vectorized ray-cast per
-    group (ogrlinearring.cpp:503-531 crossing rule, identical math to
-    the broadcast-dict arm).
+    Plan: cell equi-join against the geometry-free cover (cell,
+    poly_id, envelope) -> JVM envelope short-circuit -> cogroup
+    candidates with the geometry table on (cell, poly_id) -> one
+    vectorized ray-cast per group via `mask_fn`
+    (ogrlinearring.cpp:503-531 crossing rule, identical math to the
+    broadcast-dict arm; the WKB layer plugs in _wkb_mask).
 
     Shuffle volume: candidates at 24 B + keep-cols each (the same
     24 B/row the broadcast-dict arm ships through Arrow), plus ONE
-    ring copy per (cell, poly_id) — vs 2*8*V bytes PER CANDIDATE in
-    the rings-in-row form. At 10^8 polygons (broadcast impossible)
+    geometry copy per (cell, poly_id) — vs 2*8*V bytes PER CANDIDATE
+    in the rings-in-row form. At 10^8 polygons (broadcast impossible)
     this is the path that runs; group size is bounded by cell
     granularity, so AQE-visible and salt-able like any equi-join."""
-    from ..kernels.pip import point_in_ring
-
+    bad = set(keep_poly) & set(geom_cols)
+    if bad:
+        raise ValueError(
+            f"grouped 'shuffle' strategy cannot carry geometry columns "
+            f"{sorted(bad)} onto output rows — that is exactly the "
+            f"per-candidate geometry amplification this path removes; "
+            f"use strategy='rowrings' (ablation only) if you truly need it")
     cov_cols = ["cell", "poly_id", "minx", "miny", "maxx", "maxy"] + [
-        c for c in keep_poly if c not in ("cell", "poly_id", "minx", "miny",
-                                          "maxx", "maxy", "xs", "ys")
+        c for c in keep_poly
+        if c not in ("cell", "poly_id", "minx", "miny", "maxx", "maxy")
+        and c not in geom_cols
     ]
     cov_lite = cover.select(*dict.fromkeys(cov_cols))
     env = (
@@ -629,37 +634,35 @@ def _grouped_shuffle_pip(
         pts.join(cov_lite, "cell").filter(env)
         .select(*carry, F.col("cell"), F.col("poly_id"))
     )
-    # fresh names on the ring side: cand's poly_id descends from the
-    # same cover plan, and cogroup rejects the ambiguous attribute
-    rings = cover.select(
+    # fresh names on the geometry side: cand's poly_id descends from
+    # the same cover plan, and cogroup rejects the ambiguous attribute
+    geoms = cover.select(
         F.col("cell").alias("r_cell"), F.col("poly_id").alias("r_poly_id"),
-        "xs", "ys",
+        *geom_cols,
     )
 
     out_cols = list(dict.fromkeys(keep + keep_poly))
     cand_schema = {f.name: f for f in cand.schema.fields}
-    out_schema = T.StructType([
-        cand_schema[c] if c in cand_schema else T.StructField(c, T.LongType())
-        for c in out_cols
-    ])
+    missing = [c for c in out_cols if c not in cand_schema]
+    if missing:
+        raise KeyError(
+            f"grouped PIP output columns {missing} not present on the "
+            f"candidate side (available: {sorted(cand_schema)})")
+    out_schema = T.StructType([cand_schema[c] for c in out_cols])
 
-    def exact(key, cand_pdf: pd.DataFrame, ring_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cand_pdf.empty or ring_pdf.empty:
+    def exact(key, cand_pdf: pd.DataFrame, geom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty or geom_pdf.empty:
             return cand_pdf.iloc[0:0].reindex(columns=out_cols)
-        ring = np.column_stack([
-            np.asarray(ring_pdf["xs"].iloc[0], dtype=np.float64),
-            np.asarray(ring_pdf["ys"].iloc[0], dtype=np.float64),
-        ])
-        mask = point_in_ring(
+        mask = mask_fn(
+            geom_pdf,
             cand_pdf[lon].to_numpy(dtype=np.float64),
             cand_pdf[lat].to_numpy(dtype=np.float64),
-            ring,
         )
         return cand_pdf.loc[mask, out_cols]
 
     return (
         cand.groupBy("cell", "poly_id")
-        .cogroup(rings.groupBy("r_cell", "r_poly_id"))
+        .cogroup(geoms.groupBy("r_cell", "r_poly_id"))
         .applyInPandas(exact, out_schema)
     )
 

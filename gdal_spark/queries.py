@@ -1674,7 +1674,7 @@ agg AS (
   SELECT i, j,
          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(_v / _d2 ORDER BY pid)), (a, b) -> a + b) AS num,
          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(1.0 / _d2 ORDER BY pid)), (a, b) -> a + b) AS den,
-         max(CASE WHEN _d2 < 1e-13 THEN _v END) AS exactv
+         arg_min(CASE WHEN _d2 < 1e-13 THEN _v END, pid) FILTER (_d2 < 1e-13) AS exactv
   FROM filt GROUP BY 1, 2
 )
 SELECT i, j, CASE WHEN exactv IS NOT NULL THEN CAST(exactv AS DOUBLE) ELSE num / den END AS value

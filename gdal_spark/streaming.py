@@ -158,8 +158,11 @@ def stream_tile_pngs(stream_px: DataFrame, out_dir: str, *,
     def do_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        gio.write_tile_pngs(batch_df, out_dir, tile_size=tile_size,
-                            bands=bands)
+        m = gio.write_tile_pngs(batch_df, out_dir, tile_size=tile_size,
+                                bands=bands)
+        # the manifest is discarded per batch: release its cache slot
+        # immediately instead of accumulating one per trigger
+        m.unpersist()
 
     w = stream_px.writeStream.foreachBatch(do_batch).outputMode("append")
     if checkpoint:
