@@ -389,6 +389,7 @@ def footprint_rings(pixels: DataFrame, *, width: int, valid,
 
 def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
              obs_height: float = 2.0, height: int | None = None,
+             z_base: float | None = None,
              n_sectors: int = 32, curve_coeff: float = 0.0,
              cell_size: float = 1.0,
              earth_diameter: float = 12756274.0,
@@ -434,8 +435,12 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
 
     height = height if height is not None else width
     spark = band.sparkSession
-    z0row = band.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
-    z_obs = float(z0row[0]["value"]) + obs_height
+    if z_base is None:
+        # 1-row driver probe; batch callers (cumulative_viewshed)
+        # prefetch all observer heights in ONE pass and pass z_base
+        z0row = band.filter((F.col("gx") == ox) & (F.col("gy") == oy)).collect()
+        z_base = float(z0row[0]["value"])
+    z_obs = z_base + obs_height
     W, H, S = width, height, int(n_sectors)
     # near-observer disk radius and wedge pad: a sample at radius
     # >= R0 - 3 has bilinear corners within euclidean ~2.2, i.e.
@@ -592,6 +597,52 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
         return pd.DataFrame(out)
 
     return both.groupBy("sector").applyInPandas(lambda p: run(p), out_schema)
+
+
+def cumulative_viewshed(band: DataFrame, *, width: int, spacing: int,
+                        obs_height: float = 2.0,
+                        height: int | None = None) -> DataFrame:
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
+    a regular grid — every `spacing` pixels in x and y starting at 0
+    (cumulative.cpp:66-67) — each a NORMAL viewshed with visibleVal
+    forced to 1 (cumulative.cpp:48), summed per pixel (combiner.cpp:46)
+    and scaled to 8 bits as floor((255 / max) * v) over the global max
+    (scaleOutput, cumulative.cpp:200-213; max == 0 would return the
+    zeros unscaled, which cannot happen since every observer sees its
+    own pixel).
+
+    Distributed shape: observers fan out embarrassingly — one
+    sector-sweep viewshed subplan per observer, unioned; observer base
+    heights are prefetched in ONE pass (no per-observer driver probe);
+    then a single (gx, gy) groupBy sum and a broadcast scalar max for
+    the scale projection. At a 100k-observer scale each subplan is an
+    independent job — schedule observers as the parallel dimension.
+    Returns (gx, gy, value) with value in 0..255."""
+    height = height if height is not None else width
+    obs = [(x, y) for x in range(0, width, spacing)
+           for y in range(0, height, spacing)]
+    zrows = band.filter(
+        (F.col("gx") % spacing == 0) & (F.col("gy") % spacing == 0)
+        & (F.col("gx") < width) & (F.col("gy") < height)
+    ).select("gx", "gy", "value").collect()
+    zmap = {(r["gx"], r["gy"]): float(r["value"]) for r in zrows}
+    out = None
+    for ox, oy in obs:
+        v = viewshed(band, width=width, ox=ox, oy=oy,
+                     obs_height=obs_height, height=height,
+                     z_base=zmap[(ox, oy)])
+        one = v.select(
+            "gx", "gy",
+            F.when(F.col("visible"), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("vis"))
+        out = one if out is None else out.unionByName(one)
+    summed = out.groupBy("gx", "gy").agg(F.sum("vis").alias("v"))
+    mx = summed.agg(F.max("v").alias("mx"))
+    return summed.crossJoin(F.broadcast(mx)).select(
+        "gx", "gy",
+        F.floor((F.lit(255.0) / F.col("mx")) * F.col("v"))
+        .cast("long").alias("value"),
+    )
 
 
 def viewshed_explode(band: DataFrame, *, width: int, ox: int, oy: int,

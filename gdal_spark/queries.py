@@ -3160,14 +3160,20 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_viewshed() -> str:
-    W = 32
+    return _viewshed_sweep_sql(32, 16, 16)
+
+
+def _viewshed_sweep_sql(W: int, ox: int, oy: int) -> str:
+    """The single-observer sweep replay, parameterized by observer
+    (cumulative unions one copy per grid observer). Returns a
+    standalone WITH...SELECT (gx, gy, visible) statement."""
     corner = lambda cx, cy: _band_val_sql(f"(_y0 + {cy}) * {W} + _x0 + {cx}")
-    z0 = f"CAST({_band_val_sql(str(16 * W + 16))} AS DOUBLE) + 2.0"
+    z0 = f"CAST({_band_val_sql(str(oy * W + ox))} AS DOUBLE) + 2.0"
     return f"""
 WITH px AS (SELECT r.range % {W} AS gx, r.range // {W} AS gy,
                    {_band_val_sql(f"(r.range // {W}) * {W} + (r.range % {W})")} AS zp
             FROM range({W * W}) r),
-s0 AS (SELECT gx, gy, zp, greatest(abs(gx - 16), abs(gy - 16)) AS nsteps FROM px),
+s0 AS (SELECT gx, gy, zp, greatest(abs(gx - {ox}), abs(gy - {oy})) AS nsteps FROM px),
 samp AS (
   SELECT gx, gy, nsteps, st.range AS stepk FROM s0 CROSS JOIN range({W}) st
   WHERE nsteps >= 2 AND st.range >= 1 AND st.range <= nsteps - 1
@@ -3175,8 +3181,8 @@ samp AS (
 pt AS (SELECT gx, gy, CAST(stepk AS DOUBLE) / CAST(nsteps AS DOUBLE) AS t FROM samp),
 sp AS (
   SELECT gx, gy, t,
-         16.0 + (gx - 16) * t + 0.5 AS sxx,
-         16.0 + (gy - 16) * t + 0.5 AS syy
+         {float(ox)!r} + (gx - {ox}) * t + 0.5 AS sxx,
+         {float(oy)!r} + (gy - {oy}) * t + 0.5 AS syy
   FROM pt
 ),
 b0 AS (
@@ -3205,6 +3211,59 @@ SELECT s0.gx, s0.gy,
        (mx.max_s IS NULL OR mx.max_s < (s0.zp - ({z0}))) AS visible
 FROM s0 LEFT JOIN mx ON mx.gx = s0.gx AND mx.gy = s0.gy
 """
+
+
+_VIEWSHED_PARTS = [
+    ("normal", [], ["gx", "gy", "v"]),
+    ("cumulative", [], ["gx", "gy", "v"]),
+]
+
+_CUMVS_SPACING = 8  # 32x32 band, observers at {0,8,16,24}^2 = 16 rays
+
+
+def q_viewshed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed surface in one gate row: the single-observer NORMAL map
+    (tag `normal`, the r1-r3 gate query) + the r4 cumulative viewshed
+    (alg/viewshed/cumulative.cpp: grid observers, visibleVal=1 sums,
+    floor((255/max)*v) 8-bit scale)."""
+    from .operators import focal
+
+    norm = q_viewshed(spark, sf_dir).select(
+        "gx", "gy",
+        F.when(F.col("visible"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("v"))
+    band = raster.synth_band(spark, zoom=2, tile_px=8)
+    cum = focal.cumulative_viewshed(
+        band.select("gx", "gy", "value"), width=32,
+        spacing=_CUMVS_SPACING, obs_height=2.0,
+    ).withColumnRenamed("value", "v")
+    return _suite(
+        [("normal", norm, [], ["gx", "gy", "v"]),
+         ("cumulative", cum, [], ["gx", "gy", "v"])],
+        n_str=0, n_num=3,
+    )
+
+
+def sql_viewshed_suite() -> str:
+    norm = (f"SELECT gx, gy, CASE WHEN visible THEN 1 ELSE 0 END AS v "
+            f"FROM ({sql_viewshed()}) nv")
+    copies = " UNION ALL ".join(
+        f"SELECT gx, gy, CASE WHEN visible THEN 1 ELSE 0 END AS vis "
+        f"FROM ({_viewshed_sweep_sql(32, ox, oy)}) o_{ox}_{oy}"
+        for ox in range(0, 32, _CUMVS_SPACING)
+        for oy in range(0, 32, _CUMVS_SPACING)
+    )
+    cum = f"""
+WITH obs AS ({copies}),
+s AS (SELECT gx, gy, CAST(sum(vis) AS BIGINT) AS sv FROM obs GROUP BY 1, 2),
+m AS (SELECT max(sv) AS mx FROM s)
+SELECT gx, gy, CAST(floor((255.0 / mx) * sv) AS BIGINT) AS v FROM s, m
+"""
+    return _suite_sql(
+        [("normal", norm, [], ["gx", "gy", "v"]),
+         ("cumulative", cum, [], ["gx", "gy", "v"])],
+        n_str=0, n_num=3,
+    )
 
 
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5741,7 +5800,7 @@ QUERIES = {
     "proximity": q_proximity,
     "footprint_suite": q_footprint_suite,
     "terrain_suite": q_terrain_suite,
-    "viewshed": q_viewshed,
+    "viewshed_suite": q_viewshed_suite,
     "contour": q_contour,
     "contour_polygonize": q_contour_polygonize,
     "warp_kernels_suite": q_warp_kernels_suite,
@@ -5801,7 +5860,7 @@ ORACLES = {
     "proximity": sql_proximity,
     "footprint_suite": sql_footprint_suite,
     "terrain_suite": sql_terrain_suite,
-    "viewshed": sql_viewshed,
+    "viewshed_suite": sql_viewshed_suite,
     "contour": sql_contour,
     "contour_polygonize": sql_contour_polygonize,
     "warp_kernels_suite": sql_warp_kernels_suite,

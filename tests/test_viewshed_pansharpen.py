@@ -130,3 +130,37 @@ def test_viewshed_ground_and_dem_modes(spark):
         if d[k]["dem_min"] is not None and not np.isnan(d[k]["dem_min"]):
             z = 50.0 if k[0] == 4 else 0.0
             assert abs(rv["ground_req"] - max(0.0, d[k]["dem_min"] - z)) < 1e-9
+
+
+def test_cumulative_viewshed_flat_terrain_all_255(spark):
+    # flat band: every pixel is visible from every grid observer, so
+    # the per-pixel sums are all equal to the observer count and the
+    # 8-bit scale (floor(255/max * v), cumulative.cpp:200-213) maps
+    # everything to exactly 255
+    from gdal_spark.operators import focal
+
+    W = 32
+    rows = [(x, y, 5) for y in range(W) for x in range(W)]
+    band = spark.createDataFrame(rows, "gx bigint, gy bigint, value bigint")
+    out = focal.cumulative_viewshed(band, width=W, spacing=8).collect()
+    assert len(out) == W * W
+    assert all(r["value"] == 255 for r in out)
+
+
+def test_cumulative_viewshed_wall_shadow(spark):
+    # z=60 wall at x=20: pixels east of the wall are hidden from the
+    # western observers (x in {0,8,16}) but still seen by the eastern
+    # column (x=24), so their counts — and scaled values — are strictly
+    # below the open plain west of the wall
+    import numpy as np
+    from gdal_spark.operators import focal
+
+    W = 32
+    rows = [(x, y, 60 if x == 20 else 0) for y in range(W) for x in range(W)]
+    band = spark.createDataFrame(rows, "gx bigint, gy bigint, value bigint")
+    got = {(r["gx"], r["gy"]): r["value"] for r in
+           focal.cumulative_viewshed(band, width=W, spacing=8).collect()}
+    assert max(got.values()) == 255
+    # deep shadow just east of the wall vs open plain west of it
+    assert got[(22, 12)] < got[(10, 12)]
+    assert all(0 <= v <= 255 for v in got.values())
