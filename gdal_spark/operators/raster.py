@@ -857,6 +857,55 @@ def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
 CHECKSUM_PRIMES = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
 
+def band_statistics(px: DataFrame, value_col: str = "value") -> DataFrame:
+    """gdalinfo -stats / GDALRasterBand::ComputeStatistics, integer
+    path (gcore/gdalrasterband.cpp:6790-6804): exact integer moments
+    (n, sum, sum-of-squares), mean = sum/n, and
+    stddev = sqrt(n*sumsq - sum^2) / n — the reference does the
+    difference in 128-bit integers before ONE sqrt; here the int64
+    moments run under Spark's ANSI mode, so an overflow raises loudly
+    instead of silently wrapping (same policy as relational.summary).
+    Returns one row (vmin, vmax, n, mean, stddev)."""
+    v = F.col(value_col).cast("long")
+    agg = px.agg(
+        F.min(v).alias("vmin"), F.max(v).alias("vmax"),
+        F.count(v).alias("n"), F.sum(v).alias("s"),
+        F.sum(v * v).alias("s2"),
+    )
+    return agg.select(
+        "vmin", "vmax", "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean"),
+        (F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+                .cast("double")) / F.col("n").cast("double")).alias("stddev"),
+    )
+
+
+def band_histogram(px: DataFrame, *, vmin: float = -0.5, vmax: float = 255.5,
+                   buckets: int = 256, include_out_of_range: bool = False,
+                   value_col: str = "value") -> DataFrame:
+    """GDALRasterBand::GetHistogram (gcore/gdalrasterband.cpp:4420-4434
+    bucket rule; the -0.5..255.5 x 256 default is GDALGetDefaultHistogram
+    / gdalrasterband.cpp:4106): bucket = floor((v - min) * scale) with
+    scale = buckets / (max - min); out-of-range values clamp into the
+    FIRST/LAST bucket when include_out_of_range else drop. Pure JVM
+    column math; absent buckets come back with cnt 0 (the reference
+    memsets the array). Returns (bucket, cnt) for bucket 0..buckets-1."""
+    scale = float(buckets) / (float(vmax) - float(vmin))
+    idx = F.floor((F.col(value_col).cast("double") - F.lit(float(vmin)))
+                  * F.lit(scale))
+    if include_out_of_range:
+        b = (F.when(idx < 0, F.lit(0))
+             .when(idx >= buckets, F.lit(buckets - 1)).otherwise(idx))
+        d = px.select(b.cast("long").alias("bucket"))
+    else:
+        d = px.select(idx.cast("long").alias("bucket")).filter(
+            (F.col("bucket") >= 0) & (F.col("bucket") < buckets))
+    cnt = d.groupBy("bucket").agg(F.count("*").alias("_c"))
+    allb = px.sparkSession.range(buckets).select(F.col("id").alias("bucket"))
+    return allb.join(cnt, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("cnt"))
+
+
 def checksum_image(band: DataFrame, *, width: int, value_col: str = "value",
                    x_col: str = "gx", y_col: str = "gy",
                    floating: bool = False) -> DataFrame:

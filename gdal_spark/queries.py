@@ -5445,6 +5445,82 @@ def sql_overview_suite() -> str:
     )
 
 
+def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo -stats (ComputeStatistics integer path,
+    gdalrasterband.cpp:6790-6804) over the 32x32 band mod 4096:
+    exact integer moments, one division + one sqrt (both IEEE
+    correctly-rounded, so cross-engine bit-exact)."""
+    band = raster.synth_band(spark, zoom=2, tile_px=8).select(
+        "gx", "gy", (F.col("value") % 4096).alias("value"))
+    return raster.band_statistics(band).select(
+        F.col("vmin").cast("double"), F.col("vmax").cast("double"),
+        "mean", "stddev")
+
+
+def sql_band_stats() -> str:
+    v = f"({_band_val_sql('r.range')}) % 4096"
+    return f"""
+WITH px AS (SELECT {v} AS value FROM range(1024) r),
+m AS (SELECT min(value) AS vmin, max(value) AS vmax,
+             count(*) AS n, CAST(sum(value) AS BIGINT) AS s,
+             CAST(sum(value * value) AS BIGINT) AS s2
+      FROM px)
+SELECT CAST(vmin AS DOUBLE) AS vmin, CAST(vmax AS DOUBLE) AS vmax,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev
+FROM m
+"""
+
+
+_HIST_CFGS = [
+    # (cfg, vmin, vmax, buckets, include_out_of_range, value modulus)
+    (0, -0.5, 255.5, 256, False, 256),   # the GetDefaultHistogram shape
+    (1, 10.5, 200.5, 10, True, 256),     # clamped out-of-range tails
+]
+
+
+def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALRasterBand::GetHistogram bucket rule
+    (gdalrasterband.cpp:4420-4434) in two configs: the
+    GDALGetDefaultHistogram -0.5..255.5 x 256 shape, and a coarse
+    10-bucket window with include_out_of_range clamping the tails into
+    the first/last bucket."""
+    out = None
+    for cfg, lo, hi, nb, inc, mod in _HIST_CFGS:
+        band = raster.synth_band(spark, zoom=2, tile_px=8).select(
+            (F.col("value") % mod).alias("value"))
+        h = raster.band_histogram(
+            band, vmin=lo, vmax=hi, buckets=nb, include_out_of_range=inc,
+        ).select(F.lit(cfg).cast("long").alias("cfg"), "bucket", "cnt")
+        out = h if out is None else out.unionByName(h)
+    return out
+
+
+def sql_band_histogram() -> str:
+    parts = []
+    for cfg, lo, hi, nb, inc, mod in _HIST_CFGS:
+        scale = float(nb) / (float(hi) - float(lo))
+        idx = f"floor((CAST(value AS DOUBLE) - {float(lo)!r}) * {scale!r})"
+        if inc:
+            bexpr = (f"CASE WHEN {idx} < 0 THEN 0 "
+                     f"WHEN {idx} >= {nb} THEN {nb - 1} "
+                     f"ELSE CAST({idx} AS BIGINT) END")
+            flt = ""
+        else:
+            bexpr = f"CAST({idx} AS BIGINT)"
+            flt = f"WHERE {idx} >= 0 AND {idx} < {nb}"
+        parts.append(f"""
+SELECT {cfg} AS cfg, b.range AS bucket,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+FROM range({nb}) b LEFT JOIN (
+  SELECT {bexpr} AS bucket, count(*) AS cnt
+  FROM (SELECT ({_band_val_sql('r.range')}) % {mod} AS value
+        FROM range(1024) r) px {flt}
+  GROUP BY 1
+) c ON c.bucket = b.range""")
+    return " UNION ALL ".join(parts)
+
+
 _RASTER_UTIL_PARTS = [
     ("sieve", [], ["px", "py", "value"]),
     ("calc", [], ["gx", "gy", "value"]),
@@ -5457,6 +5533,8 @@ _RASTER_UTIL_PARTS = [
     ("pct", [], ["gx", "gy", "idx", "rgb"]),
     ("retile", [], ["tile", "ox", "oy", "value"]),
     ("checksum", [], ["band", "checksum"]),
+    ("band_stats", [], ["vmin", "vmax", "mean", "stddev"]),
+    ("histogram", [], ["cfg", "bucket", "cnt"]),
 ]
 
 
@@ -5495,6 +5573,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
         "pct": q_pct_roundtrip, "retile": q_retile, "checksum": q_checksum,
+        "band_stats": q_band_stats, "histogram": q_band_histogram,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -5509,6 +5588,7 @@ def sql_raster_utility_suite() -> str:
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
         "pct": sql_pct_roundtrip, "retile": sql_retile, "checksum": sql_checksum,
+        "band_stats": sql_band_stats, "histogram": sql_band_histogram,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],

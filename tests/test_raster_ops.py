@@ -162,3 +162,40 @@ def test_nearblack_full_black_row_and_column(spark):
         assert got[(x, 0)] == (0, 0) and got[(x, W - 1)] == (0, 0)
     assert got[(2, 5)] == (1, 255)        # island survives (not edge-run)
     assert got[(2, 2)] == (100, 255)
+
+
+def test_band_statistics_integer_moments(spark):
+    # hand-checkable 4-pixel band: values 1, 2, 3, 6
+    # mean = 3, stddev = sqrt(4*50 - 144)/4 = sqrt(56)/4
+    import math
+
+    from gdal_spark.operators import raster as R
+
+    df = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2), (0, 1, 3), (1, 1, 6)],
+        "gx bigint, gy bigint, value bigint")
+    r = R.band_statistics(df).collect()[0]
+    assert (r["vmin"], r["vmax"], r["n"]) == (1, 6, 4)
+    assert r["mean"] == 3.0
+    assert r["stddev"] == math.sqrt(4 * 50 - 12 * 12) / 4.0
+
+
+def test_band_histogram_bucket_rule_and_clamp(spark):
+    from gdal_spark.operators import raster as R
+
+    df = spark.createDataFrame(
+        [(i, 0, v) for i, v in enumerate([-3, 0, 9, 10, 19, 20, 99, 250])],
+        "gx bigint, gy bigint, value bigint")
+    # 10 buckets over [-0.5, 99.5): scale = 0.1... -> floor((v+0.5)*0.1)
+    h = {r["bucket"]: r["cnt"] for r in R.band_histogram(
+        df, vmin=-0.5, vmax=99.5, buckets=10).collect()}
+    assert len(h) == 10 and sum(h.values()) == 6  # -3 and 250 dropped
+    assert h[0] == 2   # 0 and 9
+    assert h[1] == 2   # 10 and 19
+    assert h[2] == 1   # 20
+    assert h[9] == 1   # 99
+    hc = {r["bucket"]: r["cnt"] for r in R.band_histogram(
+        df, vmin=-0.5, vmax=99.5, buckets=10,
+        include_out_of_range=True).collect()}
+    assert hc[0] == 3 and hc[9] == 2  # -3 clamps low, 250 clamps high
+    assert sum(hc.values()) == 8
