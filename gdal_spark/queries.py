@@ -5445,33 +5445,6 @@ def sql_overview_suite() -> str:
     )
 
 
-def q_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdalinfo -stats (ComputeStatistics integer path,
-    gdalrasterband.cpp:6790-6804) over the 32x32 band mod 4096:
-    exact integer moments, one division + one sqrt (both IEEE
-    correctly-rounded, so cross-engine bit-exact)."""
-    band = raster.synth_band(spark, zoom=2, tile_px=8).select(
-        "gx", "gy", (F.col("value") % 4096).alias("value"))
-    return raster.band_statistics(band).select(
-        F.col("vmin").cast("double"), F.col("vmax").cast("double"),
-        "mean", "stddev")
-
-
-def sql_band_stats() -> str:
-    v = f"({_band_val_sql('r.range')}) % 4096"
-    return f"""
-WITH px AS (SELECT {v} AS value FROM range(1024) r),
-m AS (SELECT min(value) AS vmin, max(value) AS vmax,
-             count(*) AS n, CAST(sum(value) AS BIGINT) AS s,
-             CAST(sum(value * value) AS BIGINT) AS s2
-      FROM px)
-SELECT CAST(vmin AS DOUBLE) AS vmin, CAST(vmax AS DOUBLE) AS vmax,
-       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-       sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev
-FROM m
-"""
-
-
 _HIST_CFGS = [
     # (cfg, vmin, vmax, buckets, include_out_of_range, value modulus)
     (0, -0.5, 255.5, 256, False, 256),   # the GetDefaultHistogram shape
@@ -5533,7 +5506,6 @@ _RASTER_UTIL_PARTS = [
     ("pct", [], ["gx", "gy", "idx", "rgb"]),
     ("retile", [], ["tile", "ox", "oy", "value"]),
     ("checksum", [], ["band", "checksum"]),
-    ("band_stats", [], ["vmin", "vmax", "mean", "stddev"]),
     ("histogram", [], ["cfg", "bucket", "cnt"]),
 ]
 
@@ -5573,7 +5545,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
         "pct": q_pct_roundtrip, "retile": q_retile, "checksum": q_checksum,
-        "band_stats": q_band_stats, "histogram": q_band_histogram,
+        "histogram": q_band_histogram,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -5588,7 +5560,7 @@ def sql_raster_utility_suite() -> str:
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
         "pct": sql_pct_roundtrip, "retile": sql_retile, "checksum": sql_checksum,
-        "band_stats": sql_band_stats, "histogram": sql_band_histogram,
+        "histogram": sql_band_histogram,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
