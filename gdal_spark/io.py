@@ -123,11 +123,22 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{ty}.png")
         # atomic last-writer-wins: readers (and re-renders from a
-        # streaming micro-batch) never observe a truncated artifact
+        # streaming micro-batch) never observe a truncated artifact.
+        # mkstemp creates 0600 — restore world-readable artifact perms,
+        # and never leak the temp file into the served directory if the
+        # task dies mid-write
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".png.tmp")
-        with os.fdopen(fd, "wb") as f:
-            f.write(buf)
-        os.replace(tmp, path)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(buf)
+            os.chmod(tmp, 0o644)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return pd.DataFrame([{
             "tz": tz, "tx": tx, "ty": ty, "path": path,
             "nbytes": len(buf),

@@ -626,6 +626,13 @@ def cumulative_viewshed(band: DataFrame, *, width: int, spacing: int,
         & (F.col("gx") < width) & (F.col("gy") < height)
     ).select("gx", "gy", "value").collect()
     zmap = {(r["gx"], r["gy"]): float(r["value"]) for r in zrows}
+    # observers on nodata holes (absent band rows) contribute nothing,
+    # like the reference skipping cells it cannot read an elevation for
+    obs = [o for o in obs if o in zmap]
+    if not obs:
+        raise ValueError(
+            "cumulative_viewshed: no grid observer has an elevation "
+            f"value (spacing={spacing}, raster {width}x{height})")
     out = None
     for ox, oy in obs:
         v = viewshed(band, width=width, ox=ox, oy=oy,

@@ -862,21 +862,26 @@ def band_statistics(px: DataFrame, value_col: str = "value") -> DataFrame:
     path (gcore/gdalrasterband.cpp:6790-6804): exact integer moments
     (n, sum, sum-of-squares), mean = sum/n, and
     stddev = sqrt(n*sumsq - sum^2) / n — the reference does the
-    difference in 128-bit integers before ONE sqrt; here the int64
-    moments run under Spark's ANSI mode, so an overflow raises loudly
-    instead of silently wrapping (same policy as relational.summary).
-    Returns one row (vmin, vmax, n, mean, stddev)."""
+    difference in 128 bits (GDALUInt128), mirrored here with
+    decimal(38,0) moments so a 10^10-pixel 8-bit band cannot overflow
+    (n*s2 <= 65025*n^2 blows int64 past n ~ 3.8e8 — an ordinary
+    single scene; the same decimal discipline as the gate's
+    overview_suite band_stats tag). Returns one row
+    (vmin, vmax, n, mean, stddev)."""
     v = F.col(value_col).cast("long")
     agg = px.agg(
         F.min(v).alias("vmin"), F.max(v).alias("vmax"),
         F.count(v).alias("n"), F.sum(v).alias("s"),
-        F.sum(v * v).alias("s2"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("s2"),
     )
+    n = F.col("n")
+    m = (n.cast("decimal(38,0)") * F.col("s2")
+         - F.col("s").cast("decimal(38,0)") * F.col("s"))
     return agg.select(
         "vmin", "vmax", "n",
-        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean"),
-        (F.sqrt((F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
-                .cast("double")) / F.col("n").cast("double")).alias("stddev"),
+        (F.col("s").cast("double") / n.cast("double")).alias("mean"),
+        # reference op order: sqrt(double(128-bit difference)) / n
+        (F.sqrt(m.cast("double")) / n.cast("double")).alias("stddev"),
     )
 
 

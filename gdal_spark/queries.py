@@ -3237,9 +3237,9 @@ def q_viewshed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         band.select("gx", "gy", "value"), width=32,
         spacing=_CUMVS_SPACING, obs_height=2.0,
     ).withColumnRenamed("value", "v")
+    subs = {"normal": norm, "cumulative": cum}
     return _suite(
-        [("normal", norm, [], ["gx", "gy", "v"]),
-         ("cumulative", cum, [], ["gx", "gy", "v"])],
+        [(t, subs[t], sc, nc) for t, sc, nc in _VIEWSHED_PARTS],
         n_str=0, n_num=3,
     )
 
@@ -3259,9 +3259,9 @@ s AS (SELECT gx, gy, CAST(sum(vis) AS BIGINT) AS sv FROM obs GROUP BY 1, 2),
 m AS (SELECT max(sv) AS mx FROM s)
 SELECT gx, gy, CAST(floor((255.0 / mx) * sv) AS BIGINT) AS v FROM s, m
 """
+    subs = {"normal": norm, "cumulative": cum}
     return _suite_sql(
-        [("normal", norm, [], ["gx", "gy", "v"]),
-         ("cumulative", cum, [], ["gx", "gy", "v"])],
+        [(t, subs[t], sc, nc) for t, sc, nc in _VIEWSHED_PARTS],
         n_str=0, n_num=3,
     )
 
