@@ -4,7 +4,7 @@ VERDICT r2 flagged sub-3s per-query regressions in the shared-JVM
 suite bench (GC + broadcast-cache pressure from 8 added queries) and
 asked r3 to separate suite-crowding noise from real regressions.
 This tool runs each query in its OWN SparkSession/JVM (subprocess),
-warmup + best-of-2, and writes BENCH/bench_r3_isolated.json.
+warmup + best-of-2, and writes BENCH/bench_isolated.json (round-neutral; r3's record stays in bench_r3_isolated.json).
 
 Usage: python tools/bench_isolated.py [query ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -54,7 +54,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     names = sys.argv[1:] or DEFAULT
-    path0 = os.path.join(repo, "BENCH", "bench_r3_isolated.json")
+    path0 = os.path.join(repo, "BENCH", "bench_isolated.json")
     out: dict[str, float] = {}
     if os.path.exists(path0):  # merge: partial runs extend the record
         with open(path0) as f:
@@ -72,7 +72,7 @@ def main() -> None:
         rec = json.loads(line[-1])
         out[rec["query"]] = rec["sec"]
         print(f"{name}: {rec['sec']}s (isolated)")
-    path = os.path.join(repo, "BENCH", "bench_r3_isolated.json")
+    path = os.path.join(repo, "BENCH", "bench_isolated.json")
     with open(path, "w") as f:
         json.dump({"sf_dir": sf_dir, "cpus": int(cpus),
                    "mode": "one JVM per query, warmup + best-of-2",
