@@ -857,6 +857,98 @@ def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
 CHECKSUM_PRIMES = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
 
+def hsv_merge_stages(r: str = "r", g: str = "g", b: str = "b",
+                     v: str = "_v") -> list[tuple[str, str]]:
+    """`gdal raster color-merge` pixel math
+    (apps/gdalalg_raster_color_merge.cpp:130-229, itself derived from
+    the classic hsv_merge.py): RGB -> (hue, saturation), then rebuild
+    RGB with the VALUE channel replaced by the grayscale raster.
+    Replayed in the reference's FLOAT32 arithmetic — both Spark and
+    DuckDB keep FLOAT + and * in float32, so those stay bit-exact with
+    the C code; DIVISIONS are pinned to double-divide-then-round-to-
+    float in BOTH engines (Spark's Divide always widens float operands
+    to double while DuckDB divides REALs natively — without the pin the
+    engines disagree on ~0.4% of pixels). The pinned form differs from
+    the reference only in the double-rounding window (~2^-29 per
+    quotient — no fixture pixel hits it; documented trade).
+
+    Returns an ordered [(column, sql_expr)] list; each expr may
+    reference earlier columns. Final columns: r2, g2, b2 (ints)."""
+    import numpy as np
+
+    def fl(x):
+        return f"CAST({x} AS FLOAT)"
+
+    def fdiv(a, b):
+        return f"CAST((CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE)) AS FLOAT)"
+
+    fh4 = repr(float(np.float32(4.0) / np.float32(6.0)))
+    fh2 = repr(float(np.float32(2.0) / np.float32(6.0)))
+    one = fl("1")
+    half = fl("0.5")
+
+    def choose(a0, a1, a2, a3, a4, a5):
+        return (f"(CASE _hi WHEN 0 THEN {a0} WHEN 1 THEN {a1} "
+                f"WHEN 2 THEN {a2} WHEN 3 THEN {a3} WHEN 4 THEN {a4} "
+                f"ELSE {a5} END)")
+
+    return [
+        ("_maxc", f"greatest({r}, {g}, {b})"),
+        ("_delta", f"(_maxc - least({r}, {g}, {b}))"),
+        ("_s", fdiv("_delta", "greatest(1, _maxc)")),
+        ("_den6", f"(CASE WHEN _delta = 0 THEN {fl('1')} "
+                  f"ELSE {fl('6')} * {fl('_delta')} END)"),
+        # hue: b-branch first, then g, else the r-branch with its
+        # negative-wrap fix (color_merge.cpp:168-178)
+        ("_hq", f"(CASE WHEN _maxc = {b} THEN {fdiv(f'({r} - {g})', '_den6')} "
+                f"WHEN _maxc = {g} THEN {fdiv(f'({b} - {r})', '_den6')} "
+                f"ELSE {fdiv(f'({g} - {b})', '_den6')} END)"),
+        ("_h", f"(CASE WHEN _maxc = {b} THEN {fl(fh4)} + _hq "
+               f"WHEN _maxc = {g} THEN {fl(fh2)} + _hq "
+               f"WHEN _hq < {fl('0')} THEN _hq + {one} "
+               f"ELSE _hq END)"),
+        ("_s6h", f"({fl('6')} * _h)"),
+        ("_hi", "CAST(floor(_s6h) AS INT)"),
+        ("_hf", f"(_s6h - {fl('_hi')})"),
+        ("_p", f"CAST(floor({fl(v)} * ({one} - _s) + {half}) AS INT)"),
+        ("_q", f"CAST(floor({fl(v)} * ({one} - _s * _hf) + {half}) AS INT)"),
+        ("_t", f"CAST(floor({fl(v)} * ({one} - _s * ({one} - _hf)) + {half}) AS INT)"),
+        ("r2", choose(v, "_q", "_p", "_p", "_t", v)),
+        ("g2", choose("_t", v, v, "_q", "_p", "_p")),
+        ("b2", choose("_p", "_p", "_t", v, v, "_q")),
+    ]
+
+
+def hsv_color_merge(color: DataFrame, gray: DataFrame) -> DataFrame:
+    """Join the RGB raster with the grayscale raster on (gx, gy) and
+    apply the reference's HSV merge (hsv_merge_stages) — pure
+    whole-stage-codegen column math, no Python. color: (gx, gy, r, g,
+    b); gray: (gx, gy, value). Returns (gx, gy, r2, g2, b2)."""
+    out = color.join(gray.withColumnRenamed("value", "_v"), ["gx", "gy"])
+    for name, expr in hsv_merge_stages():
+        out = out.withColumn(name, F.expr(expr))
+    return out.select(
+        "gx", "gy",
+        F.col("r2").cast("long").alias("r2"),
+        F.col("g2").cast("long").alias("g2"),
+        F.col("b2").cast("long").alias("b2"),
+    )
+
+
+def hsv_merge_sql_ctes(src: str, *, keep: str = "gx, gy") -> str:
+    """DuckDB CTE chain replaying hsv_merge_stages over `src`(keep, r,
+    g, b, _v); final CTE `hsv_out` (keep, r2, g2, b2)."""
+    stages = hsv_merge_stages()
+    ctes = []
+    prev = src
+    for k, (name, expr) in enumerate(stages):
+        cte = f"hsv_{k}"
+        ctes.append(f"{cte} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = cte
+    ctes.append(f"hsv_out AS (SELECT {keep}, r2, g2, b2 FROM {prev})")
+    return ",\n".join(ctes)
+
+
 def band_statistics(px: DataFrame, value_col: str = "value") -> DataFrame:
     """gdalinfo -stats / GDALRasterBand::ComputeStatistics, integer
     path (gcore/gdalrasterband.cpp:6790-6804): exact integer moments

@@ -5494,6 +5494,52 @@ FROM range({nb}) b LEFT JOIN (
     return " UNION ALL ".join(parts)
 
 
+_CM_SALTS = (411, 412, 413, 414)  # r, g, b, gray
+
+
+def q_color_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal raster color-merge`
+    (apps/gdalalg_raster_color_merge.cpp:130-229): HSV merge of an RGB
+    raster with a grayscale VALUE raster, in the reference's exact
+    float32 arithmetic — pure codegen column math in Spark, bit-exact
+    float32 replay in the oracle (both engines keep FLOAT ops in
+    float32). Channels packed as r*65536 + g*256 + b."""
+    sr, sg, sb, sv = _CM_SALTS
+    base = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("gx"),
+        (F.col("id") / 32).cast("bigint").alias("gy"),
+        F.col("id").alias("pid"))
+    color = base.select(
+        "gx", "gy",
+        (raster._hash_col(F.col("pid"), sr) % 256).alias("r"),
+        (raster._hash_col(F.col("pid"), sg) % 256).alias("g"),
+        (raster._hash_col(F.col("pid"), sb) % 256).alias("b"))
+    gray = base.select(
+        "gx", "gy", (raster._hash_col(F.col("pid"), sv) % 256).alias("value"))
+    out = raster.hsv_color_merge(color, gray)
+    return out.select(
+        "gx", "gy",
+        (F.col("r2") * 65536 + F.col("g2") * 256 + F.col("b2")).alias("rgb"))
+
+
+def sql_color_merge() -> str:
+    sr, sg, sb, sv = _CM_SALTS
+
+    def hv(salt: int) -> str:
+        return (f"((((r.range % {M31}) * {A} + {salt}) % {M31} * {A} "
+                f"+ {salt * 7 + 13}) % {M31}) % 256")
+
+    src = (f"SELECT r.range % 32 AS gx, r.range // 32 AS gy, "
+           f"{hv(sr)} AS r, {hv(sg)} AS g, {hv(sb)} AS b, {hv(sv)} AS _v "
+           f"FROM range(1024) r")
+    ctes = raster.hsv_merge_sql_ctes("cm_src")
+    return f"""
+WITH cm_src AS ({src}),
+{ctes}
+SELECT gx, gy, r2 * 65536 + g2 * 256 + b2 AS rgb FROM hsv_out
+"""
+
+
 _RASTER_UTIL_PARTS = [
     ("sieve", [], ["px", "py", "value"]),
     ("calc", [], ["gx", "gy", "value"]),
@@ -5507,6 +5553,7 @@ _RASTER_UTIL_PARTS = [
     ("retile", [], ["tile", "ox", "oy", "value"]),
     ("checksum", [], ["band", "checksum"]),
     ("histogram", [], ["cfg", "bucket", "cnt"]),
+    ("color_merge", [], ["gx", "gy", "rgb"]),
 ]
 
 
@@ -5545,7 +5592,7 @@ def q_raster_utility_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack_resize": q_raster_stack_resize, "fill_nodata": q_fill_nodata,
         "pansharpen": q_pansharpen, "nearblack": q_nearblack,
         "pct": q_pct_roundtrip, "retile": q_retile, "checksum": q_checksum,
-        "histogram": q_band_histogram,
+        "histogram": q_band_histogram, "color_merge": q_color_merge,
     }
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],
@@ -5560,7 +5607,7 @@ def sql_raster_utility_suite() -> str:
         "stack_resize": sql_raster_stack_resize, "fill_nodata": sql_fill_nodata,
         "pansharpen": sql_pansharpen, "nearblack": sql_nearblack,
         "pct": sql_pct_roundtrip, "retile": sql_retile, "checksum": sql_checksum,
-        "histogram": sql_band_histogram,
+        "histogram": sql_band_histogram, "color_merge": sql_color_merge,
     }
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _RASTER_UTIL_PARTS],

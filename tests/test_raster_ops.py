@@ -199,3 +199,60 @@ def test_band_histogram_bucket_rule_and_clamp(spark):
         include_out_of_range=True).collect()}
     assert hc[0] == 3 and hc[9] == 2  # -3 clamps low, 250 clamps high
     assert sum(hc.values()) == 8
+
+
+def test_hsv_color_merge_matches_float32_reference(spark):
+    """hsv_color_merge vs a numpy float32 transcription of the
+    reference's rgb_to_hs/hsv_to_rgb (color_merge.cpp:130-229), with
+    divisions pinned to double-then-float like the engine."""
+    import numpy as np
+
+    from gdal_spark.operators import raster as R
+
+    f32 = np.float32
+
+    def fdiv(a, b):
+        return f32(np.float64(a) / np.float64(b))
+
+    def ref(r, g, b, v):
+        maxc, minc = max(r, g, b), min(r, g, b)
+        d = maxc - minc
+        s = fdiv(d, max(1, maxc))
+        den6 = f32(1.0) if d == 0 else f32(6.0) * f32(d)
+        if maxc == b:
+            h = f32(4.0) / f32(6.0) + fdiv(r - g, den6)
+        elif maxc == g:
+            h = f32(2.0) / f32(6.0) + fdiv(b - r, den6)
+        else:
+            tmp = fdiv(g - b, den6)
+            h = tmp + f32(1.0) if tmp < 0 else tmp
+        i = int(f32(6.0) * h)
+        f = f32(6.0) * h - f32(i)
+        p = int(f32(v) * (f32(1.0) - s) + f32(0.5))
+        q = int(f32(v) * (f32(1.0) - s * f) + f32(0.5))
+        t = int(f32(v) * (f32(1.0) - s * (f32(1.0) - f)) + f32(0.5))
+        ch = lambda a: a[min(i, 5)]
+        return (ch((v, q, p, p, t, v)), ch((t, v, v, q, p, p)),
+                ch((p, p, t, v, v, q)))
+
+    rng = np.random.RandomState(11)
+    n = 400
+    rr = rng.randint(0, 256, n)
+    gg = rng.randint(0, 256, n)
+    bb = rng.randint(0, 256, n)
+    vv = rng.randint(0, 256, n)
+    # force edge cases: gray pixel (delta 0), saturated primaries, ties
+    rr[:6] = [100, 255, 0, 7, 7, 200]
+    gg[:6] = [100, 0, 255, 7, 200, 200]
+    bb[:6] = [100, 0, 0, 7, 200, 7]
+    color = spark.createDataFrame(
+        [(i, 0, int(rr[i]), int(gg[i]), int(bb[i])) for i in range(n)],
+        "gx bigint, gy bigint, r bigint, g bigint, b bigint")
+    gray = spark.createDataFrame(
+        [(i, 0, int(vv[i])) for i in range(n)],
+        "gx bigint, gy bigint, value bigint")
+    out = {r["gx"]: (r["r2"], r["g2"], r["b2"])
+           for r in R.hsv_color_merge(color, gray).collect()}
+    for i in range(n):
+        assert out[i] == ref(int(rr[i]), int(gg[i]), int(bb[i]),
+                             int(vv[i])), i
