@@ -857,6 +857,22 @@ def scale_values(band: DataFrame, *, gain: float, offset: float) -> DataFrame:
 CHECKSUM_PRIMES = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
 
 
+def nodata_to_alpha(px: DataFrame, nodata, bands: list[str]) -> DataFrame:
+    """`gdal raster nodata-to-alpha`
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append an alpha band
+    that is 0 where EVERY band equals its nodata value and 255
+    elsewhere (the reference exposes nodata as transparency and drops
+    the nodata metadata). `nodata` is a scalar applied to all bands or
+    a per-band list. Pure codegen projection."""
+    nd = nodata if isinstance(nodata, (list, tuple)) else [nodata] * len(bands)
+    cond = None
+    for c, v in zip(bands, nd):
+        e = F.col(c) == F.lit(v)
+        cond = e if cond is None else (cond & e)
+    return px.withColumn(
+        "alpha", F.when(cond, F.lit(0)).otherwise(F.lit(255)).cast("long"))
+
+
 def hsv_merge_stages(r: str = "r", g: str = "g", b: str = "b",
                      v: str = "_v") -> list[tuple[str, str]]:
     """`gdal raster color-merge` pixel math

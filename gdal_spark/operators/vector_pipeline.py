@@ -823,8 +823,8 @@ class VectorPipeline:
     clip_dst (ogr2ogr_lib.cpp:6902-7243)."""
 
     _GEOM_ORDER = ["explode_collections", "buffer", "segmentize", "simplify",
-                   "clip_src", "reproject", "clip_dst", "make_valid",
-                   "wrapdateline"]
+                   "simplify_coverage", "clip_src", "reproject", "clip_dst",
+                   "make_valid", "wrapdateline"]
 
     def __init__(self, df: DataFrame):
         self.df = df
@@ -860,6 +860,12 @@ class VectorPipeline:
         # GEOS-checked variant (ogrgeometry.cpp:6362 vs :6422)
         fn = simplify_preserve_topology if preserve_topology else simplify
         self._stages["simplify"] = lambda d: fn(d, tolerance)
+        return self
+
+    def simplify_coverage(self, tolerance: float,
+                          preserve_boundary: bool = False):
+        self._stages["simplify_coverage"] = lambda d: simplify_coverage(
+            d, tolerance, preserve_boundary=preserve_boundary)
         return self
 
     def clip_src(self, *rect):

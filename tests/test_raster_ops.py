@@ -256,3 +256,19 @@ def test_hsv_color_merge_matches_float32_reference(spark):
     for i in range(n):
         assert out[i] == ref(int(rr[i]), int(gg[i]), int(bb[i]),
                              int(vv[i])), i
+
+
+def test_nodata_to_alpha(spark):
+    from gdal_spark.operators import raster as R
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0, 0), (1, 0, 0, 0, 7), (2, 0, 10, 20, 30)],
+        "gx bigint, gy bigint, r bigint, g bigint, b bigint")
+    out = {r["gx"]: r["alpha"] for r in
+           R.nodata_to_alpha(df, 0, ["r", "g", "b"]).collect()}
+    # transparent only where EVERY band is nodata
+    assert out == {0: 0, 1: 255, 2: 255}
+    # per-band nodata list
+    out2 = {r["gx"]: r["alpha"] for r in
+            R.nodata_to_alpha(df, [10, 20, 30], ["r", "g", "b"]).collect()}
+    assert out2 == {0: 255, 1: 255, 2: 0}

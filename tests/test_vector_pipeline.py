@@ -343,3 +343,15 @@ def test_simplify_preserve_topology_bulk_properties(spark):
             # MORE vertices (a flatten can cross a segment DP later
             # removed) but never fewer
             assert len(tx) >= len(dx)
+
+
+def test_pipeline_simplify_coverage_step(spark):
+    # the r4 simplify-coverage verb is reachable from the pipeline
+    # builder like every other step
+    from gdal_spark.operators.vector_pipeline import VectorPipeline
+
+    d = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0, 2.0, 0.0], [0.0, 0.1, 0.0, 2.0, 2.0])],
+        "poly_id bigint, xs array<double>, ys array<double>")
+    out = VectorPipeline(d).simplify_coverage(0.5).build().collect()[0]
+    assert len(out["xs"]) == 4  # the 0.1 midpoint bump collapses
