@@ -91,6 +91,14 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
     manifest (tz, tx, ty, path, nbytes, crc32) for verification and
     downstream indexing.
 
+    Shared-filesystem requirement: tasks write with os.makedirs /
+    os.replace on the EXECUTOR-local view of `out_dir`, so on a real
+    multi-node cluster `out_dir` must be a shared mount (NFS, Lustre,
+    a FUSE-mounted object store); otherwise tiles scatter across
+    worker-local disks. For plain object stores without a POSIX
+    mount, swap the write_group body for the store's SDK put — the
+    Spark plan (group → encode → per-task put) is unchanged.
+
     Eager (an action runs inside): the write is the side effect.
     """
     import numpy as np

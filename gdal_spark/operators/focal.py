@@ -994,7 +994,13 @@ def idw_grid(points: DataFrame, *, cell: float, power: int = 2,
     # exactly like the reference).
     thr = 1e-13 - float(smoothing) * float(smoothing)
     if thr > 0.0:
-        exact = F.expr(f"filter(pts, s -> s._d2 < {thr!r})")
+        # tie-break by pid (GDAL scans points in order and returns on the
+        # FIRST sub-threshold hit, alg/gdalgrid.cpp:162) — pts may be sorted
+        # by (_d2, pid) when max_points>0, so take min-pid explicitly rather
+        # than the nearest element.
+        exact = F.expr(
+            f"transform(filter(pts, s -> s._d2 < {thr!r}),"
+            " s -> struct(s.pid as pid, s._v as _v))")
         val = F.when(F.size(exact) > 0,
-                     F.element_at(exact, 1)["_v"].cast("double")).otherwise(val)
+                     F.array_min(exact)["_v"].cast("double")).otherwise(val)
     return agg.select("i", "j", val.alias("value"))

@@ -592,10 +592,23 @@ def _grouped_shuffle_pip(
     keep_poly: list[str],
     geom_cols: tuple[str, ...] = ("xs", "ys"),
     mask_fn=_ring_mask,
+    n_salt: int = 0,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """Exact PIP stage for the no-broadcast regime: ship each polygon's
     geometry ONCE PER (cell, poly_id) GROUP instead of once per
     candidate row.
+
+    Salt arm (n_salt > 1): a hot (cell, poly_id) key — one big polygon
+    capturing most candidates in a dense cell — would otherwise pin one
+    cogroup task. Candidates get `_salt = hash(lon, lat) % n_salt` and
+    the geometry row is REPLICATED once per salt on the cogroup's other
+    side, splitting the group across n_salt tasks at the cost of
+    n_salt-1 extra geometry copies per salted key. With
+    `salt_threshold` set, one cheap count-aggregation finds the keys
+    with more than `salt_threshold` candidates and only THOSE are
+    salted (geometry volume for cold keys unchanged); without it every
+    key salts — the forced-on mode the correctness gate uses.
 
     Plan: cell equi-join against the geometry-free cover (cell,
     poly_id, envelope) -> JVM envelope short-circuit -> cogroup
@@ -641,6 +654,44 @@ def _grouped_shuffle_pip(
         *geom_cols,
     )
 
+    cand_keys = ["cell", "poly_id"]
+    geom_keys = ["r_cell", "r_poly_id"]
+    if n_salt > 1:
+        if salt_threshold is not None:
+            # one count-agg over the (already envelope-filtered)
+            # candidates; the hot set is tiny by definition, so the
+            # driver-side collect is bounded and the isin compiles to a
+            # literal JVM set on both cogroup inputs
+            hot = [
+                int(r[0]) for r in (
+                    cand.groupBy("cell", "poly_id").count()
+                    .filter(F.col("count") > int(salt_threshold))
+                    .select(F.xxhash64("cell", "poly_id")).collect()
+                )
+            ]
+            cand_hot = (F.xxhash64("cell", "poly_id").isin(hot)
+                        if hot else F.lit(False))
+            geom_hot = (F.xxhash64("r_cell", "r_poly_id").isin(hot)
+                        if hot else F.lit(False))
+        else:
+            cand_hot = geom_hot = F.lit(True)
+        cand = cand.withColumn(
+            "_salt",
+            F.when(cand_hot,
+                   (F.abs(F.xxhash64(lon, lat)) % n_salt).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        geoms = geoms.withColumn(
+            "_salt",
+            F.explode(
+                F.when(geom_hot,
+                       F.sequence(F.lit(0), F.lit(int(n_salt) - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        cand_keys = cand_keys + ["_salt"]
+        geom_keys = geom_keys + ["_salt"]
+
     out_cols = list(dict.fromkeys(keep + keep_poly))
     cand_schema = {f.name: f for f in cand.schema.fields}
     missing = [c for c in out_cols if c not in cand_schema]
@@ -661,8 +712,8 @@ def _grouped_shuffle_pip(
         return cand_pdf.loc[mask, out_cols]
 
     return (
-        cand.groupBy("cell", "poly_id")
-        .cogroup(geoms.groupBy("r_cell", "r_poly_id"))
+        cand.groupBy(*cand_keys)
+        .cogroup(geoms.groupBy(*geom_keys))
         .applyInPandas(exact, out_schema)
     )
 
@@ -679,6 +730,7 @@ def spatial_join_points_in_polygons(
     hot_cells: list[int] | None = None,
     keep_point_cols: list[str] | None = None,
     keep_poly_cols: list[str] | None = None,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """points ⋈ polygons with PIP predicate.
 
@@ -690,13 +742,17 @@ def spatial_join_points_in_polygons(
     """
     pts = assign_cell(points, lon, lat, res)
 
-    if strategy in ("shuffle", "grouped"):
+    if strategy in ("shuffle", "grouped", "grouped_salted"):
         # no-broadcast regime: grouped-shuffle exact stage (ring ships
-        # once per (cell, poly_id) group — see _grouped_shuffle_pip)
+        # once per (cell, poly_id) group — see _grouped_shuffle_pip).
+        # 'grouped_salted' splits hot (cell, poly_id) cogroups across
+        # n_salt tasks (all keys, or only those above salt_threshold).
         keep = keep_point_cols or [c for c in points.columns]
         keep_poly = keep_poly_cols or ["poly_id"]
         return _grouped_shuffle_pip(
-            pts, cover, lon=lon, lat=lat, keep=keep, keep_poly=keep_poly
+            pts, cover, lon=lon, lat=lat, keep=keep, keep_poly=keep_poly,
+            n_salt=n_salt if strategy == "grouped_salted" else 0,
+            salt_threshold=salt_threshold,
         )
 
     if strategy == "jvm":

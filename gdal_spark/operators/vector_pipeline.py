@@ -716,7 +716,9 @@ def simplify_coverage(df: DataFrame, tolerance: float, *,
     edge_keep = [poly_id, xs, ys]
 
     def fmt(c):
-        return F.format_number(F.round(c, decimals), decimals)
+        # %.Nf via format_string: no locale thousands-grouping commas, so
+        # the comma-joined endpoint key stays unambiguous by construction
+        return F.format_string(f"%.{int(decimals)}f", F.round(c, decimals))
 
     # --- stage 1: edge table with canonical endpoint keys
     n_edges = F.when(

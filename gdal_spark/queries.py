@@ -459,19 +459,24 @@ def q_spatial_join_bigring(spark: SparkSession, sf_dir: str) -> DataFrame:
     through BOTH exact-stage engines — the broadcast-dict Arrow PIP
     (rings cross once per executor, 8 B/candidate) and the grouped
     cogroup PIP (no-broadcast regime: rings ship once per
-    (cell, poly_id) group). One oracle replays the crossing rule
-    (ogrlinearring.cpp:503-531) over all 4096 edges; both engine tags
-    must produce the identical row set."""
+    (cell, poly_id) group) — plus (r5) the SALTED grouped form with
+    salting forced on for every key (n_salt=4), which replicates each
+    4096-vertex ring per salt and splits each cogroup four ways. One
+    oracle replays the crossing rule (ogrlinearring.cpp:503-531) over
+    all 4096 edges; all three engine tags must produce the identical
+    row set."""
     pts = _points(spark, sf_dir)
     cov = polygons.countries64_dense_cover(spark, res=6, nv=BIGRING_NV)
     out = []
-    for tag, st in (("dict", "broadcast"), ("grouped", "shuffle")):
+    for tag, st in (("dict", "broadcast"), ("grouped", "shuffle"),
+                    ("salted", "grouped_salted")):
         out.append(
             spatial_join_points_in_polygons(
-                pts, cov, res=6, strategy=st, keep_point_cols=["id"]
+                pts, cov, res=6, strategy=st, n_salt=4,
+                keep_point_cols=["id"],
             ).select("id", "poly_id", F.lit(tag).alias("engine"))
         )
-    return out[0].unionByName(out[1])
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 def sql_spatial_join_bigring() -> str:
@@ -484,6 +489,8 @@ WITH hits AS ({inner})
 SELECT id, poly_id, 'dict' AS engine FROM hits
 UNION ALL
 SELECT id, poly_id, 'grouped' AS engine FROM hits
+UNION ALL
+SELECT id, poly_id, 'salted' AS engine FROM hits
 """
 
 

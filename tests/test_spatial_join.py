@@ -73,6 +73,31 @@ def test_salted_matches_oracle_on_skewed_polygons(spark, oracle_skew):
     assert got == oracle_skew
 
 
+def test_grouped_salted_all_keys_matches_oracle(spark, oracle_plain):
+    """Salting forced on for every (cell, poly_id) cogroup key: the
+    geometry row replicates per salt and the result set is unchanged."""
+    assert _engine_pairs(spark, "grouped_salted", n_salt=4) == oracle_plain
+
+
+def test_grouped_salted_hot_threshold_matches_oracle(spark, oracle_skew):
+    """Hot-only salting: one count-agg finds (cell, poly_id) keys above
+    the threshold; only those split across salts. The skewed fixture
+    (poly 0 blown up to grab a large candidate share) exercises both
+    the salted and unsalted key paths in one run."""
+    got = _engine_pairs(spark, "grouped_salted", skew=True,
+                        n_salt=4, salt_threshold=50)
+    assert got == oracle_skew
+
+
+def test_grouped_salted_threshold_never_hot_matches_oracle(spark, oracle_plain):
+    """Threshold above every group size: the hot set is empty, every
+    key keeps salt 0, and the plan degrades to the plain grouped
+    cogroup (the isin-on-empty-set edge)."""
+    got = _engine_pairs(spark, "grouped_salted",
+                        n_salt=4, salt_threshold=10**9)
+    assert got == oracle_plain
+
+
 def test_every_point_in_at_most_one_plain_polygon(spark, oracle_plain):
     from collections import Counter
 

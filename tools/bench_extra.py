@@ -1,0 +1,92 @@
+"""Bench-only query constructors shared by tools/bench_isolated.py.
+
+The driver-contract registry (`__spark_entry__.queries()`) is capped at
+50 oracle-gated slots, so bench-only workloads — the headline
+north-star pipeline and the skew/ablation arms — live here instead.
+Each entry has the same (spark, sf_dir) -> DataFrame signature as a
+registry query, so the isolated harness treats both uniformly.
+
+Entries:
+  headline_join_tile         the north-star workload (spatial join +
+                             tile assignment over the synthesized
+                             interleaved-doc table), pure-JVM HOF
+                             exact stage — same plan bench.py times
+  headline_join_tile_arrow   broadcast-dict Arrow exact-stage twin
+  spatial_join_bigpoly_skew_grouped  4096-vertex cover with polygon 0
+                             inflated to hold the dominant candidate
+                             share, UNSALTED grouped cogroup (the hot
+                             cogroup pins one task — the control)
+  spatial_join_bigpoly_skew_salted   same input through the salted
+                             grouped path (hot keys auto-detected via
+                             salt_threshold, geometry replicated per
+                             salt) — VERDICT r4 item 4's criterion is
+                             this arm within 2x of the UNSKEWED
+                             spatial_join_bigpoly_grouped run
+"""
+from __future__ import annotations
+
+import os
+
+
+def _doc_path(spark, n_docs: int) -> str:
+    """Same materialized synthetic-doc cache bench.py uses."""
+    from gdal_spark.sources import docs
+
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench_cache")
+    p = os.path.join(cache, f"docs_{n_docs}.parquet")
+    if not os.path.exists(p):
+        docs.synth_docs(spark, n_docs, partitions=64).write.mode(
+            "overwrite").parquet(p)
+    return p
+
+
+def _headline(strategy: str):
+    def run(spark, sf_dir):
+        from gdal_spark.operators import tiling
+        from gdal_spark.operators.spatial_join import (
+            spatial_join_points_in_polygons,
+        )
+        from gdal_spark.sources import polygons
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+        d = spark.read.parquet(_doc_path(spark, n_docs))
+        cov = polygons.countries64_cover(spark, res=6)
+        joined = spatial_join_points_in_polygons(
+            d, cov, res=6, strategy=strategy,
+            keep_point_cols=["doc_id", "doc_index", "spans", "lon", "lat"],
+        )
+        tiled = tiling.assign_tiles(joined, zoom=12)
+        return tiled.select(
+            "doc_id", "spans", "poly_id", "tx", "ty_xyz", "quadkey")
+    return run
+
+
+def _bigpoly(strategy: str, skew: bool, **kw):
+    def run(spark, sf_dir):
+        from gdal_spark.operators.spatial_join import (
+            spatial_join_points_in_polygons,
+        )
+        from gdal_spark.sources import polygons
+
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        dense = polygons.countries64_dense_cover(
+            spark, res=6, nv=4096, skew_poly0=skew)
+        pts = (
+            spark.read.parquet(_doc_path(spark, 2000000))
+            .limit(100_000).repartition(cpus)
+        )
+        return spatial_join_points_in_polygons(
+            pts, dense, res=6, strategy=strategy,
+            keep_point_cols=["doc_id"], **kw,
+        )
+    return run
+
+
+EXTRA = {
+    "headline_join_tile": _headline("jvm"),
+    "headline_join_tile_arrow": _headline("broadcast"),
+    "spatial_join_bigpoly_grouped": _bigpoly("shuffle", skew=False),
+    "spatial_join_bigpoly_skew_grouped": _bigpoly("shuffle", skew=True),
+    "spatial_join_bigpoly_skew_salted": _bigpoly(
+        "grouped_salted", skew=True, n_salt=8, salt_threshold=2000),
+}

@@ -17,9 +17,13 @@ import os
 import subprocess
 import sys
 
-DEFAULT = ["tile_assign_suite", "pyramid_counts", "spatial_join",
+DEFAULT = ["headline_join_tile", "headline_join_tile_arrow",
+           "tile_assign_suite", "pyramid_counts", "spatial_join",
            "spatial_join_wkb", "spatial_join_bigring", "rasterize_suite",
-           "overview_suite", "similarity_topk", "knn", "minhash_lsh"]
+           "overview_suite", "similarity_topk", "knn", "minhash_lsh",
+           "spatial_join_bigpoly_grouped",
+           "spatial_join_bigpoly_skew_grouped",
+           "spatial_join_bigpoly_skew_salted"]
 
 WORKER = r"""
 import json, os, sys, time
@@ -38,7 +42,12 @@ def force(df):
         F.count("*").alias("n"),
     ).collect()[0]
 
-fn = E.queries()[name]
+qs = E.queries()
+if name in qs:
+    fn = qs[name]
+else:
+    from tools.bench_extra import EXTRA   # bench-only workloads
+    fn = EXTRA[name]
 force(fn(spark, sf_dir))          # warmup: codegen + UDF worker pool
 best = float("inf")
 for _ in range(2):

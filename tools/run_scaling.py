@@ -121,6 +121,13 @@ the same plan adds only O(log n_executors) broadcast fan-out.
     if os.path.exists(path):
         with open(path) as f:
             prior = f.read().strip()
+    # drop any previously-quoted superseded section so repeated runs do not
+    # nest blockquotes recursively — only the latest real record is re-quoted
+    cut = prior.find("## Superseded earlier record")
+    if cut != -1:
+        prior = prior[:cut].rstrip()
+        if prior.endswith("---"):
+            prior = prior[: -3].rstrip()
     if prior:
         md += ("\n\n---\n\n## Superseded earlier record (kept for "
                "cross-round comparability)\n\n"
