@@ -486,7 +486,25 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
     elif mode == "DEM":
         out_schema += ", dem_min double"
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    kern = _sector_sweep_kernel(
+        W, H, curve_coeff=curve_coeff, cell_size=cell_size,
+        earth_diameter=earth_diameter, mode=mode)
+    return both.groupBy("sector").applyInPandas(
+        lambda p: kern(p, ox, oy, z_obs), out_schema)
+
+
+def _sector_sweep_kernel(W: int, H: int, *, curve_coeff: float,
+                         cell_size: float, earth_diameter: float,
+                         mode: str):
+    """The per-(observer, sector) numpy sweep, factored out of
+    viewshed() so cumulative_viewshed can run it keyed by observer in
+    ONE applyInPandas (observer rows, not per-observer subplans).
+    Returns run(pdf, ox, oy, z_obs) -> DataFrame(gx, gy, visible[,
+    ground_req | dem_min]); per-sample math identical to the inline r3
+    kernel (same op order as the SQL oracle)."""
+
+    def run(pdf: "pd.DataFrame", ox: int, oy: int,
+            z_obs: float) -> "pd.DataFrame":
         import numpy as np
         import pandas as pd
 
@@ -596,12 +614,13 @@ def viewshed(band: DataFrame, *, width: int, ox: int, oy: int,
             out["dem_min"] = np.maximum(demv, 0.0)
         return pd.DataFrame(out)
 
-    return both.groupBy("sector").applyInPandas(lambda p: run(p), out_schema)
+    return run
 
 
 def cumulative_viewshed(band: DataFrame, *, width: int, spacing: int,
                         obs_height: float = 2.0,
-                        height: int | None = None) -> DataFrame:
+                        height: int | None = None,
+                        n_sectors: int = 32) -> DataFrame:
     """Cumulative viewshed (alg/viewshed/cumulative.cpp): observers on
     a regular grid — every `spacing` pixels in x and y starting at 0
     (cumulative.cpp:66-67) — each a NORMAL viewshed with visibleVal
@@ -611,39 +630,82 @@ def cumulative_viewshed(band: DataFrame, *, width: int, spacing: int,
     zeros unscaled, which cannot happen since every observer sees its
     own pixel).
 
-    Distributed shape: observers fan out embarrassingly — one
-    sector-sweep viewshed subplan per observer, unioned; observer base
-    heights are prefetched in ONE pass (no per-observer driver probe);
-    then a single (gx, gy) groupBy sum and a broadcast scalar max for
-    the scale projection. At a 100k-observer scale each subplan is an
-    independent job — schedule observers as the parallel dimension.
-    Returns (gx, gy, value) with value in 0..255."""
+    Distributed shape (r5, replacing the per-observer subplan union):
+    observers are ROWS, not plans. The grid observers come straight
+    from the band (one filter — nodata holes never become observers,
+    like the reference skipping unreadable cells), broadcast onto the
+    band twice: once to sector-route every (pixel, observer) pair and
+    once to carve each observer's per-sector terrain wedge. ONE
+    applyInPandas keyed by (ox, oy, z_obs, sector) then runs the same
+    numpy sweep kernel per group, and one (gx, gy) groupBy sums
+    visibility. Driver plan-build cost is O(1) in observer count — at
+    the reference's 100k-observer regime (cumulative.cpp:66) the old
+    unionByName-of-subplans form would build (and schedule) 100k
+    separate plan arms. Returns (gx, gy, value) with value in 0..255."""
+    import math
+
     height = height if height is not None else width
-    obs = [(x, y) for x in range(0, width, spacing)
-           for y in range(0, height, spacing)]
-    zrows = band.filter(
+    W, H, S = width, height, int(n_sectors)
+    spark = band.sparkSession
+
+    obs = band.filter(
         (F.col("gx") % spacing == 0) & (F.col("gy") % spacing == 0)
         & (F.col("gx") < width) & (F.col("gy") < height)
-    ).select("gx", "gy", "value").collect()
-    zmap = {(r["gx"], r["gy"]): float(r["value"]) for r in zrows}
-    # observers on nodata holes (absent band rows) contribute nothing,
-    # like the reference skipping cells it cannot read an elevation for
-    obs = [o for o in obs if o in zmap]
-    if not obs:
+    ).select(
+        F.col("gx").alias("ox"), F.col("gy").alias("oy"),
+        (F.col("value").cast("double") + F.lit(float(obs_height)))
+        .alias("z_obs"),
+    )
+    if not obs.limit(1).count():
         raise ValueError(
             "cumulative_viewshed: no grid observer has an elevation "
             f"value (spacing={spacing}, raster {width}x{height})")
-    out = None
-    for ox, oy in obs:
-        v = viewshed(band, width=width, ox=ox, oy=oy,
-                     obs_height=obs_height, height=height,
-                     z_base=zmap[(ox, oy)])
-        one = v.select(
-            "gx", "gy",
-            F.when(F.col("visible"), F.lit(1)).otherwise(F.lit(0))
-            .cast("long").alias("vis"))
-        out = one if out is None else out.unionByName(one)
-    summed = out.groupBy("gx", "gy").agg(F.sum("vis").alias("v"))
+
+    # same wedge geometry as viewshed()
+    R0 = 16
+    PAD = math.atan2(2.2, R0 - 3.0)
+    half = math.pi / S
+    ang = (F.atan2(F.col("gy") - F.col("oy"), F.col("gx") - F.col("ox"))
+           + F.lit(math.pi))
+
+    pix = band.crossJoin(F.broadcast(obs)).select(
+        "ox", "oy", "z_obs",
+        F.least(F.floor(ang / F.lit(2.0 * math.pi / S)).cast("int"),
+                F.lit(S - 1)).alias("sector"),
+        F.lit(True).alias("is_pix"),
+        "gx", "gy", F.col("value").cast("double").alias("z"),
+    )
+
+    sec = spark.range(S).select(F.col("id").cast("int").alias("sector"))
+    ter0 = band.crossJoin(F.broadcast(obs)).crossJoin(F.broadcast(sec)).select(
+        "ox", "oy", "z_obs", "sector", F.lit(False).alias("is_pix"),
+        "gx", "gy", F.col("value").cast("double").alias("z"),
+        ang.alias("_ang"),
+        ((F.col("gx") - F.col("ox")) * (F.col("gx") - F.col("ox"))
+         + (F.col("gy") - F.col("oy")) * (F.col("gy") - F.col("oy")))
+        .alias("_r2"),
+    )
+    center = (F.col("sector").cast("double") + F.lit(0.5)) * F.lit(2.0 * math.pi / S)
+    _d = F.col("_ang") - center + F.lit(math.pi)
+    two_pi = F.lit(2.0 * math.pi)
+    wrap = ((_d % two_pi + two_pi) % two_pi) - F.lit(math.pi)
+    ter = ter0.filter(
+        (F.col("_r2") <= F.lit(R0 * R0)) | (F.abs(wrap) <= F.lit(half + PAD))
+    ).drop("_ang", "_r2")
+
+    both = pix.unionByName(ter)
+    kern = _sector_sweep_kernel(
+        W, H, curve_coeff=0.0, cell_size=1.0,
+        earth_diameter=12756274.0, mode="NORMAL")
+
+    def run_keyed(key, pdf):
+        return kern(pdf, int(key[0]), int(key[1]), float(key[2]))
+
+    vis = both.groupBy("ox", "oy", "z_obs", "sector").applyInPandas(
+        run_keyed, "gx bigint, gy bigint, visible boolean")
+    summed = vis.groupBy("gx", "gy").agg(
+        F.sum(F.when(F.col("visible"), F.lit(1)).otherwise(F.lit(0))
+              .cast("long")).alias("v"))
     mx = summed.agg(F.max("v").alias("mx"))
     return summed.crossJoin(F.broadcast(mx)).select(
         "gx", "gy",

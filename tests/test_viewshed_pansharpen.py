@@ -164,3 +164,29 @@ def test_cumulative_viewshed_wall_shadow(spark):
     # deep shadow just east of the wall vs open plain west of it
     assert got[(22, 12)] < got[(10, 12)]
     assert all(0 <= v <= 255 for v in got.values())
+
+
+def test_cumulative_viewshed_256_observers_plan_constant(spark):
+    """The 100k-observer regime proxy (alg/viewshed/cumulative.cpp:66):
+    observers are rows in ONE plan, so (a) driver plan-build work must
+    not scale with observer count — the optimized-plan node count at
+    256 observers equals the 4-observer count — and (b) the 256-observer
+    job actually runs, matching the flat-terrain invariant."""
+    from gdal_spark.operators import focal
+
+    W = 32
+    rows = [(x, y, 5) for y in range(W) for x in range(W)]
+    band = spark.createDataFrame(rows, "gx bigint, gy bigint, value bigint")
+
+    def plan_nodes(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return sum(1 for ln in plan.splitlines() if ln.strip())
+
+    few = focal.cumulative_viewshed(band, width=W, spacing=16)   # 4 obs
+    many = focal.cumulative_viewshed(band, width=W, spacing=2)   # 256 obs
+    assert plan_nodes(many) == plan_nodes(few)
+
+    got = {(r["gx"], r["gy"]): r["value"] for r in many.collect()}
+    # flat terrain: every observer sees every pixel -> all 255
+    assert len(got) == W * W
+    assert set(got.values()) == {255}
