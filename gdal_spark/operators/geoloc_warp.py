@@ -233,3 +233,86 @@ geoloc_fwd AS (
          (1.0 - fy) * (y00 + fx * (y10 - y00)) + fy * (y01 + fx * (y11 - y01)) AS geo_y
   FROM gl3
 )"""
+
+
+def swath_inverse_sql(src: str, *, geo_x: str = "gx", geo_y: str = "gy",
+                      keep: str = "id", n_iter: int = 8) -> str:
+    """DuckDB CTE chain replaying geoloc_inverse over the swath
+    fixture: the affine seed's span coefficients are Python-computed
+    literals (exactly the numpy values), each Newton step re-derives
+    the four corner values closed-form and applies the same Jacobian
+    update. Final CTE `geoloc_inv` (keep, pixel, line)."""
+    g = swath_fixture()
+    W, H = GRID_W, GRID_H
+    x00, y00 = g.glx[0, 0], g.gly[0, 0]
+    dxp = (g.glx[0, -1] - x00) / (W - 1)
+    dxl = (g.glx[-1, 0] - x00) / (H - 1)
+    dyp = (g.gly[0, -1] - y00) / (W - 1)
+    dyl = (g.gly[-1, 0] - y00) / (H - 1)
+    det = dxp * dyl - dxl * dyp
+
+    def glx(i, j):
+        return GLX_SQL.format(i=i, j=j)
+
+    def gly(i, j):
+        return GLY_SQL.format(i=i, j=j)
+
+    parts = [f"""
+gin0 AS (
+  SELECT {keep}, ({geo_x}) AS gx, ({geo_y}) AS gy,
+         ((({geo_x}) - {x00!r}) * {dyl!r} - (({geo_y}) - {y00!r}) * {dxl!r})
+           / {det!r} AS glp,
+         ((({geo_y}) - {y00!r}) * {dxp!r} - (({geo_x}) - {x00!r}) * {dyp!r})
+           / {det!r} AS gll
+  FROM {src}
+)"""]
+    for i in range(n_iter):
+        parts.append(f"""
+gin_a{i} AS (
+  SELECT {keep}, gx, gy, glp, gll,
+         CAST(floor(least(greatest(glp, 0.0), {float(W - 1)!r})) AS BIGINT) AS ix0,
+         CAST(floor(least(greatest(gll, 0.0), {float(H - 1)!r})) AS BIGINT) AS iy0
+  FROM gin{i}
+),
+gin_b{i} AS (
+  SELECT {keep}, gx, gy, glp, gll,
+         greatest(CASE WHEN ix0 >= {W - 1} THEN {W - 2} ELSE ix0 END, 0) AS ix,
+         greatest(CASE WHEN iy0 >= {H - 1} THEN {H - 2} ELSE iy0 END, 0) AS iy
+  FROM gin_a{i}
+),
+gin_c{i} AS (
+  SELECT {keep}, gx, gy, glp, gll, glp - ix AS fx, gll - iy AS fy,
+         {glx('ix', 'iy')} AS x00, {glx('ix + 1', 'iy')} AS x10,
+         {glx('ix', 'iy + 1')} AS x01, {glx('ix + 1', 'iy + 1')} AS x11,
+         {gly('ix', 'iy')} AS y00, {gly('ix + 1', 'iy')} AS y10,
+         {gly('ix', 'iy + 1')} AS y01, {gly('ix + 1', 'iy + 1')} AS y11
+  FROM gin_b{i}
+),
+gin_d{i} AS (
+  SELECT {keep}, gx, gy, glp, gll,
+         (1.0 - fy) * (x00 + fx * (x10 - x00))
+           + fy * (x01 + fx * (x11 - x01)) AS bx,
+         (1.0 - fy) * (y00 + fx * (y10 - y00))
+           + fy * (y01 + fx * (y11 - y01)) AS by,
+         (1.0 - fy) * (x10 - x00) + fy * (x11 - x01) AS jxp,
+         (x01 + fx * (x11 - x01)) - (x00 + fx * (x10 - x00)) AS jxl,
+         (1.0 - fy) * (y10 - y00) + fy * (y11 - y01) AS jyp,
+         (y01 + fx * (y11 - y01)) - (y00 + fx * (y10 - y00)) AS jyl
+  FROM gin_c{i}
+),
+gin{i + 1} AS (
+  SELECT {keep}, gx, gy,
+         glp - ((bx - gx) * jyl - (by - gy) * jxl)
+               / (jxp * jyl - jxl * jyp) AS glp,
+         gll - ((by - gy) * jxp - (bx - gx) * jyp)
+               / (jxp * jyl - jxl * jyp) AS gll
+  FROM gin_d{i}
+)""")
+    parts.append(f"""
+geoloc_inv AS (
+  SELECT {keep},
+         (glp + 0.5) * {PIXEL_STEP!r} AS pixel,
+         (gll + 0.5) * {LINE_STEP!r} AS line
+  FROM gin{n_iter}
+)""")
+    return ",".join(p.strip() for p in parts)

@@ -98,21 +98,23 @@ def rpc_forward(rpc: RPC, lon, lat, height=0.0):
             y * rpc.line_scale + rpc.line_off + 0.5)
 
 
-def rpc_affine(rpc: RPC) -> tuple[float, ...]:
+def rpc_affine(rpc: RPC, ref_z: float = 0.0) -> tuple[float, ...]:
     """The pixel/line -> lon/lat linear approximation GDAL seeds the
     inverse with (gdal_rpc.cpp:1040-1086): finite-difference affine
-    around (LONG_OFF, LAT_OFF, refZ=0), inverted exactly like
-    GDALInvGeoTransform. Returns the 6-tuple gt such that
+    around (LONG_OFF, LAT_OFF, refZ), inverted exactly like
+    GDALInvGeoTransform. refZ is 0 for the no-DEM transformer and the
+    DEM height at the reference point when RPC_DEM is set
+    (gdal_rpc.cpp:1054-1056). Returns the 6-tuple gt such that
     lon = gt0 + gt1*pixel + gt2*line, lat = gt3 + gt4*pixel + gt5*line."""
     ref_lon, ref_lat = rpc.long_off, rpc.lat_off
-    rp, rl = rpc_forward(rpc, np.array([ref_lon]), np.array([ref_lat]))
+    rp, rl = rpc_forward(rpc, np.array([ref_lon]), np.array([ref_lat]), ref_z)
     rp, rl = float(rp[0]), float(rl[0])
     dp, dl = rpc_forward(rpc, np.array([ref_lon + LL_DELTA]),
-                         np.array([ref_lat]))
+                         np.array([ref_lat]), ref_z)
     g1 = (float(dp[0]) - rp) / LL_DELTA   # dpixel/dlon
     g4 = (float(dl[0]) - rl) / LL_DELTA   # dline/dlon
     dp, dl = rpc_forward(rpc, np.array([ref_lon]),
-                         np.array([ref_lat + LL_DELTA]))
+                         np.array([ref_lat + LL_DELTA]), ref_z)
     g2 = (float(dp[0]) - rp) / LL_DELTA   # dpixel/dlat
     g5 = (float(dl[0]) - rl) / LL_DELTA   # dline/dlat
     g0 = rp - g1 * ref_lon - g2 * ref_lat
@@ -212,14 +214,20 @@ def _poly_sql(terms: list[str], coefs) -> str:
 
 
 def rpc_fwd_sql_exprs(rpc: RPC, lon: str, lat: str,
-                      height: float = 0.0) -> tuple[str, str]:
+                      height: float = 0.0,
+                      height_expr: str | None = None) -> tuple[str, str]:
     """(pixel_expr, line_expr) over lon/lat SQL expressions — the exact
     forward arithmetic with shared literals (dateline branch omitted:
     identical for |lon - LONG_OFF| < 270, which every fixture and real
-    scene satisfies)."""
+    scene satisfies). height_expr, when given, is a per-row SQL height
+    (the RPC_DEM path); the constant `height` is used otherwise."""
     L = f"((({lon}) - {_r(rpc.long_off)}) / {_r(rpc.long_scale)})"
     P = f"((({lat}) - {_r(rpc.lat_off)}) / {_r(rpc.lat_scale)})"
-    H = _r((height - rpc.height_off) / rpc.height_scale)
+    if height_expr is not None:
+        H = (f"((({height_expr}) - {_r(rpc.height_off)})"
+             f" / {_r(rpc.height_scale)})")
+    else:
+        H = _r((height - rpc.height_off) / rpc.height_scale)
     t = _terms_sql(L, P, H)
     px = (f"({_poly_sql(t, rpc.samp_num)} / {_poly_sql(t, rpc.samp_den)}"
           f" * {_r(rpc.samp_scale)} + {_r(rpc.samp_off)} + 0.5)")
@@ -328,3 +336,454 @@ def rpc_fixture() -> RPC:
                   -0.0000079, 0.0000041, -0.0000014, -0.0000055, 0.0000031,
                   -0.0000011, -0.0000029, 0.0000018, -0.0000005),
     )
+
+
+# ------------------------------------------------------- RPC_DEM path
+
+MAX_ITER_DEM = 20  # gdal_rpc.cpp:1187 (poDS != nullptr -> 20)
+
+
+class DEM:
+    """In-memory DEM for the RPC transformer (GDAL's RPC_DEM option):
+    a 2-D height grid + north-up geotransform. `grid[row, col]` with
+    row 0 the northernmost line, exactly like a GDAL raster; gt is the
+    GDAL 6-tuple (x0, dx, 0, y0, 0, dy) with dy < 0.
+
+    Scale note: this is the per-scene broadcast shape — a satellite
+    scene's DEM chip is MBs and rides the UDF closure to every
+    executor once, so the 100 TB point stream pays one Arrow stage and
+    zero shuffles. A continent-scale DEM that cannot broadcast would
+    flip to the tile-join gather (operators/focal.py:160
+    sample_bilinear) per iteration instead — same arithmetic, 20
+    bounded join stages."""
+
+    def __init__(self, grid, gt, *, height_offset: float = 0.0,
+                 height_scale: float = 1.0):
+        self.grid = np.asarray(grid, dtype=np.float64)
+        assert self.grid.ndim == 2
+        self.gt = tuple(float(v) for v in gt)
+        assert self.gt[2] == 0.0 and self.gt[4] == 0.0, \
+            "rotated DEM geotransforms out of scope"
+        self.height_offset = float(height_offset)
+        self.height_scale = float(height_scale)
+
+    @property
+    def inv_gt(self) -> tuple[float, ...]:
+        """GDALInvGeoTransform for the north-up case."""
+        x0, dx, _, y0, _, dy = self.gt
+        return (-x0 / dx, 1.0 / dx, 0.0, -y0 / dy, 0.0, 1.0 / dy)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.grid.shape  # (H, W)
+
+
+def _dem_bilinear_clamped(dem: DEM, px, py):
+    """GDALInterpolateAtPoint bilinear (gcore semantics via
+    alg/gdal_interpolateatpoint.cpp:370-393): center-of-pixel
+    convention, out-of-border 2x2 corners replicated from the edge —
+    algebraically identical to clamping the sample coordinate into
+    [0.5, size-0.5] and capping the low corner at size-2 (the
+    operators/focal.py sample_bilinear rule). Caller handles the
+    in-bounds test; this evaluates safely for ANY finite coords."""
+    H, W = dem.shape
+    fx = np.minimum(np.maximum(px, 0.5), W - 0.5) - 0.5
+    fy = np.minimum(np.maximum(py, 0.5), H - 0.5) - 0.5
+    x0 = np.minimum(np.floor(fx), W - 2).astype(np.int64)
+    y0 = np.minimum(np.floor(fy), H - 2).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    g = dem.grid
+    return (g[y0, x0] * (1 - wx) * (1 - wy)
+            + g[y0, x0 + 1] * wx * (1 - wy)
+            + g[y0 + 1, x0] * (1 - wx) * wy
+            + g[y0 + 1, x0 + 1] * wx * wy)
+
+
+def dem_ref_z(rpc: RPC, dem: DEM) -> float:
+    """dfRefZ (gdal_rpc.cpp:1054-1056): GetHeightAtLongLat at the
+    reference point (LONG_OFF, LAT_OFF); stays 0 on failure."""
+    i = dem.inv_gt
+    px = i[0] + i[1] * rpc.long_off
+    py = i[3] + i[5] * rpc.lat_off
+    H, W = dem.shape
+    if not (0.0 <= px <= W and 0.0 <= py <= H):
+        return 0.0
+    h = float(_dem_bilinear_clamped(dem, np.array([px]), np.array([py]))[0])
+    return dem.height_offset + h * dem.height_scale
+
+
+def rpc_forward_dem(rpc: RPC, dem: DEM, lon, lat, user_height=0.0):
+    """Forward with RPC_DEM (GDALRPCTransform forward loop,
+    gdal_rpc.cpp:1923-1948): per point, height = GetHeightAtLongLat
+    (bilinear DEM sample, gdal_rpc.cpp:549-634) and pixel/line =
+    RPCTransformPoint(lon, lat, user_height + height). Points whose
+    lon/lat fall outside the DEM come back NaN (the reference's
+    HUGE_VAL + panSuccess=FALSE; no RPC_DEM_MISSING_VALUE here)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    i = dem.inv_gt
+    px = i[0] + i[1] * lon
+    py = i[3] + i[5] * lat
+    Hs, Ws = dem.shape
+    ok = (px >= 0.0) & (px <= Ws) & (py >= 0.0) & (py <= Hs)
+    h = dem.height_offset + _dem_bilinear_clamped(dem, px, py) * dem.height_scale
+    bx, by = rpc_forward(rpc, lon, lat, np.asarray(user_height) + h)
+    return np.where(ok, bx, np.nan), np.where(ok, by, np.nan)
+
+
+def rpc_inverse_dem(rpc: RPC, dem: DEM, pixel, line, user_height=0.0,
+                    pix_err_threshold: float = DEFAULT_PIX_ERR_THRESHOLD,
+                    max_iter: int = MAX_ITER_DEM):
+    """(pixel, line) -> (lon, lat) intersecting the RPC ray with the
+    DEM — RPCInverseTransformPoint with a DEM dataset
+    (gdal_rpc.cpp:1128-1360), vectorized with per-point state masks:
+
+    - affine seed built at refZ = DEM height at the reference point
+      (gdal_rpc.cpp:1040-1086);
+    - per iteration: DEM height at the current (lon, lat) guess
+      (bilinear). A miss on iteration 0 snaps the DEM pixel into
+      bounds and retries — INCLUDING the reference's quirk that a
+      NEGATIVE DEM line is never snapped (the else-branch re-tests
+      dfDEMPixel, gdal_rpc.cpp:1223-1227), falling back to refZ; a
+      miss on any later iteration fails the point (NaN);
+    - back-project at user_height + DEM height, delta against the
+      target pixel, converged when max(|dx|, |dy|) < threshold;
+    - oscillation damping: when BOTH deltas change sign vs the
+      previous iteration, the new guess is the |delta|-weighted mean
+      of the two positions and no affine step is taken
+      (gdal_rpc.cpp:1295-1316);
+    - boost: after 5 consecutive iterations with error < 2 px the
+      affine step is multiplied by 10 (gdal_rpc.cpp:1318-1341);
+    - nMaxIterations = 20 with a DEM; unconverged points are NaN.
+
+    The snap path takes the RAW dem value (no height_offset/scale),
+    exactly like the reference calling GDALRPCGetDEMHeight directly
+    on that branch."""
+    tpx = np.asarray(pixel, dtype=np.float64)
+    tpy = np.asarray(line, dtype=np.float64)
+    ref_z = dem_ref_z(rpc, dem)
+    gt = rpc_affine(rpc, ref_z)
+    ig = dem.inv_gt
+    Hs, Ws = dem.shape
+
+    x = gt[0] + gt[1] * tpx + gt[2] * tpy
+    y = gt[3] + gt[4] * tpx + gt[5] * tpy
+    done = np.zeros(tpx.shape, dtype=bool)
+    fail = np.zeros(tpx.shape, dtype=bool)
+    lx = np.zeros_like(x)
+    ly = np.zeros_like(y)
+    ldx = np.zeros_like(x)
+    ldy = np.zeros_like(y)
+    lvalid = np.zeros(tpx.shape, dtype=bool)
+    cnt = np.zeros(tpx.shape, dtype=np.int64)
+
+    for it in range(max_iter):
+        active = ~done & ~fail
+        dpx = ig[0] + ig[1] * x
+        dpy = ig[3] + ig[5] * y
+        inb = (dpx >= 0.0) & (dpx <= Ws) & (dpy >= 0.0) & (dpy <= Hs)
+        demh = dem.height_offset + _dem_bilinear_clamped(dem, dpx, dpy) \
+            * dem.height_scale
+        if it == 0:
+            spx = np.where(dpx >= Ws, Ws - 0.5, dpx)
+            spx = np.where(spx < 0.0, 0.5, spx)
+            spy = np.where(dpy >= Hs, Hs - 0.5, dpy)
+            # the dfDEMLine < 0 case is NEVER snapped (reference quirk)
+            snap_ok = spy >= 0.0
+            snap_h = _dem_bilinear_clamped(dem, spx, spy)  # raw value
+            demh = np.where(~inb & snap_ok, snap_h, demh)
+            demh = np.where(~inb & ~snap_ok, ref_z, demh)
+        else:
+            fail = fail | (active & ~inb)
+            active = active & ~fail
+
+        bx, by = rpc_forward(rpc, x, y, np.asarray(user_height) + demh)
+        dx = bx - tpx
+        dy = by - tpy
+        err = np.maximum(np.abs(dx), np.abs(dy))
+        conv = active & (err < pix_err_threshold)
+        done = done | conv
+        step = active & ~conv
+        osc = step & lvalid & (dx * ldx < 0.0) & (dy * ldy < 0.0)
+        mv = step & ~osc
+
+        boost = np.where((cnt >= 5) & (err < 2.0), 10.0, 1.0)
+        cnt = np.where(mv, np.where(err < 2.0, cnt + 1, 0), cnt)
+        cnt = np.where(osc, 0, cnt)
+
+        nx = np.where(
+            osc,
+            (np.abs(dx) * lx + np.abs(ldx) * x) / (np.abs(dx) + np.abs(ldx)),
+            x - (dx * gt[1] + dy * gt[2]) * boost)
+        ny = np.where(
+            osc,
+            (np.abs(dy) * ly + np.abs(ldy) * y) / (np.abs(dy) + np.abs(ldy)),
+            y - (dx * gt[4] + dy * gt[5]) * boost)
+
+        lx = np.where(mv, x, lx)
+        ly = np.where(mv, y, ly)
+        ldx = np.where(mv, dx, ldx)
+        ldy = np.where(mv, dy, ldy)
+        lvalid = np.where(osc, False, np.where(mv, True, lvalid))
+
+        x = np.where(step, nx, x)
+        y = np.where(step, ny, y)
+
+    return np.where(done, x, np.nan), np.where(done, y, np.nan)
+
+
+# ----------------------------------------- RPC_DEM Spark operators
+
+def apply_rpc_forward_dem(df: DataFrame, rpc: RPC, dem: DEM,
+                          lon: str = "lon", lat: str = "lat",
+                          user_height: float = 0.0) -> DataFrame:
+    """Adds (pixel, line) with DEM-derived heights. The DEM grid rides
+    the closure (broadcast once per executor); each point ships 16 B
+    through Arrow."""
+
+    @F.pandas_udf("struct<pixel:double, line:double>")
+    def _fwd(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        p, l = rpc_forward_dem(rpc, dem, lon_s.to_numpy(), lat_s.to_numpy(),
+                               user_height)
+        return pd.DataFrame({"pixel": p, "line": l})
+
+    res = df.withColumn("_pl", _fwd(F.col(lon), F.col(lat)))
+    return res.withColumn("pixel", F.col("_pl.pixel")).withColumn(
+        "line", F.col("_pl.line")).drop("_pl")
+
+
+def apply_rpc_inverse_dem(df: DataFrame, rpc: RPC, dem: DEM,
+                          pixel: str = "pixel", line: str = "line",
+                          user_height: float = 0.0,
+                          pix_err_threshold: float = DEFAULT_PIX_ERR_THRESHOLD,
+                          max_iter: int = MAX_ITER_DEM) -> DataFrame:
+    """Adds (lon, lat): the iterative ray/DEM intersection."""
+
+    @F.pandas_udf("struct<lon:double, lat:double>")
+    def _inv(p_s: pd.Series, l_s: pd.Series) -> pd.DataFrame:
+        lo, la = rpc_inverse_dem(rpc, dem, p_s.to_numpy(), l_s.to_numpy(),
+                                 user_height, pix_err_threshold, max_iter)
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    res = df.withColumn("_ll", _inv(F.col(pixel), F.col(line)))
+    return res.withColumn("lon", F.col("_ll.lon")).withColumn(
+        "lat", F.col("_ll.lat")).drop("_ll")
+
+
+# ------------------------------------------ RPC_DEM fixture + SQL twins
+
+DEM_FIX_W = 112
+DEM_FIX_H = 90
+DEM_FIX_GT = (2.18, 0.002, 0.0, 48.95, 0.0, -0.002)
+
+
+def dem_fixture() -> DEM:
+    """Deterministic DEM chip covering the gate's RPC scene
+    (lon 2.21..2.390, lat 48.78..48.921 sits strictly inside): gentle
+    west-east / north-south ramps plus a mod-7 terracing term. Every
+    grid value is exact integer-derived double arithmetic so the
+    DuckDB oracle can recompute cells analytically (dem_fixture_h_sql)
+    instead of carrying a 10k-row height table."""
+    c = np.arange(DEM_FIX_W, dtype=np.int64)[None, :]
+    r = np.arange(DEM_FIX_H, dtype=np.int64)[:, None]
+    grid = 60.0 + 0.8 * c + 0.45 * r + 2.5 * ((3 * c + 5 * r) % 7)
+    return DEM(grid, DEM_FIX_GT)
+
+
+def dem_fixture_h_sql(r: str, c: str) -> str:
+    """The dem_fixture cell value as SQL over BIGINT row/col
+    expressions — textually the same arithmetic the numpy grid build
+    runs, so both engines agree to the last ulp."""
+    return (f"(60.0 + 0.8 * CAST({c} AS DOUBLE)"
+            f" + 0.45 * CAST({r} AS DOUBLE)"
+            f" + 2.5 * CAST((3 * {c} + 5 * {r}) % 7 AS DOUBLE))")
+
+
+def _dem_corner_cols(dem: DEM, px: str, py: str, pfx: str) -> str:
+    """Select-list fragment computing the clamped bilinear corner
+    index/weight columns {pfx}x0, {pfx}y0, {pfx}wx, {pfx}wy from the
+    DEM-pixel coordinate columns — the SQL mirror of
+    _dem_bilinear_clamped's index math."""
+    H, W = dem.shape
+    fx = f"(least(greatest({px}, 0.5), {_r(W - 0.5)}) - 0.5)"
+    fy = f"(least(greatest({py}, 0.5), {_r(H - 0.5)}) - 0.5)"
+    return (
+        f"CAST(least(floor({fx}), {_r(W - 2)}) AS BIGINT) AS {pfx}x0, "
+        f"CAST(least(floor({fy}), {_r(H - 2)}) AS BIGINT) AS {pfx}y0, "
+        f"({fx} - least(floor({fx}), {_r(W - 2)})) AS {pfx}wx, "
+        f"({fy} - least(floor({fy}), {_r(H - 2)})) AS {pfx}wy")
+
+
+def _dem_bil_expr(h_sql, pfx: str) -> str:
+    """Bilinear blend over the four analytic corner cells (raw grid
+    value, no height offset/scale), multiplication order matching
+    _dem_bilinear_clamped."""
+    x0, y0, wx, wy = f"{pfx}x0", f"{pfx}y0", f"{pfx}wx", f"{pfx}wy"
+    x1, y1 = f"({x0} + 1)", f"({y0} + 1)"
+    return (f"({h_sql(y0, x0)} * (1.0 - {wx}) * (1.0 - {wy})"
+            f" + {h_sql(y0, x1)} * {wx} * (1.0 - {wy})"
+            f" + {h_sql(y1, x0)} * (1.0 - {wx}) * {wy}"
+            f" + {h_sql(y1, x1)} * {wx} * {wy})")
+
+
+def _dem_h_scaled(dem: DEM, bil: str) -> str:
+    if dem.height_offset == 0.0 and dem.height_scale == 1.0:
+        return bil
+    return f"({_r(dem.height_offset)} + {bil} * {_r(dem.height_scale)})"
+
+
+def rpc_dem_fwd_sql_ctes(rpc: RPC, dem: DEM, h_sql, src: str, *,
+                         lon: str = "lon", lat: str = "lat",
+                         keep: str = "id",
+                         user_height: float = 0.0) -> str:
+    """CTE chain replaying rpc_forward_dem; final CTE `rpc_dem_fwd`
+    (keep, pixel, line) with NaN for points outside the DEM."""
+    ig = dem.inv_gt
+    H, W = dem.shape
+    px, py = rpc_fwd_sql_exprs(
+        rpc, "lon", "lat",
+        height_expr=f"({_r(user_height)} + {_dem_h_scaled(dem, 'bil')})")
+    return f"""
+rpcdf_p AS (
+  SELECT {keep}, ({lon}) AS lon, ({lat}) AS lat,
+         {_r(ig[0])} + {_r(ig[1])} * ({lon}) AS dpx,
+         {_r(ig[3])} + {_r(ig[5])} * ({lat}) AS dpy
+  FROM {src}
+),
+rpcdf_c AS (
+  SELECT *, (dpx >= 0.0 AND dpx <= {_r(W)} AND dpy >= 0.0
+             AND dpy <= {_r(H)}) AS inb,
+         {_dem_corner_cols(dem, 'dpx', 'dpy', 'f')}
+  FROM rpcdf_p
+),
+rpcdf_h AS (
+  SELECT {keep}, lon, lat, inb, {_dem_bil_expr(h_sql, 'f')} AS bil
+  FROM rpcdf_c
+),
+rpc_dem_fwd AS (
+  SELECT {keep},
+         CASE WHEN inb THEN {px} ELSE CAST('nan' AS DOUBLE) END AS pixel,
+         CASE WHEN inb THEN {py} ELSE CAST('nan' AS DOUBLE) END AS line
+  FROM rpcdf_h
+)""".strip()
+
+
+def rpc_dem_inv_sql_ctes(rpc: RPC, dem: DEM, h_sql, src: str, *,
+                         pixel: str = "px", line: str = "py",
+                         keep: str = "id", user_height: float = 0.0,
+                         pix_err_threshold: float = DEFAULT_PIX_ERR_THRESHOLD,
+                         max_iter: int = MAX_ITER_DEM) -> str:
+    """CTE chain unrolling rpc_inverse_dem's masked iterations — affine
+    seed at the DEM refZ, per-iteration bilinear height, the
+    iteration-0 snap quirk, oscillation damping and the x10 boost —
+    byte-matched arithmetic so the DuckDB replay tracks the Arrow/numpy
+    path to FMA-contraction level. Final CTE `rpc_dem_inv`
+    (keep, lon, lat), NaN for unconverged/failed points."""
+    ref_z = dem_ref_z(rpc, dem)
+    gt = rpc_affine(rpc, ref_z)
+    g = [_r(v) for v in gt]
+    ig = dem.inv_gt
+    H, W = dem.shape
+    thr = _r(pix_err_threshold)
+    st = "tpx, tpy, x, y, done, fail, lx, ly, ldx, ldy, lvalid, cnt"
+    bx, by = rpc_fwd_sql_exprs(
+        rpc, "x", "y", height_expr=f"({_r(user_height)} + demh)")
+    parts = [f"""
+rpcd_i0 AS (
+  SELECT {keep}, ({pixel}) AS tpx, ({line}) AS tpy,
+         {g[0]} + {g[1]} * ({pixel}) + {g[2]} * ({line}) AS x,
+         {g[3]} + {g[4]} * ({pixel}) + {g[5]} * ({line}) AS y,
+         FALSE AS done, FALSE AS fail,
+         0.0 AS lx, 0.0 AS ly, 0.0 AS ldx, 0.0 AS ldy,
+         FALSE AS lvalid, CAST(0 AS BIGINT) AS cnt
+  FROM {src}
+)"""]
+    for i in range(max_iter):
+        if i == 0:
+            # snap quirk (gdal_rpc.cpp:1205-1237): east/west overshoot
+            # snaps to the border sample, a too-far-north line snaps to
+            # Hs-0.5, but a NEGATIVE line is never snapped -> refZ
+            snap = f"""
+         CASE WHEN dpx >= {_r(W)} THEN {_r(W - 0.5)}
+              WHEN dpx < 0.0 THEN 0.5 ELSE dpx END AS spx,
+         CASE WHEN dpy >= {_r(H)} THEN {_r(H - 0.5)} ELSE dpy END AS spy,"""
+            snap_cols = f"{_dem_corner_cols(dem, 'spx', 'spy', 's')},"
+            demh = f"""CASE WHEN inb THEN {_dem_h_scaled(dem, _dem_bil_expr(h_sql, 'f'))}
+              WHEN spy >= 0.0 THEN {_dem_bil_expr(h_sql, 's')}
+              ELSE {_r(ref_z)} END"""
+            fail_upd = "fail"
+        else:
+            snap = ""
+            snap_cols = ""
+            demh = _dem_h_scaled(dem, _dem_bil_expr(h_sql, 'f'))
+            fail_upd = "(fail OR (NOT done AND NOT fail AND NOT inb))"
+        parts.append(f"""
+rpcd_p{i} AS (
+  SELECT {keep}, {st},
+         {_r(ig[0])} + {_r(ig[1])} * x AS dpx,
+         {_r(ig[3])} + {_r(ig[5])} * y AS dpy
+  FROM rpcd_i{i}
+),
+rpcd_c{i} AS (
+  SELECT *, (dpx >= 0.0 AND dpx <= {_r(W)} AND dpy >= 0.0
+             AND dpy <= {_r(H)}) AS inb,{snap}
+         {_dem_corner_cols(dem, 'dpx', 'dpy', 'f')}
+  FROM rpcd_p{i}
+),
+rpcd_h{i} AS (
+  SELECT {keep}, tpx, tpy, x, y, done, {fail_upd} AS fail,
+         lx, ly, ldx, ldy, lvalid, cnt,{snap_cols and chr(10) + '         ' + snap_cols[:-1] + ','}
+         {demh} AS demh
+  FROM rpcd_c{i}
+),
+rpcd_b{i} AS (
+  SELECT {keep}, {st},
+         {bx} - tpx AS dx, {by} - tpy AS dy
+  FROM rpcd_h{i}
+),
+rpcd_e{i} AS (
+  SELECT *, greatest(abs(dx), abs(dy)) AS err FROM rpcd_b{i}
+),
+rpcd_f{i} AS (
+  SELECT *, (NOT done AND NOT fail AND NOT (err < {thr})) AS step
+  FROM rpcd_e{i}
+),
+rpcd_g{i} AS (
+  SELECT *, (step AND lvalid AND dx * ldx < 0.0 AND dy * ldy < 0.0) AS osc,
+         CASE WHEN cnt >= 5 AND err < 2.0 THEN 10.0 ELSE 1.0 END AS boost
+  FROM rpcd_f{i}
+),
+rpcd_m{i} AS (
+  SELECT *, (step AND NOT osc) AS mv FROM rpcd_g{i}
+),
+rpcd_i{i + 1} AS (
+  SELECT {keep}, tpx, tpy,
+         CASE WHEN NOT step THEN x
+              WHEN osc THEN (abs(dx) * lx + abs(ldx) * x)
+                           / (abs(dx) + abs(ldx))
+              ELSE x - (dx * {g[1]} + dy * {g[2]}) * boost END AS x,
+         CASE WHEN NOT step THEN y
+              WHEN osc THEN (abs(dy) * ly + abs(ldy) * y)
+                           / (abs(dy) + abs(ldy))
+              ELSE y - (dx * {g[4]} + dy * {g[5]}) * boost END AS y,
+         (done OR (NOT done AND NOT fail AND err < {thr})) AS done,
+         fail,
+         CASE WHEN mv THEN x ELSE lx END AS lx,
+         CASE WHEN mv THEN y ELSE ly END AS ly,
+         CASE WHEN mv THEN dx ELSE ldx END AS ldx,
+         CASE WHEN mv THEN dy ELSE ldy END AS ldy,
+         CASE WHEN osc THEN FALSE WHEN mv THEN TRUE ELSE lvalid END AS lvalid,
+         CASE WHEN osc THEN 0
+              WHEN mv THEN (CASE WHEN err < 2.0 THEN cnt + 1 ELSE 0 END)
+              ELSE cnt END AS cnt
+  FROM rpcd_m{i}
+)""")
+    parts.append(f"""
+rpc_dem_inv AS (
+  SELECT {keep},
+         CASE WHEN done THEN x ELSE CAST('nan' AS DOUBLE) END AS lon,
+         CASE WHEN done THEN y ELSE CAST('nan' AS DOUBLE) END AS lat
+  FROM rpcd_i{max_iter}
+)""")
+    return ",".join(p.strip() for p in parts)

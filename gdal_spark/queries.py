@@ -3784,7 +3784,10 @@ _GCP_PARTS = [
     ("tps", [], ["id", "rx", "ry"]),
     ("rpc_fwd", [], ["id", "rx", "ry"]),
     ("rpc_inv", [], ["id", "rx", "ry"]),
+    ("rpc_dem_fwd", [], ["id", "rx", "ry"]),
+    ("rpc_dem_inv", [], ["id", "rx", "ry"]),
     ("geoloc_fwd", [], ["id", "rx", "ry"]),
+    ("geoloc_inv", [], ["id", "rx", "ry"]),
 ]
 
 # RPC scene coordinates anchored on orders keys — EXACT doubles in both
@@ -3836,6 +3839,21 @@ def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         rpc,
     ).select("id", F.round("lon", 6).alias("rx"), F.round("lat", 6).alias("ry"))
     parts.append(("rpc_inv", inv, [], ["id", "rx", "ry"]))
+    # RPC_DEM (r5): per-point height from the broadcast DEM chip —
+    # forward samples the DEM at (lon, lat) (gdal_rpc.cpp:1923-1948);
+    # inverse is the 20-step iterative ray/DEM intersection with the
+    # snap quirk, oscillation damping and x10 boost
+    # (gdal_rpc.cpp:1128-1360). Scene sits strictly inside the DEM so
+    # every point converges in both engines.
+    dem = rpc_warp.dem_fixture()
+    dfwd = rpc_warp.apply_rpc_forward_dem(scene, rpc, dem).select(
+        "id", F.round("pixel", 6).alias("rx"), F.round("line", 6).alias("ry"))
+    parts.append(("rpc_dem_fwd", dfwd, [], ["id", "rx", "ry"]))
+    dinv = rpc_warp.apply_rpc_inverse_dem(
+        dfwd.select("id", F.col("rx").alias("pixel"), F.col("ry").alias("line")),
+        rpc, dem,
+    ).select("id", F.round("lon", 6).alias("rx"), F.round("lat", 6).alias("ry"))
+    parts.append(("rpc_dem_inv", dinv, [], ["id", "rx", "ry"]))
     # geolocation-array transformer (alg/gdalgeoloc.cpp PixelLineToXY):
     # curved-swath grid, bilinear + last-row/col extrapolation
     from .operators import geoloc_warp
@@ -3848,6 +3866,17 @@ def q_gcp_warp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     gfwd = geoloc_warp.apply_geoloc_forward(swath_pts, gla).select(
         "id", F.round("geo_x", 9).alias("rx"), F.round("geo_y", 9).alias("ry"))
     parts.append(("geoloc_fwd", gfwd, [], ["id", "rx", "ry"]))
+    # geoloc inverse (r5): the Newton backmap over the same bilinear
+    # surface (gdalgeoloc.cpp GenerateBackMap accuracy target) — fed
+    # the rounded forward output exactly like rpc_inv
+    ginv = geoloc_warp.apply_geoloc_inverse(
+        gfwd.select("id", F.col("rx").alias("geo_x"),
+                    F.col("ry").alias("geo_y")), gla,
+    ).select("id", (F.round("pixel", 6) + F.lit(0.0)).alias("rx"),
+             (F.round("line", 6) + F.lit(0.0)).alias("ry"))
+    # (+ 0.0 folds IEEE -0.0 to +0.0 — the px=0 column rounds to a
+    # signed zero whose repr() the gate hash distinguishes)
+    parts.append(("geoloc_inv", ginv, [], ["id", "rx", "ry"]))
     return _suite(parts, n_str=0, n_num=3)
 
 
@@ -3881,6 +3910,20 @@ def sql_gcp_warp_suite() -> str:
                f"SELECT id, round(lon, 6) AS rx, round(lat, 6) AS ry "
                f"FROM rpc_inv")
     parts.append(("rpc_inv", inv_sql, [], ["id", "rx", "ry"]))
+    dem = rpc_warp.dem_fixture()
+    dfwd_ctes = rpc_warp.rpc_dem_fwd_sql_ctes(
+        rpc, dem, rpc_warp.dem_fixture_h_sql, f"({scene_cte})")
+    dfwd_sql = (f"WITH {dfwd_ctes} SELECT id, round(pixel, 6) AS rx, "
+                f"round(line, 6) AS ry FROM rpc_dem_fwd")
+    parts.append(("rpc_dem_fwd", dfwd_sql, [], ["id", "rx", "ry"]))
+    dinv_ctes = rpc_warp.rpc_dem_inv_sql_ctes(
+        rpc, dem, rpc_warp.dem_fixture_h_sql, "rpc_dem_scene")
+    dinv_sql = (f"WITH {dfwd_ctes}, rpc_dem_scene AS "
+                f"(SELECT id, round(pixel, 6) AS px, round(line, 6) AS py "
+                f"FROM rpc_dem_fwd), {dinv_ctes} "
+                f"SELECT id, round(lon, 6) AS rx, round(lat, 6) AS ry "
+                f"FROM rpc_dem_inv")
+    parts.append(("rpc_dem_inv", dinv_sql, [], ["id", "rx", "ry"]))
     from .operators import geoloc_warp
     swath_cte = ("SELECT o_orderkey AS id, "
                  "CAST(o_orderkey % 1024 AS DOUBLE) AS px, "
@@ -3890,6 +3933,13 @@ def sql_gcp_warp_suite() -> str:
              f"SELECT id, round(geo_x, 9) AS rx, round(geo_y, 9) AS ry "
              f"FROM geoloc_fwd")
     parts.append(("geoloc_fwd", g_sql, [], ["id", "rx", "ry"]))
+    gi_ctes = geoloc_warp.swath_inverse_sql("geoloc_scene")
+    gi_sql = (f"WITH swath AS ({swath_cte}), {g_ctes.strip()}, "
+              f"geoloc_scene AS (SELECT id, round(geo_x, 9) AS gx, "
+              f"round(geo_y, 9) AS gy FROM geoloc_fwd), {gi_ctes} "
+              f"SELECT id, round(pixel, 6) + 0.0 AS rx, "
+              f"round(line, 6) + 0.0 AS ry FROM geoloc_inv")
+    parts.append(("geoloc_inv", gi_sql, [], ["id", "rx", "ry"]))
     return _suite_sql(parts, n_str=0, n_num=3)
 
 

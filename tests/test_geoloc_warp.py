@@ -83,3 +83,28 @@ def test_spark_udf_matches_numpy(spark, grid):
         G.apply_geoloc_forward(df, grid), grid, "geo_x", "geo_y") \
         .orderBy("id").collect()
     assert max(abs(r["pixel"] - (r["id"] * 3 % 1024)) for r in inv) < 1e-6
+
+
+def test_inverse_oracle_bit_exact():
+    # the DuckDB Newton replay IS the numpy iteration: zero tolerance
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    g = G.swath_fixture()
+    ids = np.arange(0, 20000, 41)
+    px = (ids % 1024).astype(np.float64)
+    py = ((ids // 1024) % 768).astype(np.float64)
+    gx, gy = G.geoloc_forward(g, px, py)
+    rgx, rgy = np.round(gx, 9), np.round(gy, 9)
+    ip, il = G.geoloc_inverse(g, rgx, rgy)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"id": ids, "gx": rgx, "gy": rgy}))
+    got = con.execute(
+        f"WITH {G.swath_inverse_sql('pts')} "
+        f"SELECT id, pixel, line FROM geoloc_inv ORDER BY id"
+    ).fetchnumpy()
+    assert np.array_equal(got["pixel"], ip)
+    assert np.array_equal(got["line"], il)
+    # and the backmap actually inverts: forward(inverse) == input
+    bx, by = G.geoloc_forward(g, ip, il)
+    assert np.abs(bx - rgx).max() < 1e-9
+    assert np.abs(by - rgy).max() < 1e-9

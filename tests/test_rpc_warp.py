@@ -113,3 +113,80 @@ def test_spark_inverse_udf_matches_numpy(spark, rpc):
                            np.array([r["line"] for r in out]))
     assert np.abs(np.array([r["lon"] for r in out]) - lo).max() < 1e-12
     assert np.abs(np.array([r["lat"] for r in out]) - la).max() < 1e-12
+
+
+# ------------------------------------------------------- RPC_DEM path
+
+@pytest.fixture(scope="module")
+def dem():
+    return R.dem_fixture()
+
+
+def test_dem_fwd_roundtrip_and_convergence(rpc, dem):
+    # forward with DEM heights then the iterative ray/DEM inverse:
+    # recovered lon/lat re-projects within the 0.1-px threshold
+    ids = np.arange(0, 6000, 7)
+    lon = 2.21 + (ids % 400).astype(np.float64) * 0.00045
+    lat = 48.78 + ((ids // 400) % 300).astype(np.float64) * 0.00047
+    fp, fl = R.rpc_forward_dem(rpc, dem, lon, lat)
+    assert not np.isnan(fp).any()
+    lo, la = R.rpc_inverse_dem(rpc, dem, fp, fl)
+    assert not np.isnan(lo).any()
+    bp, bl = R.rpc_forward_dem(rpc, dem, lo, la)
+    err = np.maximum(np.abs(bp - fp), np.abs(bl - fl))
+    assert err.max() < R.DEFAULT_PIX_ERR_THRESHOLD
+    # and the heights actually participated: constant-height forward
+    # at h=0 differs measurably (terrain is 60..200 m here)
+    p0, _ = R.rpc_forward(rpc, lon, lat, 0.0)
+    assert np.abs(fp - p0).max() > 0.1
+
+
+def test_dem_fwd_outside_dem_is_nan(rpc, dem):
+    # gdal_rpc.cpp forward: GetHeightAtLongLat failure -> point fails
+    lon = np.array([dem.gt[0] - 0.5, 2.3])
+    lat = np.array([48.85, 48.85])
+    fp, fl = R.rpc_forward_dem(rpc, dem, lon, lat)
+    assert np.isnan(fp[0]) and np.isnan(fl[0])
+    assert not np.isnan(fp[1])
+
+
+def test_dem_inverse_miss_after_iter0_fails(rpc, dem):
+    # a DEM chip that misses the target region: iteration 0 snaps to
+    # the border (never fails), but any later-iteration miss marks the
+    # point failed (gdal_rpc.cpp:1239-1244) -> NaN
+    tiny = R.DEM(dem.grid[:4, :4], dem.gt)
+    px, py = R.rpc_forward(rpc, np.array([2.35]), np.array([48.80]), 100.0)
+    lo, la = R.rpc_inverse_dem(rpc, tiny, px, py)
+    assert np.isnan(lo[0]) and np.isnan(la[0])
+
+
+def test_dem_ref_z_outside_returns_zero(rpc, dem):
+    shifted = R.DEM(dem.grid, (10.0, 0.002, 0.0, 10.0, 0.0, -0.002))
+    assert R.dem_ref_z(rpc, shifted) == 0.0
+
+
+def test_dem_inv_oracle_bit_exact(rpc, dem):
+    # the DuckDB CTE replay IS the numpy iteration: byte-matched
+    # arithmetic over a 300-point scene, zero tolerance
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    ids = np.arange(0, 6000, 20)
+    lon = 2.21 + (ids % 400).astype(np.float64) * 0.00045
+    lat = 48.78 + ((ids // 400) % 300).astype(np.float64) * 0.00047
+    fp, fl = R.rpc_forward_dem(rpc, dem, lon, lat)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"id": ids, "lon": lon, "lat": lat}))
+    fwd = R.rpc_dem_fwd_sql_ctes(rpc, dem, R.dem_fixture_h_sql, "pts")
+    got = con.execute(
+        f"WITH {fwd} SELECT pixel, line FROM rpc_dem_fwd ORDER BY 1"
+    ).fetchnumpy()
+    assert np.array_equal(np.sort(fp), got["pixel"])
+    ilo, ila = R.rpc_inverse_dem(rpc, dem, fp, fl)
+    inv = R.rpc_dem_inv_sql_ctes(rpc, dem, R.dem_fixture_h_sql,
+                                 "(SELECT id, pixel AS px, line AS py "
+                                 "FROM rpc_dem_fwd)")
+    got2 = con.execute(
+        f"WITH {fwd}, {inv} SELECT lon, lat FROM rpc_dem_inv ORDER BY 1"
+    ).fetchnumpy()
+    assert np.array_equal(np.sort(ilo), got2["lon"])
+    assert np.array_equal(np.sort(ila), np.sort(got2["lat"]))
