@@ -160,3 +160,63 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
     manifest = manifest.cache()
     manifest.count()
     return manifest
+
+
+def write_tile_pngs_resumable(px: DataFrame, out_dir: str, *,
+                              tile_size: int, bands: int = 4,
+                              job_id: str = "tiles",
+                              input_snapshot: str = "parquet:static") -> dict:
+    """write_tile_pngs with the checkpoint-manifest resume discipline
+    (checkpoint.py): the gdal2tiles `--resume` semantics
+    (gdal2tiles.py options.resume — skip tiles that already exist)
+    done as a manifest anti-join instead of per-file existence RPCs.
+
+    - part key = "z/x/y" per TILE; completed tiles are pruned BEFORE
+      the groupBy shuffle, so a resumed 100 TB render re-shuffles only
+      the missing tiles' pixels.
+    - one round per zoom level (bounded driver loop, <= ~20 entries —
+      no driver-side collect of the tile list): each zoom's artifacts
+      are written, then its manifest rows append in one distributed
+      write. A kill mid-zoom loses only that zoom's manifest; the
+      atomic per-tile os.replace makes the re-render idempotent.
+    - lineage: each manifest row carries input_snapshot + the artifact
+      byte count (n_rows_out = nbytes for this artifact sink) + the
+      zoom round's wall_ms.
+
+    The manifest, not file existence, governs resume: a tile whose
+    file was lost but whose manifest row survives is NOT re-rendered
+    (delete its manifest row to force it), matching run_partitioned's
+    snapshot discipline. Returns metrics."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from . import checkpoint as CK
+
+    spark = px.sparkSession
+    done = CK.read_manifest(spark, out_dir, job_id).select(
+        F.col("part_key").alias("_done_key"))
+    keyed = px.withColumn("_pk", F.concat_ws("/", "tz", "tx", "ty"))
+    pending = keyed.join(done, keyed["_pk"] == done["_done_key"],
+                         "left_anti").drop("_pk")
+    zooms = sorted(r["tz"] for r in pending.select("tz").distinct().collect())
+    t0 = _time.time()
+    n_tiles = 0
+    for tz in zooms:
+        t1 = _time.time()
+        man = write_tile_pngs(pending.filter(F.col("tz") == tz), out_dir,
+                              tile_size=tile_size, bands=bands)
+        wall = int((_time.time() - t1) * 1000)
+        rows = man.select(
+            F.lit(job_id).alias("job_id"),
+            F.concat_ws("/", "tz", "tx", "ty").alias("part_key"),
+            F.lit(input_snapshot).alias("input_snapshot"),
+            F.col("nbytes").cast("bigint").alias("n_rows_out"),
+            F.lit(wall).cast("bigint").alias("wall_ms"),
+            F.current_timestamp().alias("finished_at"),
+        )
+        rows.write.mode("append").parquet(CK.manifest_path(out_dir))
+        n_tiles += man.count()
+        man.unpersist()
+    return {"job_id": job_id, "tiles_written": n_tiles,
+            "zoom_rounds": len(zooms), "wall_sec": _time.time() - t0}

@@ -120,3 +120,67 @@ def test_streaming_tile_png_sink(spark, tmp_path):
     ).collect()}
     for pos, v in vals.items():
         assert arr[pos // ts, pos % ts] == int(v) & 0xFF
+
+
+def test_tile_sink_resume_writes_only_missing(spark, tmp_path):
+    """Kill-and-resume discipline (checkpoint-manifest anti-join): a
+    second run rewrites nothing already in the manifest, writes only
+    missing tiles, and the manifest chain records lineage rows."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark import checkpoint as CK
+    from gdal_spark import io as gio
+    from gdal_spark.operators import base_tiles as BT
+
+    ts = 16
+    px = (BT.base_tiles(spark, tz=1, tile_size=ts,
+                        src=BT.src_pixels(spark, salt=3, byte_range=True))
+          .withColumn("band", F.lit(0))
+          .unionByName(
+              BT.base_tiles(spark, tz=2, tile_size=ts,
+                            src=BT.src_pixels(spark, salt=3, byte_range=True))
+              .withColumn("band", F.lit(0))))
+    out_dir = str(tmp_path / "tiles")
+
+    # run 1: z1 only ("the job died before reaching z2")
+    m1 = gio.write_tile_pngs_resumable(
+        px.filter(F.col("tz") == 1), out_dir, tile_size=ts, bands=1,
+        job_id="t", input_snapshot="snap:A")
+    assert m1["tiles_written"] > 0 and m1["zoom_rounds"] == 1
+    man = CK.read_manifest(spark, out_dir, "t")
+    done1 = {r["part_key"] for r in man.collect()}
+    mtimes1 = {}
+    for pk in done1:
+        p = os.path.join(out_dir, pk + ".png")
+        assert os.path.exists(p)
+        mtimes1[pk] = os.stat(p).st_mtime_ns
+
+    # sabotage: delete one z1 artifact (manifest row survives) — the
+    # manifest, not file existence, governs resume
+    lost = sorted(done1)[0]
+    os.unlink(os.path.join(out_dir, lost + ".png"))
+
+    # run 2: full tile set — resumes, writes ONLY the missing z2 tiles
+    m2 = gio.write_tile_pngs_resumable(
+        px, out_dir, tile_size=ts, bands=1, job_id="t",
+        input_snapshot="snap:A")
+    assert m2["zoom_rounds"] == 1  # z1 fully pruned by the anti-join
+    man2 = CK.read_manifest(spark, out_dir, "t").collect()
+    done2 = {r["part_key"] for r in man2}
+    assert done1 < done2
+    for pk, old in mtimes1.items():
+        if pk == lost:
+            assert not os.path.exists(os.path.join(out_dir, pk + ".png"))
+        else:
+            assert os.stat(os.path.join(out_dir, pk + ".png")).st_mtime_ns == old
+    for pk in done2 - done1:
+        assert pk.startswith("2/")
+        assert os.path.exists(os.path.join(out_dir, pk + ".png"))
+    # lineage: every manifest row carries the input snapshot + nbytes
+    assert all(r["input_snapshot"] == "snap:A" and r["n_rows_out"] > 0
+               for r in man2)
+
+    # run 3: nothing pending — zero rounds, zero writes
+    m3 = gio.write_tile_pngs_resumable(
+        px, out_dir, tile_size=ts, bands=1, job_id="t")
+    assert m3["tiles_written"] == 0 and m3["zoom_rounds"] == 0
