@@ -787,3 +787,242 @@ rpc_dem_inv AS (
   FROM rpcd_i{max_iter}
 )""")
     return ",".join(p.strip() for p in parts)
+
+
+# ---------------------------------- RPC_DEM without broadcasting: chip gather
+
+def dem_tiles_df(spark, dem: DEM, *, tile: int = 64) -> DataFrame:
+    """The DEM as a distributed tile table (tty, ttx, th, tw, vals) —
+    the storage shape a continent-scale DEM that cannot ride a UDF
+    closure would have (in production: a parquet table partitioned by
+    tile key; here built from the in-memory fixture). vals is the
+    row-major float64 block, edge tiles partial."""
+    H, W = dem.shape
+    rows = []
+    for ty in range((H + tile - 1) // tile):
+        for tx in range((W + tile - 1) // tile):
+            blk = dem.grid[ty * tile:(ty + 1) * tile,
+                           tx * tile:(tx + 1) * tile]
+            rows.append((ty, tx, blk.shape[0], blk.shape[1],
+                         [float(v) for v in blk.ravel()]))
+    return spark.createDataFrame(
+        rows, "tty int, ttx int, th int, tw int, vals array<double>")
+
+
+def _bilinear_chips(chips, cx0, cy0, px, py, W, H):
+    """_dem_bilinear_clamped against per-point chips: identical global
+    clamp + corner-index arithmetic, lookups shifted into each point's
+    (cx0, cy0)-anchored window. Returns (value, in_chip) — a corner
+    falling outside the gathered window is a coverage miss, not an
+    arithmetic result."""
+    fx = np.minimum(np.maximum(px, 0.5), W - 0.5) - 0.5
+    fy = np.minimum(np.maximum(py, 0.5), H - 0.5) - 0.5
+    x0 = np.minimum(np.floor(fx), W - 2).astype(np.int64)
+    y0 = np.minimum(np.floor(fy), H - 2).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    S = chips.shape[1]
+    lx = x0 - cx0
+    ly = y0 - cy0
+    ok = (lx >= 0) & (lx <= S - 2) & (ly >= 0) & (ly <= S - 2)
+    lx = np.clip(lx, 0, S - 2)
+    ly = np.clip(ly, 0, S - 2)
+    i = np.arange(len(lx))
+    v = (chips[i, ly, lx] * (1 - wx) * (1 - wy)
+         + chips[i, ly, lx + 1] * wx * (1 - wy)
+         + chips[i, ly + 1, lx] * (1 - wx) * wy
+         + chips[i, ly + 1, lx + 1] * wx * wy)
+    return v, ok
+
+
+def apply_rpc_inverse_dem_gather(df: DataFrame, rpc: RPC, dem: DEM,
+                                 tiles: DataFrame, *,
+                                 id_col: str = "id",
+                                 pixel: str = "pixel", line: str = "line",
+                                 user_height: float = 0.0, chip_r: int = 4,
+                                 tile: int = 64,
+                                 pix_err_threshold: float =
+                                 DEFAULT_PIX_ERR_THRESHOLD,
+                                 max_iter: int = MAX_ITER_DEM) -> DataFrame:
+    """The RPC_DEM inverse for DEMs too large to broadcast — the
+    tile-join gather the DEM docstring promises (same arithmetic as
+    rpc_inverse_dem, gdal_rpc.cpp:1128-1360). Plan shape, fixed and
+    scale-free:
+
+      1. JVM-side: affine seed at refZ, DEM window
+         [seed - chip_r, seed + chip_r + 2)^2 clamped inside the DEM
+         (the distributed stand-in for GDAL's DEM block cache around
+         the working chunk);
+      2. ONE equi-join against the tile table (each point explodes to
+         the <= 4 tiles its window overlaps), pieces sliced
+         Arrow-side — (2*chip_r+2)^2 float64s per point move, never
+         whole tiles;
+      3. ONE regroup by point id, then the full 20-iteration masked
+         kernel vectorized over the per-point chips.
+
+    `dem` supplies metadata only (gt/shape/offsets + the refZ probe);
+    the grid values travel exclusively through `tiles`. Iterates are
+    bit-identical to the broadcast kernel while they stay inside the
+    window (the clamp+corner math is shared); a point whose iterate
+    leaves its window — seed farther than chip_r DEM pixels from the
+    true position, i.e. height-induced parallax beyond the margin —
+    fails conservatively (NaN; production would re-run the NaN tail
+    with a larger chip_r). The iteration-0 out-of-DEM snap quirk is
+    likewise out of this variant's scope: points must seed inside the
+    DEM. Returns df + (lon, lat)."""
+    S = 2 * chip_r + 2
+    ref_z = dem_ref_z(rpc, dem)
+    gt = rpc_affine(rpc, ref_z)
+    ig = dem.inv_gt
+    H, W = dem.shape
+    assert W >= S and H >= S, "DEM smaller than one chip"
+    h_off, h_scale = dem.height_offset, dem.height_scale
+
+    px, py = F.col(pixel), F.col(line)
+    x = F.lit(gt[0]) + F.lit(gt[1]) * px + F.lit(gt[2]) * py
+    y = F.lit(gt[3]) + F.lit(gt[4]) * px + F.lit(gt[5]) * py
+    dpx = F.lit(ig[0]) + F.lit(ig[1]) * x
+    dpy = F.lit(ig[3]) + F.lit(ig[5]) * y
+    cx0 = F.least(F.greatest(F.floor(dpx) - chip_r, F.lit(0)),
+                  F.lit(W - S)).cast("bigint")
+    cy0 = F.least(F.greatest(F.floor(dpy) - chip_r, F.lit(0)),
+                  F.lit(H - S)).cast("bigint")
+    seeded = df.select(
+        F.col(id_col).alias("_pid"), px.alias("_tpx"), py.alias("_tpy"),
+        cx0.alias("_cx0"), cy0.alias("_cy0"))
+    exploded = seeded.select(
+        "*",
+        F.explode(F.sequence((F.col("_cx0") / tile).cast("int"),
+                             ((F.col("_cx0") + S - 1) / tile).cast("int"))
+                  ).alias("ttx"),
+    ).select(
+        "*",
+        F.explode(F.sequence((F.col("_cy0") / tile).cast("int"),
+                             ((F.col("_cy0") + S - 1) / tile).cast("int"))
+                  ).alias("tty"),
+    )
+    joined = exploded.join(tiles, ["tty", "ttx"])
+
+    piece_schema = ("_pid bigint, _tpx double, _tpy double, _cx0 bigint, "
+                    "_cy0 bigint, ox int, oy int, pw int, ph int, "
+                    "pvals array<double>")
+
+    def slice_pieces(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("_pid", "_tpx", "_tpy", "_cx0", "_cy0",
+                                   "ox", "oy", "pw", "ph", "pvals")}
+            for pid, tpx, tpy, c_x0, c_y0, tty, ttx, th, tw, vals in zip(
+                    pdf["_pid"], pdf["_tpx"], pdf["_tpy"], pdf["_cx0"],
+                    pdf["_cy0"], pdf["tty"], pdf["ttx"], pdf["th"],
+                    pdf["tw"], pdf["vals"]):
+                gx0, gy0 = int(ttx) * tile, int(tty) * tile
+                blk = np.asarray(vals, dtype=np.float64).reshape(
+                    int(th), int(tw))
+                ix0 = max(int(c_x0), gx0)
+                iy0 = max(int(c_y0), gy0)
+                ix1 = min(int(c_x0) + S, gx0 + int(tw))
+                iy1 = min(int(c_y0) + S, gy0 + int(th))
+                if ix1 <= ix0 or iy1 <= iy0:
+                    continue
+                sub = blk[iy0 - gy0:iy1 - gy0, ix0 - gx0:ix1 - gx0]
+                out["_pid"].append(pid)
+                out["_tpx"].append(tpx)
+                out["_tpy"].append(tpy)
+                out["_cx0"].append(c_x0)
+                out["_cy0"].append(c_y0)
+                out["ox"].append(ix0 - int(c_x0))
+                out["oy"].append(iy0 - int(c_y0))
+                out["pw"].append(ix1 - ix0)
+                out["ph"].append(iy1 - iy0)
+                out["pvals"].append(sub.ravel().tolist())
+            yield pd.DataFrame(out)
+
+    pieces = joined.mapInPandas(slice_pieces, piece_schema)
+    agg = pieces.groupBy("_pid").agg(
+        F.first("_tpx").alias("_tpx"), F.first("_tpy").alias("_tpy"),
+        F.first("_cx0").alias("_cx0"), F.first("_cy0").alias("_cy0"),
+        F.collect_list(F.struct("ox", "oy", "pw", "ph", "pvals")).alias("_ps"))
+
+    out_schema = f"{id_col} bigint, {pixel} double, {line} double, " \
+                 "lon double, lat double"
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            chips = np.zeros((n, S, S), dtype=np.float64)
+            covered = np.zeros((n, S, S), dtype=bool)
+            for i, ps in enumerate(pdf["_ps"]):
+                for p in ps:
+                    blk = np.asarray(p["pvals"], dtype=np.float64).reshape(
+                        p["ph"], p["pw"])
+                    chips[i, p["oy"]:p["oy"] + p["ph"],
+                          p["ox"]:p["ox"] + p["pw"]] = blk
+                    covered[i, p["oy"]:p["oy"] + p["ph"],
+                            p["ox"]:p["ox"] + p["pw"]] = True
+            full = covered.all(axis=(1, 2))
+            tpx = pdf["_tpx"].to_numpy(dtype=np.float64)
+            tpy = pdf["_tpy"].to_numpy(dtype=np.float64)
+            c_x0 = pdf["_cx0"].to_numpy(dtype=np.int64)
+            c_y0 = pdf["_cy0"].to_numpy(dtype=np.int64)
+            x = gt[0] + gt[1] * tpx + gt[2] * tpy
+            y = gt[3] + gt[4] * tpx + gt[5] * tpy
+            done = np.zeros(n, dtype=bool)
+            fail = ~full
+            lx = np.zeros_like(x)
+            ly = np.zeros_like(y)
+            ldx = np.zeros_like(x)
+            ldy = np.zeros_like(y)
+            lvalid = np.zeros(n, dtype=bool)
+            cnt = np.zeros(n, dtype=np.int64)
+            for _ in range(max_iter):
+                active = ~done & ~fail
+                dpx_ = ig[0] + ig[1] * x
+                dpy_ = ig[3] + ig[5] * y
+                inb = (dpx_ >= 0.0) & (dpx_ <= W) & (dpy_ >= 0.0) \
+                    & (dpy_ <= H)
+                raw, in_chip = _bilinear_chips(chips, c_x0, c_y0,
+                                               dpx_, dpy_, W, H)
+                fail = fail | (active & ~(inb & in_chip))
+                active = active & ~fail
+                demh = h_off + raw * h_scale
+                bx, by = rpc_forward(rpc, x, y,
+                                     np.asarray(user_height) + demh)
+                dx = bx - tpx
+                dy = by - tpy
+                err = np.maximum(np.abs(dx), np.abs(dy))
+                conv = active & (err < pix_err_threshold)
+                done = done | conv
+                step = active & ~conv
+                osc = step & lvalid & (dx * ldx < 0.0) & (dy * ldy < 0.0)
+                mv = step & ~osc
+                boost = np.where((cnt >= 5) & (err < 2.0), 10.0, 1.0)
+                cnt = np.where(mv, np.where(err < 2.0, cnt + 1, 0), cnt)
+                cnt = np.where(osc, 0, cnt)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    nx = np.where(
+                        osc,
+                        (np.abs(dx) * lx + np.abs(ldx) * x)
+                        / (np.abs(dx) + np.abs(ldx)),
+                        x - (dx * gt[1] + dy * gt[2]) * boost)
+                    ny = np.where(
+                        osc,
+                        (np.abs(dy) * ly + np.abs(ldy) * y)
+                        / (np.abs(dy) + np.abs(ldy)),
+                        y - (dx * gt[4] + dy * gt[5]) * boost)
+                lx = np.where(mv, x, lx)
+                ly = np.where(mv, y, ly)
+                ldx = np.where(mv, dx, ldx)
+                ldy = np.where(mv, dy, ldy)
+                lvalid = np.where(osc, False, np.where(mv, True, lvalid))
+                x = np.where(step, nx, x)
+                y = np.where(step, ny, y)
+            yield pd.DataFrame({
+                id_col: pdf["_pid"].to_numpy(dtype=np.int64),
+                pixel: tpx, line: tpy,
+                "lon": np.where(done, x, np.nan),
+                "lat": np.where(done, y, np.nan),
+            })
+
+    return agg.mapInPandas(kernel, out_schema)

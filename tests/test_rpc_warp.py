@@ -190,3 +190,53 @@ def test_dem_inv_oracle_bit_exact(rpc, dem):
     ).fetchnumpy()
     assert np.array_equal(np.sort(ilo), got2["lon"])
     assert np.array_equal(np.sort(ila), np.sort(got2["lat"]))
+
+
+def test_dem_inverse_gather_matches_broadcast(spark, rpc, dem):
+    # the no-broadcast chip-gather variant (tile join + regroup +
+    # per-chip masked kernel) returns bit-identical iterates to the
+    # broadcast kernel for points whose window holds the iterates —
+    # the entire fixture scene here
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ids = np.arange(0, 6000, 11)
+    lon = 2.21 + (ids % 400).astype(np.float64) * 0.00045
+    lat = 48.78 + ((ids // 400) % 300).astype(np.float64) * 0.00047
+    fp, fl = R.rpc_forward_dem(rpc, dem, lon, lat)
+    blo, bla = R.rpc_inverse_dem(rpc, dem, fp, fl)
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "pixel": fp, "line": fl}))
+    tiles = R.dem_tiles_df(spark, dem, tile=32)
+    got = R.apply_rpc_inverse_dem_gather(
+        pts, rpc, dem, tiles, tile=32, chip_r=4,
+    ).orderBy("id").toPandas()
+    assert len(got) == len(ids)
+    assert np.array_equal(got["lon"].to_numpy(), blo)
+    assert np.array_equal(got["lat"].to_numpy(), bla)
+
+
+def test_dem_inverse_gather_fails_points_leaving_chip(spark, rpc, dem):
+    # chip_r=0 gives a 2x2 window: any point whose iterate needs a
+    # corner outside it fails conservatively (NaN), never silently
+    # returns wrong heights
+    import pandas as pd
+
+    ids = np.arange(40)
+    lon = 2.25 + (ids % 8).astype(np.float64) * 0.01
+    lat = 48.82 + (ids // 8).astype(np.float64) * 0.01
+    fp, fl = R.rpc_forward_dem(rpc, dem, lon, lat)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "pixel": fp, "line": fl}))
+    tiles = R.dem_tiles_df(spark, dem, tile=32)
+    got = R.apply_rpc_inverse_dem_gather(
+        pts, rpc, dem, tiles, tile=32, chip_r=0,
+    ).toPandas()
+    blo, _ = R.rpc_inverse_dem(rpc, dem, fp, fl)
+    ok = got["lon"].notna().to_numpy()
+    # whatever converged must equal the broadcast kernel's answer
+    order = np.argsort(got["id"].to_numpy())
+    lon_sorted = got["lon"].to_numpy()[order]
+    ok_sorted = ok[order]
+    assert np.array_equal(lon_sorted[ok_sorted], blo[ok_sorted])
