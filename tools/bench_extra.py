@@ -82,6 +82,34 @@ def _bigpoly(strategy: str, skew: bool, **kw):
     return run
 
 
+def _rpc_dem(variant: str):
+    """RPC-DEM inverse over a 200k-point scene: 'broadcast' ships the
+    DEM chip in the UDF closure; 'gather' runs the no-broadcast
+    tile-join chip gather (the continent-DEM scale path)."""
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from gdal_spark.operators import rpc_warp as R
+
+        rpc = R.rpc_fixture()
+        dem = R.dem_fixture()
+        n = 200_000
+        pts = spark.range(n).select(
+            F.col("id"),
+            (F.lit(2.21) + (F.col("id") % 400).cast("double")
+             * F.lit(0.00045)).alias("lon"),
+            (F.lit(48.78) + ((F.col("id") / 400).cast("bigint") % 300)
+             .cast("double") * F.lit(0.00047)).alias("lat"))
+        fwd = R.apply_rpc_forward_dem(pts, rpc, dem).select(
+            "id", "pixel", "line")
+        if variant == "broadcast":
+            return R.apply_rpc_inverse_dem(fwd, rpc, dem).select(
+                "id", "lon", "lat")
+        tiles = R.dem_tiles_df(spark, dem, tile=32)
+        return R.apply_rpc_inverse_dem_gather(fwd, rpc, dem, tiles, tile=32)
+    return run
+
+
 EXTRA = {
     "headline_join_tile": _headline("jvm"),
     "headline_join_tile_arrow": _headline("broadcast"),
@@ -89,4 +117,6 @@ EXTRA = {
     "spatial_join_bigpoly_skew_grouped": _bigpoly("shuffle", skew=True),
     "spatial_join_bigpoly_skew_salted": _bigpoly(
         "grouped_salted", skew=True, n_salt=8, salt_threshold=2000),
+    "rpc_dem_inverse_broadcast": _rpc_dem("broadcast"),
+    "rpc_dem_inverse_gather": _rpc_dem("gather"),
 }
