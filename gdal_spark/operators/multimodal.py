@@ -133,3 +133,118 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+# ------------------------------- real PNG image path (r5, own codec)
+
+def attach_png_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale PNG payloads — REAL encoded bytes from
+    the engine's own stdlib-zlib codec (kernels/png.py), so the image
+    branch of the multimodal surface runs an actual codec instead of
+    the magic-tag stub: w = 8 + id % 9, h = 8 + (id * 3) % 7,
+    pixel(k) = (id * 31 + k) % 256 row-major. The closed form is what
+    lets the oracle grade the decode end-to-end."""
+    from ..kernels import png as png_mod
+
+    @F.pandas_udf("binary")
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = 8 + i % 9
+            h = 8 + (i * 3) % 7
+            arr = ((i * 31 + np.arange(w * h, dtype=np.int64)) % 256) \
+                .astype(np.uint8).reshape(h, w)
+            out.append(png_mod.encode_gray(arr))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.concat(F.lit("png://"), F.col(id_col).cast("string"))
+        .alias("media_ref"),
+        _enc(F.col(id_col)).alias("payload"),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = ("doc_id bigint, width int, height int, "
+                         "px_sum bigint, px_min int, px_max int")
+
+
+def image_features(df: DataFrame, *, payload: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode + feature extraction: parse the PNG payload
+    with kernels.png.decode (per-batch loop, Arrow transfer — the
+    mapInPandas shape a PIL/libvips deployment uses), emit dimensions
+    + integer pixel statistics. Non-PNG payloads raise, like a codec
+    would."""
+    from ..kernels import png as png_mod
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+            for did, payload_b in zip(pdf[id_col], pdf[payload]):
+                arr = png_mod.decode(bytes(payload_b))
+                if arr.ndim == 3:       # RGBA -> per-pixel sum basis
+                    flat = arr.reshape(-1, arr.shape[2])[:, 0]
+                else:
+                    flat = arr.ravel()
+                ids.append(did)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                sums.append(int(flat.astype(np.int64).sum()))
+                mins.append(int(flat.min()))
+                maxs.append(int(flat.max()))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "px_sum": sums,
+                "px_min": pd.array(mins, dtype="int32"),
+                "px_max": pd.array(maxs, dtype="int32"),
+            })
+
+    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def image_resize(df: DataFrame, *, out_w: int, out_h: int,
+                 method: str = "box", payload: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Decode -> resize -> re-encode, all with the engine's own
+    codec/numpy (nearest or integer box-average); emits
+    (doc_id, payload) with the resized PNG. The distributed shape —
+    Arrow batches through mapInPandas, payload-in payload-out — is
+    the one a real thumbnailing pipeline uses."""
+    from ..kernels import png as png_mod
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for did, payload_b in zip(pdf[id_col], pdf[payload]):
+                arr = png_mod.decode(bytes(payload_b))
+                gray = arr if arr.ndim == 2 else arr[:, :, 0]
+                h, w = gray.shape
+                if method == "nearest":
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    res = gray[yi[:, None], xi[None, :]]
+                else:  # integer box average over the source footprint
+                    y0 = (np.arange(out_h) * h) // out_h
+                    y1 = np.maximum(((np.arange(out_h) + 1) * h) // out_h,
+                                    y0 + 1)
+                    x0 = (np.arange(out_w) * w) // out_w
+                    x1 = np.maximum(((np.arange(out_w) + 1) * w) // out_w,
+                                    x0 + 1)
+                    c = gray.astype(np.int64).cumsum(0).cumsum(1)
+                    cp = np.zeros((h + 1, w + 1), dtype=np.int64)
+                    cp[1:, 1:] = c
+                    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])
+                    tot = (cp[y1[:, None], x1[None, :]]
+                           - cp[y0[:, None], x1[None, :]]
+                           - cp[y1[:, None], x0[None, :]]
+                           + cp[y0[:, None], x0[None, :]])
+                    res = (tot // area).astype(np.uint8)
+                ids.append(did)
+                outs.append(png_mod.encode_gray(res.astype(np.uint8)))
+            yield pd.DataFrame({id_col: ids, "payload": outs})
+
+    return df.mapInPandas(run, f"{id_col} bigint, payload binary")

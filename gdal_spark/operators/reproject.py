@@ -320,6 +320,44 @@ def osgb_inverse_cols(df: DataFrame, easting: str = "easting",
     ).drop("_ll")
 
 
+def gridshift_forward_cols(df: DataFrame, g, lon: str = "lon",
+                           lat: str = "lat") -> DataFrame:
+    """Horizontal grid-shift datum step (PROJ +proj=hgridshift, the
+    NTv2 path the reference builds for grid-based datums like NAD27 —
+    ogr/ogrct.cpp:2254): bilinear (dlat, dlon) arcsec shift from the
+    loaded sub-grid, applied forward. The sub-grid (MBs for real NTv2
+    files) rides the UDF closure — one ship per executor; points ship
+    16 B each through Arrow. Off-grid points -> NaN (PROJ's
+    untransformable marker). Adds (lon_sh, lat_sh)."""
+    from ..kernels import gridshift as GS
+
+    @F.pandas_udf("struct<lon:double, lat:double>")
+    def _fwd(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        lo, la = GS.gridshift_forward(g, lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    res = df.withColumn("_sh", _fwd(F.col(lon), F.col(lat)))
+    return res.withColumn("lon_sh", F.col("_sh.lon")).withColumn(
+        "lat_sh", F.col("_sh.lat")).drop("_sh")
+
+
+def gridshift_inverse_cols(df: DataFrame, g, lon: str = "lon_sh",
+                           lat: str = "lat_sh") -> DataFrame:
+    """Reverse grid-shift (hgridshift.cpp reverse): bounded masked
+    fixed-point iteration re-evaluating the shift at each guess.
+    Adds (lon_inv, lat_inv)."""
+    from ..kernels import gridshift as GS
+
+    @F.pandas_udf("struct<lon:double, lat:double>")
+    def _inv(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        lo, la = GS.gridshift_inverse(g, lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"lon": lo, "lat": la})
+
+    res = df.withColumn("_ll", _inv(F.col(lon), F.col(lat)))
+    return res.withColumn("lon_inv", F.col("_ll.lon")).withColumn(
+        "lat_inv", F.col("_ll.lat")).drop("_ll")
+
+
 def _closed_form(epsg: int):
     """Closed-form kernel for a projected EPSG code, or None.
     Covers the three most common projected families: UTM

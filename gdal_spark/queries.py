@@ -4516,18 +4516,37 @@ FROM f
 """
 
 
+_MM_PARTS = [
+    ("meta", ["media_ref", "magic", "kind"],
+     ["doc_id", "n_bytes", "width", "height", "checksum"]),
+    ("png", [], ["doc_id", "width", "height", "px_sum", "px_min", "px_max"]),
+]
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing: synth payloads + Arrow-batched metadata
-    extraction (decode stub)."""
+    """Multimodal surface in one gate row: (meta) synth payloads +
+    Arrow-batched metadata extraction through the decode stub, and
+    (png, r5) a REAL image decode — deterministic grayscale PNGs
+    encoded with the engine's own stdlib-zlib codec, decoded back and
+    feature-extracted; the oracle grades the round-trip from the
+    closed-form pixel rule, so a single wrong byte anywhere in
+    encode/decode fails the hash."""
     d = _read(spark, sf_dir, "documents")
     m = multimodal.attach_media(d, id_col="doc_id")
-    return multimodal.extract_media_meta(m)
+    meta = multimodal.extract_media_meta(m)
+    png = multimodal.image_features(
+        multimodal.attach_png_media(d, id_col="doc_id"))
+    return _suite(
+        [("meta", meta, _MM_PARTS[0][1], _MM_PARTS[0][2]),
+         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2])],
+        n_str=3, n_num=6,
+    )
 
 
 def sql_multimodal_meta() -> str:
     kind = "CASE doc_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END"
     nb = "4 + length(text)"
-    return f"""
+    meta = f"""
 SELECT doc_id,
        'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
        CAST({nb} AS BIGINT) AS n_bytes,
@@ -4539,6 +4558,30 @@ SELECT doc_id,
             c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS checksum
 FROM documents
 """
+    # png decode round-trip graded from the closed-form pixel rule
+    # pixel(k) = (doc_id*31 + k) % 256 over n = w*h pixels:
+    # sum_{j=b}^{b+n-1} (j % 256) = S(b+n) - S(b),
+    # S(m) = (m // 256) * 32640 + t*(t-1)/2 with t = m % 256
+    s_of = ("(({m}) // 256) * 32640"
+            " + ((({m}) % 256) * ((({m}) % 256) - 1)) // 2")
+    png = f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + (doc_id * 3) % 7 AS BIGINT) AS height,
+       CAST({s_of.format(m='b + n')} - ({s_of.format(m='b')}) AS BIGINT)
+         AS px_sum,
+       CAST(CASE WHEN b + n > 256 THEN 0 ELSE b END AS BIGINT) AS px_min,
+       CAST(CASE WHEN b + n >= 256 THEN 255 ELSE b + n - 1 END AS BIGINT)
+         AS px_max
+FROM (SELECT doc_id, (doc_id * 31) % 256 AS b,
+             (8 + doc_id % 9) * (8 + (doc_id * 3) % 7) AS n
+      FROM documents)
+"""
+    return _suite_sql(
+        [("meta", meta, _MM_PARTS[0][1], _MM_PARTS[0][2]),
+         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2])],
+        n_str=3, n_num=6,
+    )
 
 
 # ================================================================ registry
@@ -5406,16 +5449,70 @@ _REPROJECT_PARTS = [
     ("merc_roundtrip", [], ["n", "n_ok"]),
     ("utm31", [], ["id", "easting_mm", "northing_mm", "lon_rt", "lat_rt"]),
     ("osgb", [], ["id", "easting_mm", "northing_mm", "lon_rt", "lat_rt"]),
+    ("gridshift", [], ["id", "lon_sh", "lat_sh", "lon_rt", "lat_rt"]),
 ]
+
+# grid-shift scene: eastern-US points strictly inside the synthetic
+# NTv2 sub-grid (38..46N, 70..80W) — exact integer-derived doubles,
+# textually identical in both engines
+_GS_LON = "-79.5 + CAST(o_orderkey % 300 AS DOUBLE) * 0.03"
+_GS_LAT = "38.3 + CAST((o_orderkey DIV 300) % 250 AS DOUBLE) * 0.03"
+_GS_LON_DUCK = "-79.5 + CAST(o_orderkey % 300 AS DOUBLE) * 0.03"
+_GS_LAT_DUCK = "38.3 + CAST((o_orderkey // 300) % 250 AS DOUBLE) * 0.03"
+
+
+def q_reproject_gridshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based datum shift (PROJ hgridshift / NTv2 — the path
+    NAD27-family CRS take through ogr/ogrct.cpp:2254): forward bilinear
+    arcsec shift + the reverse fixed-point iteration, over the
+    deterministic synthetic sub-grid (kernels.gridshift fixture; no
+    real .gsb in the sandbox — the round's synthesise-at-small-scale
+    rule). Nano-degree rounding; the oracle replays the bilinear and
+    every masked iteration from the closed-form node values."""
+    from .kernels import gridshift as GS
+    from .operators import reproject
+
+    g = GS.gridshift_fixture()
+    o = _read(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(_GS_LON).alias("lon"), F.expr(_GS_LAT).alias("lat"))
+    fwd = reproject.gridshift_forward_cols(pts, g)
+    rt = reproject.gridshift_inverse_cols(fwd, g)
+    return rt.select(
+        "id",
+        F.round("lon_sh", 9).alias("lon_sh"),
+        F.round("lat_sh", 9).alias("lat_sh"),
+        F.round("lon_inv", 9).alias("lon_rt"),
+        F.round("lat_inv", 9).alias("lat_rt"),
+    )
+
+
+def sql_reproject_gridshift() -> str:
+    from .kernels import gridshift as GS
+
+    g = GS.gridshift_fixture()
+    pts = (f"SELECT o_orderkey AS id, {_GS_LON_DUCK} AS lon, "
+           f"{_GS_LAT_DUCK} AS lat FROM orders")
+    fwd = GS.gridshift_fwd_sql_ctes(g, f"({pts})")
+    inv = GS.gridshift_inv_sql_ctes(
+        g, "(SELECT id, lon AS tlon, lat AS tlat FROM gs_fwd)")
+    return (f"WITH {fwd}, {inv} "
+            f"SELECT f.id, round(f.lon, 9) AS lon_sh, "
+            f"round(f.lat, 9) AS lat_sh, "
+            f"round(i.lon, 9) AS lon_rt, round(i.lat, 9) AS lat_rt "
+            f"FROM gs_fwd f JOIN gs_inv i USING (id)")
 
 
 def q_reproject_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reprojection surface in one gate row: 4326<->3857 round-trip
     error census + the Krueger-series 4326<->32631 forward/inverse
     (the reference's own benchmark CRS pair) + the datum-shifted
-    4326<->27700 Helmert chain (r4)."""
+    4326<->27700 Helmert chain (r4) + the NTv2 grid-shift datum path
+    (r5)."""
     subs = {"merc_roundtrip": q_reproject_roundtrip,
-            "utm31": q_reproject_utm, "osgb": q_reproject_osgb}
+            "utm31": q_reproject_utm, "osgb": q_reproject_osgb,
+            "gridshift": q_reproject_gridshift}
     return _suite(
         [(t, subs[t](spark, sf_dir), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
         n_str=0, n_num=5,
@@ -5424,7 +5521,8 @@ def q_reproject_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_reproject_suite() -> str:
     subs = {"merc_roundtrip": sql_reproject_roundtrip,
-            "utm31": sql_reproject_utm, "osgb": sql_reproject_osgb}
+            "utm31": sql_reproject_utm, "osgb": sql_reproject_osgb,
+            "gridshift": sql_reproject_gridshift}
     return _suite_sql(
         [(t, subs[t](), sc, nc) for t, sc, nc in _REPROJECT_PARTS],
         n_str=0, n_num=5,

