@@ -75,7 +75,8 @@ def write_range_partitioned(df: DataFrame, path_or_ident: str, *,
 
 
 def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
-                    bands: int = 4) -> DataFrame:
+                    bands: int = 4, driver: str = "png",
+                    jpeg_quality: int = 85) -> DataFrame:
     """Write REAL {z}/{x}/{y}.png artifacts from band-pixel rows — the
     gdal2tiles tile sink closed end-to-end (gdal2tiles.py tile
     rendering; artifact checksums test_gdal2tiles.py:121-124).
@@ -99,18 +100,26 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
     mount, swap the write_group body for the store's SDK put — the
     Spark plan (group → encode → per-task put) is unchanged.
 
+    driver: "png" (default — lossless RGBA/gray, r4 codec) or "jpeg"
+    (gdal2tiles --tiledriver JPEG analog, kernels/jpeg.py baseline
+    codec): RGB without alpha (JPEG has none — the reference's JPEG
+    tiles likewise drop it) or grayscale, `.jpg` extension.
+
     Eager (an action runs inside): the write is the side effect.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
 
+    from .kernels import jpeg as jpeg_mod
     from .kernels import png as png_mod
 
+    assert driver in ("png", "jpeg")
     schema = ("tz int, tx bigint, ty bigint, path string, nbytes bigint, "
               "crc32 bigint")
     ts = tile_size
     nb = bands
+    ext = "png" if driver == "png" else "jpg"
 
     def write_group(key, pdf):
         import binascii
@@ -122,20 +131,28 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
         if nb == 4:
             arr = np.zeros((ts * ts, 4), dtype=np.uint8)
             arr[pos, pdf["band"].to_numpy(dtype=np.int64)] = val
-            buf = png_mod.encode_rgba(arr.reshape(ts, ts, 4))
+            if driver == "png":
+                buf = png_mod.encode_rgba(arr.reshape(ts, ts, 4))
+            else:
+                buf = jpeg_mod.encode(
+                    arr.reshape(ts, ts, 4)[:, :, :3], quality=jpeg_quality)
         else:
             arr = np.zeros(ts * ts, dtype=np.uint8)
             arr[pos] = val
-            buf = png_mod.encode_gray(arr.reshape(ts, ts))
+            if driver == "png":
+                buf = png_mod.encode_gray(arr.reshape(ts, ts))
+            else:
+                buf = jpeg_mod.encode(arr.reshape(ts, ts),
+                                      quality=jpeg_quality)
         d = os.path.join(out_dir, str(tz), str(tx))
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{ty}.png")
+        path = os.path.join(d, f"{ty}.{ext}")
         # atomic last-writer-wins: readers (and re-renders from a
         # streaming micro-batch) never observe a truncated artifact.
         # mkstemp creates 0600 — restore world-readable artifact perms,
         # and never leak the temp file into the served directory if the
         # task dies mid-write
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".png.tmp")
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=f".{ext}.tmp")
         try:
             with os.fdopen(fd, "wb") as f:
                 f.write(buf)

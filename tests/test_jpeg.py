@@ -1,0 +1,84 @@
+"""Baseline JPEG codec (kernels/jpeg.py) — T.81 sequential DCT, JFIF:
+structure, round-trip distortion bounds, rate/quality monotonicity,
+and the JPEG tile-sink artifacts."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.kernels import jpeg as J
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_gray_roundtrip_smooth():
+    x = np.arange(64)
+    g = ((x[None, :] * 2 + x[:, None] * 3) % 256).astype(np.uint8)
+    buf = J.encode(g, quality=90)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert buf[6:10] == b"JFIF"
+    back = J.decode(buf)
+    assert back.shape == g.shape and back.dtype == np.uint8
+    assert _psnr(g, back) > 40.0
+
+
+def test_rgb_roundtrip_and_nonmultiple_of_8_dims():
+    yy, xx = np.mgrid[0:45, 0:77]   # deliberately not /8
+    rgb = np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    back = J.decode(J.encode(rgb, quality=85))
+    assert back.shape == rgb.shape
+    assert _psnr(rgb, back) > 38.0
+
+
+def test_quality_controls_rate_and_distortion():
+    yy, xx = np.mgrid[0:48, 0:48]
+    img = np.stack([(xx * 5) % 256] * 3, axis=2).astype(np.uint8)
+    lo, hi = J.encode(img, quality=25), J.encode(img, quality=95)
+    assert len(lo) < len(hi)
+    assert _psnr(img, J.decode(lo)) < _psnr(img, J.decode(hi))
+
+
+def test_flat_block_is_tiny_and_exact():
+    img = np.full((16, 16), 130, dtype=np.uint8)
+    buf = J.encode(img, quality=85)
+    assert (J.decode(buf) == img).all()   # DC-only, quantizes exactly
+
+
+def test_decoder_rejects_non_jpeg():
+    with pytest.raises(AssertionError):
+        J.decode(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_jpeg_tile_sink(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gdal_spark import io as gio
+    from gdal_spark.operators import base_tiles as BT
+
+    ts = 16
+    px = None
+    for b in range(3):
+        t = (BT.base_tiles(spark, tz=1, tile_size=ts,
+                           src=BT.src_pixels(spark, salt=b + 1,
+                                             byte_range=True))
+             .withColumn("band", F.lit(b)))
+        px = t if px is None else px.unionByName(t)
+    alpha = BT.base_tiles(spark, tz=1, tile_size=ts,
+                          src=BT.src_alpha(spark)).withColumn("band", F.lit(3))
+    px = px.unionByName(alpha)
+    out_dir = str(tmp_path / "jtiles")
+    man = gio.write_tile_pngs(px, out_dir, tile_size=ts, bands=4,
+                              driver="jpeg", jpeg_quality=90)
+    rows = man.collect()
+    assert rows
+    for r in rows:
+        assert r["path"].endswith(".jpg") and os.path.exists(r["path"])
+        arr = J.decode(open(r["path"], "rb").read())
+        assert arr.shape == (ts, ts, 3)   # alpha dropped, like gdal2tiles
+    man.unpersist()
