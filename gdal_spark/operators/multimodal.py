@@ -172,18 +172,27 @@ IMAGE_FEATURES_SCHEMA = ("doc_id bigint, width int, height int, "
 
 def image_features(df: DataFrame, *, payload: str = "payload",
                    id_col: str = "doc_id") -> DataFrame:
-    """REAL image decode + feature extraction: parse the PNG payload
-    with kernels.png.decode (per-batch loop, Arrow transfer — the
-    mapInPandas shape a PIL/libvips deployment uses), emit dimensions
-    + integer pixel statistics. Non-PNG payloads raise, like a codec
-    would."""
+    """REAL image decode + feature extraction: sniff the payload magic
+    and decode with the in-repo codec — PNG (kernels/png.py) or
+    baseline JPEG (kernels/jpeg.py) — per-batch loop over Arrow
+    transfer, the mapInPandas shape a PIL/libvips deployment uses.
+    Emits dimensions + integer pixel statistics; unknown magic raises,
+    like a codec would."""
+    from ..kernels import jpeg as jpeg_mod
     from ..kernels import png as png_mod
+
+    def _decode(b: bytes):
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_mod.decode(b)
+        if b[:2] == b"\xff\xd8":
+            return jpeg_mod.decode(b)
+        raise NotImplementedError(f"no codec for magic {b[:4]!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
             for did, payload_b in zip(pdf[id_col], pdf[payload]):
-                arr = png_mod.decode(bytes(payload_b))
+                arr = _decode(bytes(payload_b))
                 if arr.ndim == 3:       # RGBA -> per-pixel sum basis
                     flat = arr.reshape(-1, arr.shape[2])[:, 0]
                 else:

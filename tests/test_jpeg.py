@@ -82,3 +82,25 @@ def test_jpeg_tile_sink(spark, tmp_path):
         arr = J.decode(open(r["path"], "rb").read())
         assert arr.shape == (ts, ts, 3)   # alpha dropped, like gdal2tiles
     man.unpersist()
+
+
+def test_image_features_decodes_jpeg_payloads(spark):
+    # multi-codec multimodal branch: JPEG payloads sniffed by magic,
+    # decoded with the in-repo codec; stats approximate the source
+    # within lossy error
+    import pandas as pd
+
+    from gdal_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(24):
+        yy, xx = np.mgrid[0:24, 0:32]
+        img = ((xx * (2 + i) + yy * 3) % 256).astype(np.uint8)
+        rows.append((i, J.encode(img, quality=90), int(img.sum())))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "payload", "true_sum"])
+    d = spark.createDataFrame(pdf[["doc_id", "payload"]])
+    feat = MM.image_features(d).orderBy("doc_id").toPandas()
+    assert (feat["width"] == 32).all() and (feat["height"] == 24).all()
+    rel = np.abs(feat["px_sum"].to_numpy() - pdf["true_sum"].to_numpy()) \
+        / pdf["true_sum"].to_numpy()
+    assert rel.max() < 0.02
