@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque `binary` columns + typed metadata structs —
-the engine moves and batches them (Arrow), it does not interpret them.
-Decode / feature-extract stages are Arrow-batched `mapInPandas` UDFs;
-in this container the actual codecs are STUBBED (no image/audio libs)
-behind `decode_stub`, with a deterministic fake so schema, batching,
-partitioning and tests are real.
+the engine moves and batches them (Arrow). Decode / feature-extract
+stages are Arrow-batched `mapInPandas` UDFs. Image payloads decode
+for REAL with the in-repo codecs (PNG: kernels/png.py; baseline JPEG:
+kernels/jpeg.py — r5); audio/video and other image formats remain
+STUBBED (no codec libs in this container) behind `decode_stub`, with
+a deterministic fake so schema, batching, partitioning and tests are
+real.
 
 This mirrors how the reference treats raster payloads it cannot decode:
 the driver layer moves opaque blocks; interpretation is pluggable
