@@ -74,3 +74,50 @@ def test_clip_pair_identities(seed):
     assert abs(au - (aa + ab - ai)) < 1e-8 * max(1.0, aa + ab)
     assert abs(ad - (aa - ai)) < 1e-8 * max(1.0, aa)
     assert -1e-12 <= ai <= min(aa, ab) + 1e-8
+
+
+# ------------------------------------------------- r5 kernels
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=-79.95, max_value=-70.05),
+       st.floats(min_value=38.05, max_value=45.95))
+def test_gridshift_roundtrip_property(lon, lat):
+    from gdal_spark.kernels import gridshift as GS
+    g = GS.gridshift_fixture()
+    flon, flat = GS.gridshift_forward(g, np.array([lon]), np.array([lat]))
+    assert not np.isnan(flon[0])
+    ilon, ilat = GS.gridshift_inverse(g, flon, flat)
+    assert abs(ilon[0] - lon) < 1e-10 and abs(ilat[0] - lat) < 1e-10
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31),
+       st.integers(min_value=1, max_value=100))
+def test_jpeg_any_dims_parse_and_bound(w, h, seed, quality):
+    from gdal_spark.kernels import jpeg as J
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+    back = J.decode(J.encode(img, quality=quality))
+    assert back.shape == img.shape
+    # decoded pixels are clamped uint8; error bounded by the largest
+    # possible quantized-DCT excursion, not unbounded garbage
+    assert back.dtype == np.uint8
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=2.215, max_value=2.385),
+       st.floats(min_value=48.785, max_value=48.915),
+       st.floats(min_value=-50.0, max_value=300.0))
+def test_rpc_dem_roundtrip_property(lon, lat, user_h):
+    from gdal_spark.operators import rpc_warp as R
+    rpc = R.rpc_fixture()
+    dem = R.dem_fixture()
+    fp, fl = R.rpc_forward_dem(rpc, dem, np.array([lon]), np.array([lat]),
+                               user_height=user_h)
+    assert not np.isnan(fp[0])
+    lo, la = R.rpc_inverse_dem(rpc, dem, fp, fl, user_height=user_h)
+    bx, by = R.rpc_forward_dem(rpc, dem, lo, la, user_height=user_h)
+    assert max(abs(bx[0] - fp[0]), abs(by[0] - fl[0])) \
+        < R.DEFAULT_PIX_ERR_THRESHOLD
