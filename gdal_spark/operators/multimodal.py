@@ -259,3 +259,73 @@ def image_resize(df: DataFrame, *, out_w: int, out_h: int,
             yield pd.DataFrame({id_col: ids, "payload": outs})
 
     return df.mapInPandas(run, f"{id_col} bigint, payload binary")
+
+
+# ------------------------------- real WAV audio path (r5, own codec)
+
+WAV_N = 2048
+WAV_RATE = 16000
+
+
+def attach_wav_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono 16-bit WAV payloads — REAL RIFF/PCM bytes
+    from kernels/wav.py: sample[k] = ((id*17 + 13*k) % 65536) - 32768
+    over WAV_N samples at WAV_RATE. The closed form is what lets the
+    oracle grade the decode end-to-end."""
+    from ..kernels import wav as wav_mod
+
+    @F.pandas_udf("binary")
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            x = (((i * 17 + 13 * np.arange(WAV_N, dtype=np.int64)) % 65536)
+                 - 32768).astype(np.int16)
+            out.append(wav_mod.write(x, sample_rate=WAV_RATE))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.concat(F.lit("wav://"), F.col(id_col).cast("string"))
+        .alias("media_ref"),
+        _enc(F.col(id_col)).alias("payload"),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = ("doc_id bigint, n_samples bigint, sample_rate int, "
+                         "s_sum bigint, s_min int, s_max int, "
+                         "zero_cross bigint")
+
+
+def audio_features(df: DataFrame, *, payload: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode + feature extraction: parse the WAV payload
+    with kernels.wav.read (RIFF chunk walk) and emit duration/integer
+    sample statistics + zero-crossing count — the feature set a
+    quality-filtering audio pipeline keys on."""
+    from ..kernels import wav as wav_mod
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rs, ss, mn, mx, zc = [], [], [], [], [], [], []
+            for did, payload_b in zip(pdf[id_col], pdf[payload]):
+                a, rate = wav_mod.read(bytes(payload_b))
+                x = a[:, 0].astype(np.int64)
+                ids.append(did)
+                ns.append(len(x))
+                rs.append(rate)
+                ss.append(int(x.sum()))
+                mn.append(int(x.min()))
+                mx.append(int(x.max()))
+                sign = x >= 0
+                zc.append(int((sign[1:] != sign[:-1]).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "n_samples": ns,
+                "sample_rate": pd.array(rs, dtype="int32"),
+                "s_sum": ss,
+                "s_min": pd.array(mn, dtype="int32"),
+                "s_max": pd.array(mx, dtype="int32"),
+                "zero_cross": zc,
+            })
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -4520,6 +4520,8 @@ _MM_PARTS = [
     ("meta", ["media_ref", "magic", "kind"],
      ["doc_id", "n_bytes", "width", "height", "checksum"]),
     ("png", [], ["doc_id", "width", "height", "px_sum", "px_min", "px_max"]),
+    ("wav", [], ["doc_id", "n_samples", "sample_rate", "s_sum", "s_min",
+                 "s_max", "zero_cross"]),
 ]
 
 
@@ -4536,10 +4538,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = multimodal.extract_media_meta(m)
     png = multimodal.image_features(
         multimodal.attach_png_media(d, id_col="doc_id"))
+    wav = multimodal.audio_features(
+        multimodal.attach_wav_media(d, id_col="doc_id"))
     return _suite(
         [("meta", meta, _MM_PARTS[0][1], _MM_PARTS[0][2]),
-         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2])],
-        n_str=3, n_num=6,
+         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2]),
+         ("wav", wav, _MM_PARTS[2][1], _MM_PARTS[2][2])],
+        n_str=3, n_num=7,
     )
 
 
@@ -4577,10 +4582,35 @@ FROM (SELECT doc_id, (doc_id * 31) % 256 AS b,
              (8 + doc_id % 9) * (8 + (doc_id * 3) % 7) AS n
       FROM documents)
 """
+    # wav decode round-trip graded sample-exactly: the oracle
+    # regenerates every PCM sample ((b + 13k) % 65536) - 32768 via a
+    # CROSS JOIN range(N) and aggregates; zero crossings via lag()
+    wav = f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST({multimodal.WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(sum(v) AS BIGINT) AS s_sum,
+       CAST(min(v) AS BIGINT) AS s_min,
+       CAST(max(v) AS BIGINT) AS s_max,
+       CAST(sum(CASE WHEN prev_nonneg IS NOT NULL
+                      AND (v >= 0) <> prev_nonneg THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_cross
+FROM (
+  SELECT doc_id, k, v,
+         lag(v >= 0) OVER (PARTITION BY doc_id ORDER BY k) AS prev_nonneg
+  FROM (
+    SELECT doc_id, r.range AS k,
+           ((doc_id * 17 + 13 * r.range) % 65536) - 32768 AS v
+    FROM documents CROSS JOIN range({multimodal.WAV_N}) r
+  )
+)
+GROUP BY doc_id
+"""
     return _suite_sql(
         [("meta", meta, _MM_PARTS[0][1], _MM_PARTS[0][2]),
-         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2])],
-        n_str=3, n_num=6,
+         ("png", png, _MM_PARTS[1][1], _MM_PARTS[1][2]),
+         ("wav", wav, _MM_PARTS[2][1], _MM_PARTS[2][2])],
+        n_str=3, n_num=7,
     )
 
 
