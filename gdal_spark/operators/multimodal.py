@@ -329,3 +329,77 @@ def audio_features(df: DataFrame, *, payload: str = "payload",
             })
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# --------------------------- real AVI/MJPEG video path (r5, own codecs)
+
+AVI_W = 16
+AVI_H = 16
+
+
+def attach_avi_media(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MJPEG AVI payloads — REAL container bytes
+    (kernels/avi.py) around REAL JPEG frames (kernels/jpeg.py):
+    n_frames = 3 + id % 4, frame f's 16x16 gray pixels
+    (id*7 + f*11 + k) % 256."""
+    from ..kernels import avi as avi_mod
+    from ..kernels import jpeg as jpeg_mod
+
+    @F.pandas_udf("binary")
+    def _enc(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            frames = []
+            for f in range(3 + i % 4):
+                img = ((i * 7 + f * 11
+                        + np.arange(AVI_W * AVI_H, dtype=np.int64)) % 256) \
+                    .astype(np.uint8).reshape(AVI_H, AVI_W)
+                frames.append(jpeg_mod.encode(img, quality=90))
+            out.append(avi_mod.write_mjpeg(frames, width=AVI_W, height=AVI_H))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.concat(F.lit("avi://"), F.col(id_col).cast("string"))
+        .alias("media_ref"),
+        _enc(F.col(id_col)).alias("payload"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = ("doc_id bigint, frame_idx int, n_frames int, "
+                      "width int, height int")
+
+
+def video_frame_sample(df: DataFrame, *, every_k: int = 2,
+                       payload: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling: demux the AVI container
+    (kernels/avi.py), take every k-th frame, decode it with the
+    in-repo JPEG codec to verify it is a valid image, and emit one row
+    per sampled frame — the demux-decode-fanout shape a libav
+    deployment uses behind the same row contract."""
+    from ..kernels import avi as avi_mod
+    from ..kernels import jpeg as jpeg_mod
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfr, ws, hs = [], [], [], [], []
+            for did, payload_b in zip(pdf[id_col], pdf[payload]):
+                w, h, frames = avi_mod.read_frames(bytes(payload_b))
+                for fi in range(0, len(frames), every_k):
+                    arr = jpeg_mod.decode(frames[fi])
+                    ids.append(did)
+                    fidx.append(fi)
+                    nfr.append(len(frames))
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "frame_idx": pd.array(fidx, dtype="int32"),
+                "n_frames": pd.array(nfr, dtype="int32"),
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+            })
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)

@@ -4483,14 +4483,31 @@ SELECT qid AS query_id, cid AS neighbor_id, rnk FROM r WHERE rnk <= 5
 """
 
 
+_FS_PARTS = [
+    ("stub", ["media_ref"],
+     ["doc_id", "frame_idx", "frame_off", "frame_len", "frame_checksum"]),
+    ("avi", [], ["doc_id", "frame_idx", "n_frames", "width", "height"]),
+]
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (build-brief multimodal op):
-    VID0 payloads sliced into 16-byte frames, every 4th sampled —
-    (doc_id, frame_idx, offset, length, checksum) rows fanned out
-    inside the Arrow batch; non-video docs emit nothing."""
+    """Video frame sampling in one gate row: (stub) the fixed-stride
+    byte slicer over VID0 payloads, and (avi, r5) a REAL demux-decode
+    path — deterministic MJPEG AVIs (own RIFF writer around own JPEG
+    frames), every 2nd frame demuxed and JPEG-decoded; the oracle
+    replays frame indexes/counts/dims from the closed generation rule,
+    so a wrong container offset or an undecodable frame fails the
+    hash."""
     d = _read(spark, sf_dir, "documents")
     m = multimodal.attach_media(d, id_col="doc_id")
-    return multimodal.frame_sample(m, every_k=4, frame_bytes=16)
+    stub = multimodal.frame_sample(m, every_k=4, frame_bytes=16)
+    avi = multimodal.video_frame_sample(
+        multimodal.attach_avi_media(d, id_col="doc_id"), every_k=2)
+    return _suite(
+        [("stub", stub, _FS_PARTS[0][1], _FS_PARTS[0][2]),
+         ("avi", avi, _FS_PARTS[1][1], _FS_PARTS[1][2])],
+        n_str=1, n_num=5,
+    )
 
 
 def sql_frame_sample() -> str:
@@ -4500,7 +4517,7 @@ def sql_frame_sample() -> str:
         f"list_transform(string_split({chunk}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         "(a, b) -> a + b)"
     )
-    return f"""
+    stub = f"""
 WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
 f AS (
   SELECT doc_id, text, CAST(ff.range AS INT) AS fi
@@ -4514,6 +4531,19 @@ SELECT doc_id, 'm://' || CAST(doc_id AS VARCHAR) AS media_ref,
        {csum} AS frame_checksum
 FROM f
 """
+    avi = f"""
+SELECT doc_id, CAST(ff.range AS BIGINT) AS frame_idx,
+       CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST({multimodal.AVI_W} AS BIGINT) AS width,
+       CAST({multimodal.AVI_H} AS BIGINT) AS height
+FROM documents CROSS JOIN range(0, 7, 2) ff
+WHERE ff.range < 3 + doc_id % 4
+"""
+    return _suite_sql(
+        [("stub", stub, _FS_PARTS[0][1], _FS_PARTS[0][2]),
+         ("avi", avi, _FS_PARTS[1][1], _FS_PARTS[1][2])],
+        n_str=1, n_num=5,
+    )
 
 
 _MM_PARTS = [

@@ -104,3 +104,38 @@ def test_image_features_decodes_jpeg_payloads(spark):
     rel = np.abs(feat["px_sum"].to_numpy() - pdf["true_sum"].to_numpy()) \
         / pdf["true_sum"].to_numpy()
     assert rel.max() < 0.02
+
+
+def test_avi_mjpeg_roundtrip_and_video_frame_sample(spark):
+    import pandas as pd
+
+    from gdal_spark.kernels import avi as A
+    from gdal_spark.operators import multimodal as MM
+
+    # container roundtrip + frame decode fidelity
+    frames, imgs = [], []
+    for f in range(4):
+        img = ((f * 37 + np.arange(256, dtype=np.int64)) % 256) \
+            .astype(np.uint8).reshape(16, 16)
+        imgs.append(img)
+        frames.append(J.encode(img, quality=92))
+    buf = A.write_mjpeg(frames, width=16, height=16)
+    w, h, back = A.read_frames(buf)
+    assert (w, h, len(back)) == (16, 16, 4)
+    assert all(a == b for a, b in zip(frames, back))
+    assert _psnr(imgs[0], J.decode(back[0])) > 35.0
+    # non-MJPG stream rejected
+    bad = buf.replace(b"MJPG", b"H264", 2)
+    with pytest.raises(NotImplementedError):
+        A.read_frames(bad)
+    # Spark demux-decode fan-out
+    ids = np.arange(0, 120, 11)
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    out = MM.video_frame_sample(MM.attach_avi_media(d), every_k=2) \
+        .orderBy("doc_id", "frame_idx").toPandas()
+    for i in ids:
+        rows = out[out["doc_id"] == i]
+        nf = 3 + int(i) % 4
+        assert list(rows["frame_idx"]) == list(range(0, nf, 2))
+        assert (rows["n_frames"] == nf).all()
+        assert (rows["width"] == 16).all() and (rows["height"] == 16).all()
