@@ -2,12 +2,14 @@
 
 Media payloads are opaque `binary` columns + typed metadata structs —
 the engine moves and batches them (Arrow). Decode / feature-extract
-stages are Arrow-batched `mapInPandas` UDFs. Image payloads decode
-for REAL with the in-repo codecs (PNG: kernels/png.py; baseline JPEG:
-kernels/jpeg.py — r5); audio/video and other image formats remain
-STUBBED (no codec libs in this container) behind `decode_stub`, with
-a deterministic fake so schema, batching, partitioning and tests are
-real.
+stages are Arrow-batched `mapInPandas` UDFs. As of r5 every modality
+has a REAL in-repo codec path: images (PNG kernels/png.py, baseline
+JPEG kernels/jpeg.py), audio (RIFF/WAVE PCM kernels/wav.py), video
+(AVI/MJPEG kernels/avi.py demux + JPEG frame decode) — each gated
+against a closed-form oracle. Compressed-codec formats beyond these
+(WebP, MP3/AAC, H.264) remain STUBBED behind `decode_stub` (no codec
+libs in this container, probed every round), with a deterministic
+fake so schema, batching and partitioning stay testable.
 
 This mirrors how the reference treats raster payloads it cannot decode:
 the driver layer moves opaque blocks; interpretation is pluggable

@@ -145,6 +145,7 @@ def stream_spatial_join(stream_df: DataFrame, cover: DataFrame, *,
 
 def stream_tile_pngs(stream_px: DataFrame, out_dir: str, *,
                      tile_size: int, bands: int = 4,
+                     driver: str = "png", jpeg_quality: int = 85,
                      checkpoint: str | None = None):
     """Continuous {z}/{x}/{y}.png production: the batch PNG tile sink
     (io.write_tile_pngs) composed per micro-batch via foreachBatch —
@@ -159,7 +160,8 @@ def stream_tile_pngs(stream_px: DataFrame, out_dir: str, *,
         if batch_df.isEmpty():
             return
         m = gio.write_tile_pngs(batch_df, out_dir, tile_size=tile_size,
-                                bands=bands)
+                                bands=bands, driver=driver,
+                                jpeg_quality=jpeg_quality)
         # the manifest is discarded per batch: release its cache slot
         # immediately instead of accumulating one per trigger
         m.unpersist()
