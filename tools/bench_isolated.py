@@ -23,7 +23,8 @@ DEFAULT = ["headline_join_tile", "headline_join_tile_arrow",
            "overview_suite", "similarity_topk", "knn", "minhash_lsh",
            "spatial_join_bigpoly_grouped",
            "spatial_join_bigpoly_skew_grouped",
-           "spatial_join_bigpoly_skew_salted"]
+           "spatial_join_bigpoly_skew_salted",
+           "rpc_dem_inverse_broadcast", "rpc_dem_inverse_gather"]
 
 WORKER = r"""
 import json, os, sys, time
