@@ -214,8 +214,12 @@ def write_tile_pngs_resumable(px: DataFrame, out_dir: str, *,
     done = CK.read_manifest(spark, out_dir, job_id).select(
         F.col("part_key").alias("_done_key"))
     keyed = px.withColumn("_pk", F.concat_ws("/", "tz", "tx", "ty"))
+    # persist the pruned pixel set: without it the full input scan +
+    # manifest anti-join would re-execute once per zoom round (plus
+    # once for the zoom collect) — n_zooms+1 passes over a 100 TB
+    # input instead of one
     pending = keyed.join(done, keyed["_pk"] == done["_done_key"],
-                         "left_anti").drop("_pk")
+                         "left_anti").drop("_pk").persist()
     zooms = sorted(r["tz"] for r in pending.select("tz").distinct().collect())
     t0 = _time.time()
     n_tiles = 0
@@ -235,5 +239,6 @@ def write_tile_pngs_resumable(px: DataFrame, out_dir: str, *,
         rows.write.mode("append").parquet(CK.manifest_path(out_dir))
         n_tiles += man.count()
         man.unpersist()
+    pending.unpersist()
     return {"job_id": job_id, "tiles_written": n_tiles,
             "zoom_rounds": len(zooms), "wall_sec": _time.time() - t0}

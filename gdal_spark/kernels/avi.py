@@ -69,9 +69,10 @@ def read_frames(buf: bytes):
     assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI ", "not an AVI"
     width = height = None
     frames = []
+    last_type = b""       # fccType of the most recent strh
 
     def walk(data: bytes, in_movi: bool) -> None:
-        nonlocal width, height
+        nonlocal width, height, last_type
         i = 0
         while i + 8 <= len(data):
             cid = data[i:i + 4]
@@ -80,7 +81,12 @@ def read_frames(buf: bytes):
             if cid == b"LIST":
                 kind = body[:4]
                 walk(body[4:], in_movi or kind == b"movi")
-            elif cid == b"strf" and width is None:
+            elif cid == b"strh":
+                last_type = body[:4]
+            elif cid == b"strf" and last_type == b"vids" and width is None:
+                # only a VIDEO stream's strf is a BITMAPINFOHEADER —
+                # an audio strf (WAVEFORMATEX) is shorter and must be
+                # skipped, not parsed
                 (_, w, h, _, _, comp) = struct.unpack("<IiiHH4s", body[:20])
                 if comp not in (b"MJPG", b"mjpg"):
                     raise NotImplementedError(

@@ -35,9 +35,11 @@ def write(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
     block = ch * bits // 8
     fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
                       sample_rate * block, block, bits)
-    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) \
+    pad = b"\x00" if len(data) & 1 else b""   # RIFF chunks word-align
+    out = b"RIFF" \
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data) + len(pad)) \
         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
-        + b"data" + struct.pack("<I", len(data)) + data
+        + b"data" + struct.pack("<I", len(data)) + data + pad
     return out
 
 

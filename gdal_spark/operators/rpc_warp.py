@@ -512,14 +512,19 @@ def rpc_inverse_dem(rpc: RPC, dem: DEM, pixel, line, user_height=0.0,
         cnt = np.where(mv, np.where(err < 2.0, cnt + 1, 0), cnt)
         cnt = np.where(osc, 0, cnt)
 
-        nx = np.where(
-            osc,
-            (np.abs(dx) * lx + np.abs(ldx) * x) / (np.abs(dx) + np.abs(ldx)),
-            x - (dx * gt[1] + dy * gt[2]) * boost)
-        ny = np.where(
-            osc,
-            (np.abs(dy) * ly + np.abs(ldy) * y) / (np.abs(dy) + np.abs(ldy)),
-            y - (dx * gt[4] + dy * gt[5]) * boost)
+        # errstate: np.where evaluates the osc branch for every lane,
+        # and non-osc lanes with ldx==dx==0 hit a harmless 0/0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            nx = np.where(
+                osc,
+                (np.abs(dx) * lx + np.abs(ldx) * x)
+                / (np.abs(dx) + np.abs(ldx)),
+                x - (dx * gt[1] + dy * gt[2]) * boost)
+            ny = np.where(
+                osc,
+                (np.abs(dy) * ly + np.abs(ldy) * y)
+                / (np.abs(dy) + np.abs(ldy)),
+                y - (dx * gt[4] + dy * gt[5]) * boost)
 
         lx = np.where(mv, x, lx)
         ly = np.where(mv, y, ly)
@@ -869,7 +874,10 @@ def apply_rpc_inverse_dem_gather(df: DataFrame, rpc: RPC, dem: DEM,
     fails conservatively (NaN; production would re-run the NaN tail
     with a larger chip_r). The iteration-0 out-of-DEM snap quirk is
     likewise out of this variant's scope: points must seed inside the
-    DEM. Returns df + (lon, lat)."""
+    DEM. Returns (id_col, pixel, line, lon, lat) — one row per input
+    row, NaN/NULL pixel inputs included (they come back with NaN
+    lon/lat, the same cardinality contract as the broadcast
+    variant)."""
     S = 2 * chip_r + 2
     ref_z = dem_ref_z(rpc, dem)
     gt = rpc_affine(rpc, ref_z)
@@ -879,6 +887,15 @@ def apply_rpc_inverse_dem_gather(df: DataFrame, rpc: RPC, dem: DEM,
     h_off, h_scale = dem.height_offset, dem.height_scale
 
     px, py = F.col(pixel), F.col(line)
+    # NaN/NULL pixel coords cannot seed (floor -> NULL -> sequence ->
+    # explode would silently DROP the row); route them straight to the
+    # NaN output so the cardinality contract matches the broadcast arm
+    bad = (px.isNull() | py.isNull() | F.isnan(px) | F.isnan(py))
+    bad_rows = df.filter(bad).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        px.cast("double").alias(pixel), py.cast("double").alias(line),
+        F.lit(float("nan")).alias("lon"), F.lit(float("nan")).alias("lat"))
+    df = df.filter(~bad)
     x = F.lit(gt[0]) + F.lit(gt[1]) * px + F.lit(gt[2]) * py
     y = F.lit(gt[3]) + F.lit(gt[4]) * px + F.lit(gt[5]) * py
     dpx = F.lit(ig[0]) + F.lit(ig[1]) * x
@@ -976,6 +993,14 @@ def apply_rpc_inverse_dem_gather(df: DataFrame, rpc: RPC, dem: DEM,
             ldy = np.zeros_like(y)
             lvalid = np.zeros(n, dtype=bool)
             cnt = np.zeros(n, dtype=np.int64)
+            # NOTE: this iteration body is the arithmetic twin of
+            # rpc_inverse_dem's (and of rpc_dem_inv_sql_ctes) with the
+            # height lookup swapped for the chip sampler and the snap
+            # quirk replaced by conservative failure. Kept inline
+            # rather than callback-factored: the gate pins the
+            # broadcast kernel bit-exactly against the SQL replay, and
+            # equality tests pin this one against the broadcast kernel
+            # — any semantic edit must touch all three together.
             for _ in range(max_iter):
                 active = ~done & ~fail
                 dpx_ = ig[0] + ig[1] * x
@@ -1025,4 +1050,4 @@ def apply_rpc_inverse_dem_gather(df: DataFrame, rpc: RPC, dem: DEM,
                 "lat": np.where(done, y, np.nan),
             })
 
-    return agg.mapInPandas(kernel, out_schema)
+    return agg.mapInPandas(kernel, out_schema).unionByName(bad_rows)

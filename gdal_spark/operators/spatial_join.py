@@ -678,7 +678,7 @@ def _grouped_shuffle_pip(
         cand = cand.withColumn(
             "_salt",
             F.when(cand_hot,
-                   (F.abs(F.xxhash64(lon, lat)) % n_salt).cast("int"))
+                   F.pmod(F.xxhash64(lon, lat), F.lit(n_salt)).cast("int"))
             .otherwise(F.lit(0)),
         )
         geoms = geoms.withColumn(
@@ -783,7 +783,8 @@ def spatial_join_points_in_polygons(
         hot = hot_cells or []
         pts = pts.withColumn(
             "salt",
-            F.when(F.col("cell").isin(hot), F.abs(F.xxhash64(lon, lat)) % n_salt)
+            F.when(F.col("cell").isin(hot),
+                   F.pmod(F.xxhash64(lon, lat), F.lit(n_salt)))
             .otherwise(F.lit(0)),
         )
         salted_cov = cov.withColumn(

@@ -240,3 +240,20 @@ def test_dem_inverse_gather_fails_points_leaving_chip(spark, rpc, dem):
     lon_sorted = got["lon"].to_numpy()[order]
     ok_sorted = ok[order]
     assert np.array_equal(lon_sorted[ok_sorted], blo[ok_sorted])
+
+
+def test_dem_inverse_gather_keeps_nan_input_rows(spark, rpc, dem):
+    # NaN pixel inputs must come back as (id, NaN, NaN) — the same
+    # cardinality contract as the broadcast variant — not vanish in
+    # the explode
+    import pandas as pd
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2], "pixel": [float("nan"), 7000.0],
+        "line": [float("nan"), 5000.0]}))
+    tiles = R.dem_tiles_df(spark, dem, tile=32)
+    got = R.apply_rpc_inverse_dem_gather(pts, rpc, dem, tiles, tile=32) \
+        .orderBy("id").toPandas()
+    assert len(got) == 2
+    assert np.isnan(got.loc[0, "lon"]) and np.isnan(got.loc[0, "lat"])
+    assert not np.isnan(got.loc[1, "lon"])
