@@ -274,15 +274,21 @@ def _interior_witness(ring: np.ndarray) -> tuple[float, float]:
 
 def classify_rings(rings: list) -> list:
     """[(ring, is_hole)]: a traced ring is a HOLE iff its interior lies
-    inside another traced ring (union of two simple polygons nests at
-    most one level). Traversal orientation is not trusted — GH hole
+    inside another, STRICTLY LARGER traced ring (union of two simple
+    polygons nests at most one level, and a hole is always smaller
+    than its container). The area guard matters: an outer ring's
+    interior witness can legitimately land inside its own hole (e.g.
+    difference A\\B with B strictly inside A — the ear centroid of A
+    may fall in B), and without it the outer would be misclassified as
+    a hole of its hole. Traversal orientation is not trusted — GH hole
     rings can come out either winding."""
+    areas = [ring_area(r) for r in rings]
     out = []
     for i, r in enumerate(rings):
         wx, wy = _interior_witness(r)
         hole = False
         for j, other in enumerate(rings):
-            if i == j:
+            if i == j or areas[j] <= areas[i]:
                 continue
             if bool(point_in_ring(np.array([wx]), np.array([wy]), other)[0]):
                 hole = True

@@ -144,3 +144,29 @@ def test_robust_matches_plain_on_generic_pairs():
     A, B = _rect(0, 0, 6, 4), _rect(3, 1, 9, 3)
     assert rings_area(clip_pair_robust(A, B, "intersection")) == 6.0
     assert rings_area(clip_pair_robust(A, B, "union")) == 30.0
+
+
+def test_difference_hole_outer_witness_inside_hole():
+    """Regression (hypothesis seed 258052): B strictly inside A ->
+    difference is A with hole B. classify_rings must not mark the
+    OUTER as a hole just because its interior witness (ear centroid)
+    happens to land inside the hole ring — a hole can only nest in a
+    strictly larger ring."""
+    A = np.array([[0.2124848834222304, 8.815870794376943],
+                  [1.9194390990179433, 0.4365267581243715],
+                  [3.638176624407641, 0.36322793807257003],
+                  [9.488324078914738, 1.7659185503698427],
+                  [9.493969810185337, 9.929353715519646]])
+    B = np.array([[2.071937951696483, 6.080140711433989],
+                  [3.2461626776240324, 1.435948450895289],
+                  [5.872207872253455, 0.9996550822908534],
+                  [8.929128962888717, 5.952009833184217],
+                  [9.240441085548515, 6.807281079498113],
+                  [8.919723154887269, 9.268485065611843],
+                  [3.2681215168075664, 7.22545926136946]])
+    aa = ring_area(np.vstack([A, A[:1]]))
+    ab = ring_area(np.vstack([B, B[:1]]))
+    d = clip_pair(A, B, "difference")
+    cls = classify_rings(d)
+    assert sorted(h for _, h in cls) == [False, True]
+    assert rings_area(d) == pytest.approx(aa - ab)
