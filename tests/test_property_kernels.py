@@ -121,3 +121,58 @@ def test_rpc_dem_roundtrip_property(lon, lat, user_h):
     bx, by = R.rpc_forward_dem(rpc, dem, lo, la, user_height=user_h)
     assert max(abs(bx[0] - fp[0]), abs(by[0] - fl[0])) \
         < R.DEFAULT_PIX_ERR_THRESHOLD
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_clip_pair_robust_nonconvex_identities(seed):
+    """Inclusion-exclusion across the robust (snap-rounded) booleans
+    on random SIMPLE star polygons — multi-component intersections and
+    union holes included. Areas via classify_rings (outers minus
+    holes), identity tolerance = grid-quantization slack."""
+    from gdal_spark.kernels.clip_poly import (_seg_intersect, _snap,
+                                              classify_rings,
+                                              clip_pair_robust)
+
+    rng = np.random.default_rng(seed)
+
+    def star(cx, cy):
+        n = int(rng.integers(6, 12))
+        th = np.sort(rng.random(n) * 2 * np.pi)
+        if np.max(np.diff(np.append(th, th[0] + 2 * np.pi))) > 2.8:
+            return None
+        r = 1.0 + rng.random(n) * 4.0
+        return np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+
+    def simple(P):
+        n = len(P)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (j + 1) % n == i or (i + 1) % n == j:
+                    continue
+                if _seg_intersect(tuple(P[i]), tuple(P[(i + 1) % n]),
+                                  tuple(P[j]),
+                                  tuple(P[(j + 1) % n])) is not None:
+                    return False
+        return True
+
+    A = star(5.0, 5.0)
+    B = star(5.0 + rng.random() * 3 - 1.5, 5.0 + rng.random() * 3 - 1.5)
+    if A is None or B is None or not simple(A) or not simple(B):
+        return
+
+    def area(rings):
+        return sum((-1.0 if h else 1.0) * ring_area(r)
+                   for r, h in classify_rings(rings))
+
+    g = 1e-6
+    Aq, Bq = _snap(A, g), _snap(B, g)
+    aa = ring_area(np.vstack([Aq, Aq[:1]]))
+    ab = ring_area(np.vstack([Bq, Bq[:1]]))
+    ai = area(clip_pair_robust(A, B, "intersection", grid=g))
+    au = area(clip_pair_robust(A, B, "union", grid=g))
+    ad = area(clip_pair_robust(A, B, "difference", grid=g))
+    tol = 5e-5 * max(1.0, aa + ab)
+    assert abs(au - (aa + ab - ai)) < tol
+    assert abs(ad - (aa - ai)) < tol
+    assert -tol <= ai <= min(aa, ab) + tol
