@@ -100,10 +100,13 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
     mount, swap the write_group body for the store's SDK put — the
     Spark plan (group → encode → per-task put) is unchanged.
 
-    driver: "png" (default — lossless RGBA/gray, r4 codec) or "jpeg"
+    driver: "png" (default — lossless RGBA/gray, r4 codec), "jpeg"
     (gdal2tiles --tiledriver JPEG analog, kernels/jpeg.py baseline
     codec): RGB without alpha (JPEG has none — the reference's JPEG
-    tiles likewise drop it) or grayscale, `.jpg` extension.
+    tiles likewise drop it) or grayscale, `.jpg` extension; or "webp"
+    (gdal2tiles --tiledriver WEBP analog, kernels/webp.py VP8L
+    lossless codec): RGBA with alpha preserved, grayscale written as
+    equal RGB channels (VP8L has no gray mode), `.webp` extension.
 
     Eager (an action runs inside): the write is the side effect.
     """
@@ -113,13 +116,14 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
 
     from .kernels import jpeg as jpeg_mod
     from .kernels import png as png_mod
+    from .kernels import webp as webp_mod
 
-    assert driver in ("png", "jpeg")
+    assert driver in ("png", "jpeg", "webp")
     schema = ("tz int, tx bigint, ty bigint, path string, nbytes bigint, "
               "crc32 bigint")
     ts = tile_size
     nb = bands
-    ext = "png" if driver == "png" else "jpg"
+    ext = {"png": "png", "jpeg": "jpg", "webp": "webp"}[driver]
 
     def write_group(key, pdf):
         import binascii
@@ -133,6 +137,8 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
             arr[pos, pdf["band"].to_numpy(dtype=np.int64)] = val
             if driver == "png":
                 buf = png_mod.encode_rgba(arr.reshape(ts, ts, 4))
+            elif driver == "webp":
+                buf = webp_mod.encode(arr.reshape(ts, ts, 4))
             else:
                 buf = jpeg_mod.encode(
                     arr.reshape(ts, ts, 4)[:, :, :3], quality=jpeg_quality)
@@ -141,6 +147,9 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
             arr[pos] = val
             if driver == "png":
                 buf = png_mod.encode_gray(arr.reshape(ts, ts))
+            elif driver == "webp":
+                g = arr.reshape(ts, ts)
+                buf = webp_mod.encode(np.stack([g, g, g], axis=2))
             else:
                 buf = jpeg_mod.encode(arr.reshape(ts, ts),
                                       quality=jpeg_quality)

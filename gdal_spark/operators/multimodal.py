@@ -177,19 +177,22 @@ IMAGE_FEATURES_SCHEMA = ("doc_id bigint, width int, height int, "
 def image_features(df: DataFrame, *, payload: str = "payload",
                    id_col: str = "doc_id") -> DataFrame:
     """REAL image decode + feature extraction: sniff the payload magic
-    and decode with the in-repo codec — PNG (kernels/png.py) or
-    baseline JPEG (kernels/jpeg.py) — per-batch loop over Arrow
-    transfer, the mapInPandas shape a PIL/libvips deployment uses.
-    Emits dimensions + integer pixel statistics; unknown magic raises,
-    like a codec would."""
+    and decode with the in-repo codec — PNG (kernels/png.py), baseline
+    JPEG (kernels/jpeg.py) or lossless WebP (kernels/webp.py) —
+    per-batch loop over Arrow transfer, the mapInPandas shape a
+    PIL/libvips deployment uses. Emits dimensions + integer pixel
+    statistics; unknown magic raises, like a codec would."""
     from ..kernels import jpeg as jpeg_mod
     from ..kernels import png as png_mod
+    from ..kernels import webp as webp_mod
 
     def _decode(b: bytes):
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             return png_mod.decode(b)
         if b[:2] == b"\xff\xd8":
             return jpeg_mod.decode(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            return webp_mod.decode(b)
         raise NotImplementedError(f"no codec for magic {b[:4]!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

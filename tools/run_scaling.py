@@ -128,6 +128,15 @@ the same plan adds only O(log n_executors) broadcast fan-out.
         prior = prior[:cut].rstrip()
         if prior.endswith("---"):
             prior = prior[: -3].rstrip()
+    # carry the hand-maintained cross-round history table forward at the top
+    # level (it summarizes every round; quoting it away loses the comparison)
+    hist_cut = prior.find("## Cross-round history")
+    if hist_cut != -1:
+        history = prior[hist_cut:].strip()
+        prior = prior[:hist_cut].rstrip()
+        if prior.endswith("---"):
+            prior = prior[: -3].rstrip()
+        md += "\n\n" + history + "\n"
     if prior:
         md += ("\n\n---\n\n## Superseded earlier record (kept for "
                "cross-round comparability)\n\n"
