@@ -112,6 +112,26 @@ def test_prefix_code_serialization_fuzz():
             assert dec.read(_BitReader(w2.flush())) == sym
 
 
+def test_huffman_length_limit_geometric_histograms():
+    # geometric frequencies force deep trees; the flatten-and-rebuild
+    # loop must clamp to the spec limits while keeping Kraft == 1
+    for n_sym, alpha, limit in ((20, 280, 15), (40, 280, 15),
+                                (64, 280, 15), (16, 19, 7)):
+        freq = np.zeros(alpha, dtype=np.int64)
+        for i in range(n_sym):
+            freq[i] = 1 << min(i, 50)
+        lengths = _huffman_lengths(freq, limit)
+        assert lengths.max() <= limit
+        assert sum(2.0 ** -l for l in lengths[lengths > 0]) == 1.0
+        w = _BitWriter()
+        _write_prefix_code(w, lengths)
+        dec = _read_prefix_code(_BitReader(w.flush()), alpha)
+        for sym, (code, ln) in _canonical_codes(lengths).items():
+            w2 = _BitWriter()
+            w2.put_code(code, ln)
+            assert dec.read(_BitReader(w2.flush())) == sym
+
+
 def test_decoder_rejects_unsupported_features():
     with pytest.raises(AssertionError):
         W.decode(b"\x89PNG\r\n\x1a\nnope")
