@@ -190,6 +190,7 @@ def write_tile_pngs(px: DataFrame, out_dir: str, *, tile_size: int,
 
 def write_tile_pngs_resumable(px: DataFrame, out_dir: str, *,
                               tile_size: int, bands: int = 4,
+                              driver: str = "png", jpeg_quality: int = 85,
                               job_id: str = "tiles",
                               input_snapshot: str = "parquet:static") -> dict:
     """write_tile_pngs with the checkpoint-manifest resume discipline
@@ -235,7 +236,8 @@ def write_tile_pngs_resumable(px: DataFrame, out_dir: str, *,
     for tz in zooms:
         t1 = _time.time()
         man = write_tile_pngs(pending.filter(F.col("tz") == tz), out_dir,
-                              tile_size=tile_size, bands=bands)
+                              tile_size=tile_size, bands=bands,
+                              driver=driver, jpeg_quality=jpeg_quality)
         wall = int((_time.time() - t1) * 1000)
         rows = man.select(
             F.lit(job_id).alias("job_id"),

@@ -186,6 +186,37 @@ def test_tile_sink_resume_writes_only_missing(spark, tmp_path):
     assert m3["tiles_written"] == 0 and m3["zoom_rounds"] == 0
 
 
+def test_tile_sink_resume_webp_driver(spark, tmp_path):
+    """The resume discipline composes with the non-default tile
+    drivers: driver= reaches write_tile_pngs, artifacts get the
+    driver's extension, and a resumed run prunes by manifest."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark import io as gio
+    from gdal_spark.kernels import webp as W
+    from gdal_spark.operators import base_tiles as BT
+
+    ts = 16
+    px = (BT.base_tiles(spark, tz=1, tile_size=ts,
+                        src=BT.src_pixels(spark, salt=5, byte_range=True))
+          .withColumn("band", F.lit(0)))
+    out_dir = str(tmp_path / "tiles_webp")
+    m1 = gio.write_tile_pngs_resumable(
+        px, out_dir, tile_size=ts, bands=1, driver="webp", job_id="w")
+    assert m1["tiles_written"] > 0
+    wrote = [os.path.join(dp, f) for dp, _, fs in os.walk(out_dir)
+             for f in fs if not dp.endswith("_manifest")]
+    assert wrote and all(f.endswith(".webp") for f in wrote)
+    # decodable + grayscale written as equal RGB channels
+    arr = W.decode(open(sorted(wrote)[0], "rb").read())
+    assert arr.shape == (ts, ts, 4)
+    assert (arr[:, :, 0] == arr[:, :, 1]).all()
+    # resume: nothing pending, nothing rewritten
+    m2 = gio.write_tile_pngs_resumable(
+        px, out_dir, tile_size=ts, bands=1, driver="webp", job_id="w")
+    assert m2["tiles_written"] == 0 and m2["zoom_rounds"] == 0
+
+
 def test_image_features_and_resize_real_codec(spark):
     """Multimodal image branch with the REAL codec: features from
     decoded PNGs match the closed pixel rule; box resize preserves the
