@@ -84,3 +84,50 @@ def test_envelope_pretest_shortcut_equals_full_eval():
         point_in_ring(xs, ys, tri, test_envelope=True),
         point_in_ring(xs, ys, tri, test_envelope=False),
     )
+
+
+def test_yband_index_matches_dense_kernel():
+    """The y-band edge index (engaged at >=256 edges and >=256 points)
+    must be bit-identical to the dense all-edges evaluation, including
+    points sitting exactly on vertices and horizontal edges."""
+    from gdal_spark.kernels.pip import _ray_crossings
+
+    rng = np.random.default_rng(1234)
+    for m, n in [(256, 256), (999, 4000), (4096, 2000), (513, 300)]:
+        th = np.sort(rng.uniform(0, 2 * np.pi, m))
+        r = 1 + 0.4 * np.sin(7 * th)
+        ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+        ring = np.vstack([ring, ring[:1]])
+        xs = rng.uniform(-1.6, 1.6, n)
+        ys = rng.uniform(-1.6, 1.6, n)
+        k = min(n // 2, m)
+        xs[:k], ys[:k] = ring[:k, 0], ring[:k, 1]  # on-vertex adversaries
+        got = point_in_ring(xs, ys, ring)
+        mask = (
+            (xs >= ring[:, 0].min())
+            & (xs <= ring[:, 0].max())
+            & (ys >= ring[:, 1].min())
+            & (ys <= ring[:, 1].max())
+        )
+        c = _ray_crossings(
+            xs[mask], ys[mask],
+            ring[1:, 0], ring[1:, 1], ring[:-1, 0], ring[:-1, 1],
+        )
+        exp = np.zeros(n, dtype=bool)
+        exp[mask] = (c % 2).astype(bool)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_yband_horizontal_edges_on_boundary():
+    # Rectangle inflated to 600 collinear vertices per side so the band
+    # path engages; horizontal-edge boundary rule must be unchanged.
+    t = np.linspace(0.0, 1.0, 150, endpoint=False)
+    bottom = np.column_stack([10 * t, np.zeros_like(t)])
+    right = np.column_stack([np.full_like(t, 10.0), 5 * t])
+    top = np.column_stack([10 - 10 * t, np.full_like(t, 5.0)])
+    left = np.column_stack([np.zeros_like(t), 5 - 5 * t])
+    ring = np.vstack([bottom, right, top, left, [[0.0, 0.0]]])
+    xs = np.repeat([5.0, 5.0, 0.0, 10.0, 5.0], 60).astype(float)
+    ys = np.repeat([0.0, 5.0, 2.5, 2.5, 2.5], 60).astype(float)
+    exp = np.repeat([True, False, True, False, True], 60)
+    np.testing.assert_array_equal(point_in_ring(xs, ys, ring), exp)
