@@ -234,12 +234,17 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
-    n_hashes: int = 16, bands: int = 4,
+    n_hashes: int = 16, bands: int = 4, materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH candidate pairs: signatures split into `bands` rows of
     n_hashes/bands; docs agreeing on any whole band pair up. Returns
     (id_a, id_b, n_bands_matched). The band-bucket join is an equi-join
-    on (band_idx, band_values) — the scalable LSH shape."""
+    on (band_idx, band_values) — the scalable LSH shape.
+
+    materialize=True lazily localCheckpoints the banded-key table so
+    the self-join's two sides reuse ONE signature pass (self-joins
+    never hit ReusedExchange; without it the text scan + 16 array_min
+    folds run twice)."""
     r = n_hashes // bands
     sigs = minhash_signatures(df, id_col=id_col, text=text, n_hashes=n_hashes)
     # The band key is the r-value slice FOLDED to one int64 (h*131 + x
@@ -258,6 +263,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -289,11 +296,17 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
 
 def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
                        text: str = "text", max_hamming: int = 3,
-                       bits: int = 32, blocks: int = 4) -> DataFrame:
+                       bits: int = 32, blocks: int = 4,
+                       materialize: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, found
     with the pigeonhole block trick (split fingerprint into blocks+?;
     any pair within distance max_hamming agrees on >= 1 block when
-    blocks > max_hamming) — equi-join on (block_idx, block_bits)."""
+    blocks > max_hamming) — equi-join on (block_idx, block_bits).
+
+    materialize=True lazily localCheckpoints the blocked-fingerprint
+    table so the self-join's two sides reuse ONE fingerprint pass (the
+    per-bit vote fold is the expensive stage; self-joins never hit
+    ReusedExchange)."""
     w = bits // blocks
     s = simhash64(df, id_col=id_col, text=text, bits=bits)
     blocked = s.select(
@@ -305,6 +318,8 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    if materialize:
+        blocked = blocked.localCheckpoint(eager=False)
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
     pairs = (

@@ -193,7 +193,7 @@ def ivf_multi_assign(corpus_q: DataFrame, cents: DataFrame,
 def ivf_dedup_pairs(
     embeddings: DataFrame, *, n_centroids: int = 8, n_assign: int = 2,
     cos_threshold_x10: int = 4, id_col: str = "vec_id",
-    vec: str = "embedding",
+    vec: str = "embedding", materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: candidates are
     pairs sharing an IVF bucket (each vector multi-assigned to its
@@ -213,6 +213,11 @@ def ivf_dedup_pairs(
     q = quantize(embeddings, id_col=id_col, vec=vec)
     assigned = ivf_multi_assign(q, cents, n_assign)
     n = assigned.withColumn("n2", _norm2("qvec"))
+    if materialize:
+        # the bucket self-join's two sides never hit ReusedExchange, so
+        # without this the quantize -> centroid-rank -> window pipeline
+        # (a shuffle + per-vector dot products) runs twice
+        n = n.localCheckpoint(eager=False)
     a = n.select(F.col("id").alias("id_a"), F.col("cent_id"),
                  F.col("qvec").alias("va"), F.col("n2").alias("naa"))
     b = n.select(F.col("id").alias("id_b"), F.col("cent_id"),
