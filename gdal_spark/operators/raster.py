@@ -628,7 +628,7 @@ def _tile_ccl(pdf: pd.DataFrame, tile: int, width: int,
 
 
 def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
-                 connect: int = 4) -> DataFrame:
+                 connect: int = 4, materialize: bool = True) -> DataFrame:
     """Distributed 4/8-connected CCL: per-tile CCL (applyInPandas) then
     iterative cross-tile label union via border-edge equivalences.
     connect=8 adds both diagonal adjacencies (GDALPolygonize
@@ -641,8 +641,10 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
     global equivalence table (alg/polygonize.cpp:174): border pairs form
     a tiny graph of provisional labels; we iterate label -> min(neighbor
     label) to a fixed point (label propagation; O(log diameter) rounds
-    on the label graph, each a small self-join — pixel-table scans
-    happen exactly twice: once for local CCL, once for the final remap).
+    on the label graph, each a small self-join — the full pixel table
+    is scanned/shuffled/CCL-labeled exactly twice: once producing the
+    materialized tile-BORDER band the stitch joins run on, once in the
+    final remap).
     """
     px = pixels.withColumn("tile_x", (F.col("px") / tile).cast("bigint")) \
                .withColumn("tile_y", (F.col("py") / tile).cast("bigint"))
@@ -652,10 +654,26 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
     ).applyInPandas(
         lambda pdf: _tile_ccl(pdf, tile, width, connect), _CCL_SCHEMA
     ).withColumn("pid", F.col("py") * width + F.col("px"))
+    # Every cross-tile equivalence ENDPOINT lies within 1 px of a tile
+    # line (the crossing axis pins one side to tile-1 mod tile and the
+    # other to 0 mod tile), so only the BORDER BAND — <= 4*tile of the
+    # tile^2 pixels per tile — participates in the stitch joins.
+    # Materialize that band once (lazy localCheckpoint, tiny): the
+    # per-tile CCL then executes exactly twice per call — once
+    # producing the band, once in the final remap — instead of twice
+    # per cross-offset (8x for 8-conn; the exchanges below the Python
+    # stage are NOT reused across self-join branches, plan-verified).
+    band = (
+        (F.col("px") % tile == 0) | (F.col("px") % tile == tile - 1)
+        | (F.col("py") % tile == 0) | (F.col("py") % tile == tile - 1)
+    )
+    border_px = labeled.filter(band).select("px", "py", "value", "label")
+    if materialize:
+        border_px = border_px.localCheckpoint(eager=False)
 
     # border equivalence pairs: offsets whose neighbor can land in a
     # different tile (right/down for 4-conn, + both diagonals for 8)
-    a = labeled.select(
+    a = border_px.select(
         F.col("px").alias("ax"), F.col("py").alias("ay"),
         F.col("value").alias("av"), F.col("label").alias("al"),
     )
@@ -675,7 +693,7 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
         border = conds[0]
         for c in conds[1:]:
             border = border | c
-        b = labeled.select(
+        b = border_px.select(
             F.col("px").alias("bx"), F.col("py").alias("by"),
             F.col("value").alias("bv"), F.col("label").alias("bl"),
         )
