@@ -465,6 +465,11 @@ def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
     sieved raster (px, py, value).
     """
     lab = label_pixels(pixels, width=width, tile=tile, connect=connect)
+    # materialize the labeled table once: sizes, both adjacency sides,
+    # comp values and the final remap each re-evaluate `lab` otherwise
+    # (6-8 full CCL re-runs; component adjacency can land anywhere, so
+    # no border-band shortcut applies here)
+    lab = lab.localCheckpoint(eager=False)
     sizes = lab.groupBy("comp").agg(F.count("*").alias("n"))
     small = sizes.filter(F.col("n") < threshold).select("comp")
     # adjacency: neighbors (per connectedness) with different labels
