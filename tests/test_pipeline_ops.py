@@ -168,3 +168,43 @@ def test_buffer_convex_area_identity(spark):
     per = float(np.sum(np.hypot(np.diff(vx + [vx[0]]), np.diff(vy + [vy[0]]))))
     expected = a0 + per * 1.5 + np.pi * 1.5 ** 2
     assert abs(area - expected) / expected < 2e-3  # qs=32 chordal error
+
+
+def test_materialize_arms_identical(spark):
+    """materialize=True (localCheckpoint index reuse) and =False must
+    produce identical rows for every dedup family member — pins the
+    r5 DAG-recompute sweep as pure plan surgery."""
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(5, 25)).tolist()))
+        for i in range(120)
+    ]
+    # exact duplicates guarantee every family finds at least one pair
+    docs += [(200 + i, docs[i][1]) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    vecs = [[float(x) for x in rng.normal(size=8)] for _ in range(60)]
+    vecs += vecs[:8]  # duplicated vectors -> guaranteed cosine hits
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cases = [
+        lambda m: dedup.ngram_jaccard_pairs(df, n=2, threshold_pct=40,
+                                            materialize=m),
+        lambda m: dedup.minhash_lsh_pairs(df, n_hashes=16, bands=4,
+                                          materialize=m),
+        lambda m: dedup.simhash_near_pairs(df, max_hamming=6,
+                                           materialize=m),
+        lambda m: similarity.ivf_dedup_pairs(emb, n_centroids=4,
+                                             cos_threshold_x10=3,
+                                             materialize=m),
+    ]
+    for make in cases:
+        a = make(True).toPandas()
+        b = make(False).toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0

@@ -272,3 +272,53 @@ def test_nodata_to_alpha(spark):
     out2 = {r["gx"]: r["alpha"] for r in
             R.nodata_to_alpha(df, [10, 20, 30], ["r", "g", "b"]).collect()}
     assert out2 == {0: 255, 1: 255, 2: 0}
+
+
+def test_label_pixels_random_raster_matches_bruteforce(spark):
+    """Random-value raster: distributed border-band CCL stitch must
+    reproduce a driver-side union-find exactly (comp = min pid per
+    component), for 4- and 8-conn and a tile size that does NOT divide
+    the raster — pins the r5 border-band stitch (every cross-tile
+    equivalence endpoint lies within 1 px of a tile line)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    W = H = 40
+    vals = rng.integers(0, 2, size=(H, W))
+    rows = [(int(x), int(y), int(vals[y, x]))
+            for y in range(H) for x in range(W)]
+    df = spark.createDataFrame(rows, "px bigint, py bigint, value bigint")
+
+    def brute(connect):
+        parent = list(range(W * H))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        def union(i, j):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
+
+        offs = [(1, 0), (0, 1)] + ([(1, 1), (-1, 1)] if connect == 8 else [])
+        for y in range(H):
+            for x in range(W):
+                for dx, dy in offs:
+                    nx, ny = x + dx, y + dy
+                    if 0 <= nx < W and 0 <= ny < H and vals[ny, nx] == vals[y, x]:
+                        union(y * W + x, ny * W + nx)
+        return {i: find(i) for i in range(W * H)}
+
+    from gdal_spark.operators import raster
+
+    for connect, tile in ((4, 16), (8, 16), (8, 13)):
+        got = raster.label_pixels(df, width=W, tile=tile,
+                                  connect=connect).toPandas()
+        exp = brute(connect)
+        assert len(got) == W * H
+        for r in got.itertuples():
+            assert exp[int(r.pid)] == int(r.comp), (connect, tile, r)
