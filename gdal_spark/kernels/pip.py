@@ -67,24 +67,32 @@ def point_in_ring(xs, ys, ring_xy: np.ndarray, test_envelope: bool = True) -> np
     # per-point edge work ~20x.  Dropped edges provably contribute zero
     # crossings, so results stay bit-identical to the dense form.
     if m1 >= 256 and len(px) >= 256:
-        order = np.argsort(py, kind="stable")
+        # Band only the finite-y points. A non-finite-y point crosses
+        # nothing in the dense form (NaN fails every straddle
+        # comparison; +/-inf makes both relative endpoints the same
+        # sign), so its correct count is 0 — and without this split a
+        # NaN sharing a band makes the band's 'spy[e-1]'/'spy[s]'
+        # comparisons False and would zero out VALID points in that
+        # band (only reachable with test_envelope=False; the envelope
+        # mask already drops non-finite coords).
+        fin = np.isfinite(py)
+        order = np.flatnonzero(fin)[np.argsort(py[fin], kind="stable")]
+        nfin = len(order)
         spx = px[order]
         spy = py[order]
         elo = np.minimum(ey1, ey2)
         ehi = np.maximum(ey1, ey2)
-        nbands = int(min(64, m1 // 64, len(px) // 64))
-        bounds = np.linspace(0, len(px), nbands + 1).astype(np.int64)
-        out = np.empty(len(px), dtype=np.int64)
+        nbands = max(1, int(min(64, m1 // 64, max(1, nfin) // 64)))
+        bounds = np.linspace(0, nfin, nbands + 1).astype(np.int64)
+        crossings = np.zeros(len(px), dtype=np.int64)  # non-finite -> 0
         for bi in range(nbands):
             s, e = int(bounds[bi]), int(bounds[bi + 1])
             if s == e:
                 continue
             sel = (elo <= spy[e - 1]) & (ehi > spy[s])
-            out[s:e] = _ray_crossings(
+            crossings[order[s:e]] = _ray_crossings(
                 spx[s:e], spy[s:e], ex1[sel], ey1[sel], ex2[sel], ey2[sel]
             )
-        crossings = np.empty(len(px), dtype=np.int64)
-        crossings[order] = out
     else:
         crossings = _ray_crossings(px, py, ex1, ey1, ex2, ey2)
     inside[mask] = (crossings % 2).astype(bool)

@@ -82,15 +82,17 @@ def ngram_jaccard_pairs(
     size; hot grams are naturally deprioritized because frequent grams
     sort LAST and rarely make a prefix.
 
-    materialize=True (the scale default) lazily localCheckpoints the
-    two shared subtrees — the per-doc gram-set table and the ranked
-    prefix index — so the self-join and the verification joins reuse
-    ONE evaluation each instead of re-deriving the text scan per
-    branch (a self-join's two sides never hit ReusedExchange: their
+    materialize=True (the scale default) persists the two shared
+    subtrees — the per-doc gram-set table and the ranked prefix
+    index — so the self-join and the verification joins reuse ONE
+    evaluation each instead of re-deriving the text scan per branch
+    (a self-join's two sides never hit ReusedExchange: their
     projections differ). Standard index-materialization for AllPairs;
     storage is MEMORY_AND_DISK on executors, O(corpus gram sets),
-    lineage-truncated. Measured 2.5x end-to-end on the adversarial
-    word-soup bench fixture (42.8 -> ~17 s at sf0.1).
+    lineage KEPT (persist, not checkpoint — evicted or lost blocks
+    recompute, and the planner keeps size stats). Measured 3.4x
+    end-to-end on the adversarial word-soup bench fixture
+    (42.8 -> 12.0 s isolated at sf0.1).
     Returns (id_a, id_b, shared, na, nb) with id_a < id_b.
     """
     # grams are carried as int64 polynomial hashes, not strings: the
@@ -126,7 +128,7 @@ def ngram_jaccard_pairs(
         .withColumn("ng", F.size("gs"))
     )
     if materialize:
-        docsets = docsets.localCheckpoint(eager=False)
+        docsets = docsets.persist()
     grams = docsets.select("_id", "ng", F.explode("gs").alias("gram"))
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
     ranked = grams.join(df_counts, "gram").withColumn(
@@ -143,7 +145,7 @@ def ngram_jaccard_pairs(
         F.col("_rk") <= F.col("ng") - F.ceil(F.col("ng") * t / 100.0) + 1
     ).select("_id", "gram", "_rk", "ng")
     if materialize:
-        pre = pre.localCheckpoint(eager=False)
+        pre = pre.persist()
     a = pre.select(F.col("_id").alias("id_a"), "gram",
                    F.col("ng").alias("na_"), F.col("_rk").alias("rka"))
     b = pre.select(F.col("_id").alias("id_b"), "gram",
@@ -241,7 +243,8 @@ def minhash_lsh_pairs(
     (id_a, id_b, n_bands_matched). The band-bucket join is an equi-join
     on (band_idx, band_values) — the scalable LSH shape.
 
-    materialize=True lazily localCheckpoints the banded-key table so
+    materialize=True persists the banded-key table (MEMORY_AND_DISK,
+    lineage kept) so
     the self-join's two sides reuse ONE signature pass (self-joins
     never hit ReusedExchange; without it the text scan + 16 array_min
     folds run twice)."""
@@ -264,7 +267,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if materialize:
-        banded = banded.localCheckpoint(eager=False)
+        banded = banded.persist()
     a = banded.select(F.col("id").alias("id_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -303,7 +306,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
     any pair within distance max_hamming agrees on >= 1 block when
     blocks > max_hamming) — equi-join on (block_idx, block_bits).
 
-    materialize=True lazily localCheckpoints the blocked-fingerprint
+    materialize=True persists the blocked-fingerprint
     table so the self-join's two sides reuse ONE fingerprint pass (the
     per-bit vote fold is the expensive stage; self-joins never hit
     ReusedExchange)."""
@@ -319,7 +322,7 @@ def simhash_near_pairs(df: DataFrame, *, id_col: str = "doc_id",
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     if materialize:
-        blocked = blocked.localCheckpoint(eager=False)
+        blocked = blocked.persist()
     a = blocked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
     b = blocked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
     pairs = (

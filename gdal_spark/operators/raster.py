@@ -469,7 +469,7 @@ def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
     # comp values and the final remap each re-evaluate `lab` otherwise
     # (6-8 full CCL re-runs; component adjacency can land anywhere, so
     # no border-band shortcut applies here)
-    lab = lab.localCheckpoint(eager=False)
+    lab = lab.persist()
     sizes = lab.groupBy("comp").agg(F.count("*").alias("n"))
     small = sizes.filter(F.col("n") < threshold).select("comp")
     # adjacency: neighbors (per connectedness) with different labels
@@ -663,7 +663,8 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
     # line (the crossing axis pins one side to tile-1 mod tile and the
     # other to 0 mod tile), so only the BORDER BAND — <= 4*tile of the
     # tile^2 pixels per tile — participates in the stitch joins.
-    # Materialize that band once (lazy localCheckpoint, tiny): the
+    # Materialize that band once (persist, tiny; lineage kept so a
+    # lost executor recomputes): the
     # per-tile CCL then executes exactly twice per call — once
     # producing the band, once in the final remap — instead of twice
     # per cross-offset (8x for 8-conn; the exchanges below the Python
@@ -674,7 +675,7 @@ def label_pixels(pixels: DataFrame, *, width: int, tile: int = 64,
     )
     border_px = labeled.filter(band).select("px", "py", "value", "label")
     if materialize:
-        border_px = border_px.localCheckpoint(eager=False)
+        border_px = border_px.persist()
 
     # border equivalence pairs: offsets whose neighbor can land in a
     # different tile (right/down for 4-conn, + both diagonals for 8)

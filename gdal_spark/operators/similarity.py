@@ -217,7 +217,7 @@ def ivf_dedup_pairs(
         # the bucket self-join's two sides never hit ReusedExchange, so
         # without this the quantize -> centroid-rank -> window pipeline
         # (a shuffle + per-vector dot products) runs twice
-        n = n.localCheckpoint(eager=False)
+        n = n.persist()
     a = n.select(F.col("id").alias("id_a"), F.col("cent_id"),
                  F.col("qvec").alias("va"), F.col("n2").alias("naa"))
     b = n.select(F.col("id").alias("id_b"), F.col("cent_id"),

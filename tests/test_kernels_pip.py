@@ -131,3 +131,53 @@ def test_yband_horizontal_edges_on_boundary():
     ys = np.repeat([0.0, 5.0, 2.5, 2.5, 2.5], 60).astype(float)
     exp = np.repeat([True, False, True, False, True], 60)
     np.testing.assert_array_equal(point_in_ring(xs, ys, ring), exp)
+
+
+def test_yband_engages_at_exact_threshold():
+    """All 256 points drawn INSIDE the ring bbox so the banded path
+    really engages at its activation boundary (the random-box variant
+    above can drop below 256 after the envelope mask)."""
+    rng = np.random.default_rng(5)
+    m, n = 256, 256
+    th = np.sort(rng.uniform(0, 2 * np.pi, m))
+    r = 1 + 0.3 * np.sin(5 * th)
+    ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    ring = np.vstack([ring, ring[:1]])
+    xs = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), n)
+    ys = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), n)
+    got = point_in_ring(xs, ys, ring, test_envelope=False)
+    exp = point_in_ring(xs[None].repeat(2, 0).ravel()[:n],
+                        ys[None].repeat(2, 0).ravel()[:n], ring)
+    c = np.zeros(n, dtype=np.int64)
+    from gdal_spark.kernels.pip import _ray_crossings
+    c = _ray_crossings(xs, ys, ring[1:, 0], ring[1:, 1],
+                       ring[:-1, 0], ring[:-1, 1])
+    np.testing.assert_array_equal(got, (c % 2).astype(bool))
+    np.testing.assert_array_equal(exp, (c % 2).astype(bool))
+
+
+def test_yband_nonfinite_points_do_not_poison_bands():
+    """A NaN/inf y (or x) must classify as outside WITHOUT zeroing the
+    valid points that share its band (reachable via
+    test_envelope=False only)."""
+    rng = np.random.default_rng(11)
+    m, n = 300, 300
+    th = np.sort(rng.uniform(0, 2 * np.pi, m))
+    ring = np.column_stack([np.cos(th), np.sin(th)])
+    ring = np.vstack([ring, ring[:1]])
+    xs = rng.uniform(-0.9, 0.9, n)
+    ys = rng.uniform(-0.9, 0.9, n)
+    dense = point_in_ring(xs, ys, ring, test_envelope=True)
+    for bad_val, idx in ((np.nan, 0), (np.inf, 150), (-np.inf, n - 1)):
+        ys2 = ys.copy()
+        ys2[idx] = bad_val
+        got = point_in_ring(xs, ys2, ring, test_envelope=False)
+        exp = dense.copy()
+        exp[idx] = False
+        np.testing.assert_array_equal(got, exp, err_msg=f"y={bad_val}")
+    xs2 = xs.copy()
+    xs2[7] = np.nan
+    got = point_in_ring(xs2, ys, ring, test_envelope=False)
+    exp = dense.copy()
+    exp[7] = False
+    np.testing.assert_array_equal(got, exp)
