@@ -176,3 +176,43 @@ def test_clip_pair_robust_nonconvex_identities(seed):
     assert abs(au - (aa + ab - ai)) < tol
     assert abs(ad - (aa - ai)) < tol
     assert -tol <= ai <= min(aa, ab) + tol
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=260, max_value=900),
+       st.integers(min_value=260, max_value=800),
+       st.booleans())
+def test_yband_pip_matches_dense_any_ring(seed, m, n, envelope):
+    """Banded ray-cast == dense ray-cast bit-exactly on random star
+    rings with duplicated/horizontal-ish edges and adversarial points
+    (on-vertex, mid-edge y-levels, NaN when the envelope is off)."""
+    from gdal_spark.kernels.pip import _ray_crossings, point_in_ring
+
+    rng = np.random.default_rng(seed)
+    th = np.sort(rng.uniform(0, 2 * np.pi, m))
+    r = 1 + 0.5 * np.sin(rng.integers(2, 9) * th)
+    ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    # inject exact-duplicate y runs (degenerate horizontal edges)
+    k = m // 10
+    ring[1:1 + k, 1] = ring[0, 1]
+    ring = np.vstack([ring, ring[:1]])
+    xs = rng.uniform(-1.7, 1.7, n)
+    ys = rng.uniform(-1.7, 1.7, n)
+    xs[: n // 4] = ring[: n // 4, 0]          # on-vertex
+    ys[: n // 4] = ring[: n // 4, 1]
+    ys[n // 4: n // 2] = rng.choice(ring[:, 1], n // 2 - n // 4)  # edge y-levels
+    if not envelope:
+        ys[n - 1] = np.nan
+        xs[n - 2] = np.inf
+    got = point_in_ring(xs, ys, ring, test_envelope=envelope)
+    mask = (
+        (xs >= ring[:, 0].min()) & (xs <= ring[:, 0].max())
+        & (ys >= ring[:, 1].min()) & (ys <= ring[:, 1].max())
+    ) if envelope else np.ones(n, dtype=bool)
+    exp = np.zeros(n, dtype=bool)
+    fin = mask & np.isfinite(xs) & np.isfinite(ys)
+    c = _ray_crossings(xs[fin], ys[fin], ring[1:, 0], ring[1:, 1],
+                       ring[:-1, 0], ring[:-1, 1])
+    exp[fin] = (c % 2).astype(bool)
+    np.testing.assert_array_equal(got, exp)
