@@ -16,6 +16,14 @@ designed Spark-first:
 - simhash64: 64-bit SimHash over word hashes with +/-1 bit votes.
 
 All integer math: no float anywhere, so every result is exact.
+
+Operational note on materialize=True (the default here and in
+similarity.ivf_dedup_pairs): the per-query index tables persist()
+into executor MEMORY_AND_DISK and stay registered in Spark's
+CacheManager until clearCache()/unpersist — identical re-invocations
+reuse them (a feature), but a long-lived session cycling MANY distinct
+large corpora should either pass materialize=False or call
+spark.catalog.clearCache() between corpora to release the storage.
 """
 from __future__ import annotations
 
