@@ -113,26 +113,30 @@ def ngram_jaccard_pairs(
     # steps per doc instead of O(n * chars) per gram (4.3x measured on
     # the extraction stage at sf0.1).
     wh = word_hash_expr("w")
-    # per-doc sorted distinct gram-hash array, computed ROW-WISE (no
-    # collect_set shuffle): the doc-set table is a pure projection
+    # per-ROW distinct gram-hash array (pure projection), then one
+    # COMPACT groupBy merge so duplicate id rows union their gram sets
+    # — the oracle's DISTINCT(doc_id, gram) semantics. The merge
+    # shuffles one small array per row, not the exploded gram rows the
+    # old collect_set build shuffled.
     docsets = (
         tokens(df, text)
         .withColumn("_whs", F.expr(f"transform(toks, w -> {wh})"))
         .select(
             F.col(id_col).alias("_id"),
-            F.array_sort(
-                F.array_distinct(
-                    # NB: sequence(1, 0) is DESCENDING [1,0] in Spark,
-                    # so short docs need the explicit empty-array guard
-                    F.expr(
-                        f"if(size(_whs) < {n}, array(), "
-                        f"transform(sequence(1, size(_whs) - {n - 1}), "
-                        f"i -> aggregate(slice(_whs, i, {n}), 0L, "
-                        f"(h, x) -> (h * {GRAM_P} + x) % {M31})))"
-                    )
+            F.array_distinct(
+                # NB: sequence(1, 0) is DESCENDING [1,0] in Spark,
+                # so short docs need the explicit empty-array guard
+                F.expr(
+                    f"if(size(_whs) < {n}, array(), "
+                    f"transform(sequence(1, size(_whs) - {n - 1}), "
+                    f"i -> aggregate(slice(_whs, i, {n}), 0L, "
+                    f"(h, x) -> (h * {GRAM_P} + x) % {M31})))"
                 )
             ).alias("gs"),
         )
+        .groupBy("_id")
+        .agg(F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("gs")))).alias("gs"))
         .withColumn("ng", F.size("gs"))
     )
     if materialize:

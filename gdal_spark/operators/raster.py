@@ -450,7 +450,8 @@ def rasterize_inverse(polys: DataFrame, *, width: int, height: int,
 
 
 def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
-                 tile: int = 64, connect: int = 4) -> DataFrame:
+                 tile: int = 64, connect: int = 4,
+                 materialize: bool = True) -> DataFrame:
     """Sieve: merge raster polygons smaller than `threshold` pixels into
     their largest neighboring polygon (alg/gdalsievefilter.cpp;
     nConnectedness 4 or 8 applies to both component building and the
@@ -464,12 +465,16 @@ def sieve_filter(pixels: DataFrame, *, width: int, threshold: int,
     largest neighbor (ties -> smallest component label). Returns the
     sieved raster (px, py, value).
     """
-    lab = label_pixels(pixels, width=width, tile=tile, connect=connect)
+    lab = label_pixels(pixels, width=width, tile=tile, connect=connect,
+                       materialize=materialize)
     # materialize the labeled table once: sizes, both adjacency sides,
     # comp values and the final remap each re-evaluate `lab` otherwise
     # (6-8 full CCL re-runs; component adjacency can land anywhere, so
-    # no border-band shortcut applies here)
-    lab = lab.persist()
+    # no border-band shortcut applies here). persist keeps lineage;
+    # entries stay in CacheManager until clearCache (see the dedup
+    # module docstring for the long-lived-session guidance).
+    if materialize:
+        lab = lab.persist()
     sizes = lab.groupBy("comp").agg(F.count("*").alias("n"))
     small = sizes.filter(F.col("n") < threshold).select("comp")
     # adjacency: neighbors (per connectedness) with different labels

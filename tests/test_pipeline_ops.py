@@ -171,9 +171,9 @@ def test_buffer_convex_area_identity(spark):
 
 
 def test_materialize_arms_identical(spark):
-    """materialize=True (localCheckpoint index reuse) and =False must
-    produce identical rows for every dedup family member — pins the
-    r5 DAG-recompute sweep as pure plan surgery."""
+    """materialize=True (persisted index reuse, lineage kept) and
+    =False must produce identical rows for every dedup family member —
+    pins the r5 DAG-recompute sweep as pure plan surgery."""
     rng = np.random.default_rng(42)
     vocab = [f"w{i}" for i in range(40)]
     docs = [
@@ -208,3 +208,18 @@ def test_materialize_arms_identical(spark):
         b = b[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
+
+
+def test_jaccard_merges_duplicate_id_rows(spark):
+    """Duplicate doc_id rows union their gram sets — the oracle's
+    DISTINCT(doc_id, gram) semantics (review finding: the first
+    row-wise docset build dropped this and returned no pairs)."""
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (1, "ff gg hh ii jj"),
+         (2, "aa bb cc dd ee ff gg hh ii jj")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(df, n=2, threshold_pct=50).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b, r.shared, r.na, r.nb) == (1, 2, 8, 8, 9)
